@@ -1,0 +1,34 @@
+"""aainterp — TPU-native area-average (conservative) image resampling.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+Ishikawa-lab/Area_average_interpolation (see SURVEY.md): exact
+overlap-area-weighted resampling to arbitrary resolution with arbitrary
+rotation about an isocenter, plus the reference's fast approximate mode,
+bilinear/bicubic baselines, a PSNR/information-loss harness, CSV I/O, a CLI,
+and multi-chip spatial sharding.
+"""
+
+from .api import (
+    InterpResult,
+    apply_operator,
+    area_average_interpolate,
+    area_average_interpolation,
+    build_operator,
+    fast_area_average_interpolation,
+)
+from .grids import GridSpec, ValidationError, make_grid_spec
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "InterpResult",
+    "GridSpec",
+    "ValidationError",
+    "apply_operator",
+    "area_average_interpolate",
+    "area_average_interpolation",
+    "build_operator",
+    "fast_area_average_interpolation",
+    "make_grid_spec",
+    "__version__",
+]

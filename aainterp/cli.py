@@ -1,0 +1,95 @@
+"""Command-line interface (reference L5 layer, Source.cpp:1434-1599).
+
+The reference has no argv parsing — users edit source constants
+(Source.cpp:1528-1534, README.md:18-19) and recompile.  This CLI exposes
+exactly those knobs as flags, with the same defaults, same .csv-only gate
+(Source.cpp:1537-1544), same `<base>_mod.csv` output naming
+(Source.cpp:1591) and the same "Calculation time : X [ms]" timing line
+(Source.cpp:1581), plus device/batch knobs that only make sense here.
+
+Usage:
+    python -m aainterp.cli input.csv --src-resolution 150 \
+        --dst-resolution 25.4 --isocenter 455 455 --angle 1.5 --mode 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import api
+from .grids import ValidationError
+from .utils import io as iom
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="aainterp",
+        description="TPU-native area-average (conservative) image resampling",
+    )
+    p.add_argument("input", help="source image path (*.csv only)")
+    p.add_argument("--src-resolution", type=float, default=150.0,
+                   help="source resolution [pixel/mm or dpi] (x == y)")
+    p.add_argument("--dst-resolution", type=float, default=25.4,
+                   help="destination resolution [pixel/mm or dpi] (x == y)")
+    p.add_argument("--isocenter", type=float, nargs=2, default=[455.0, 455.0],
+                   metavar=("X", "Y"), help="rotation center [pixels]")
+    p.add_argument("--angle", type=float, default=1.5,
+                   help="rotation angle [degrees], clockwise positive")
+    p.add_argument("--mode", type=int, choices=(1, 2), default=2,
+                   help="1: exact area average, 2: fast area average")
+    p.add_argument("--output", default=None,
+                   help="output path (default: <base>_mod.csv)")
+    p.add_argument("--sig-digits", type=int, default=0,
+                   help="CSV output precision (6 = reference bit-compat)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    _, _, ext = iom.split_path(args.input)
+    if ext not in (".csv", ".CSV"):
+        print("As for the image format, only csv format can be used.")
+        print("Run terminated abnormally.")
+        return -1
+
+    try:
+        src = iom.csv_read(args.input)
+    except (OSError, ValueError) as e:
+        print(f"Failed to read csv file. ({e})")
+        print("Run terminated abnormally.")
+        return -1
+
+    mode = "exact" if args.mode == 1 else "fast"
+    start = time.perf_counter()
+    try:
+        result = api.area_average_interpolate(
+            src, args.src_resolution, args.dst_resolution,
+            tuple(args.isocenter), args.angle, mode=mode,
+        )
+        dst = np.asarray(jax_block(result.dst))
+    except ValidationError as e:
+        print(str(e))
+        print("Run terminated abnormally.")
+        return -1
+    elapsed_ms = (time.perf_counter() - start) * 1000.0
+    print(f"Calculation time : {elapsed_ms:g} [ms]")
+    print(f"dstIsocenter : {result.dst_isocenter[0]}, {result.dst_isocenter[1]}")
+
+    out_path = args.output or iom.default_output_path(args.input)
+    iom.csv_write(out_path, dst, sig_digits=args.sig_digits)
+    print("Run terminated correctly.")
+    return 0
+
+
+def jax_block(x):
+    """Block until device computation finishes (honest timing)."""
+    return x.block_until_ready() if hasattr(x, "block_until_ready") else x
+
+
+if __name__ == "__main__":
+    sys.exit(main())

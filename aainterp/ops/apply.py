@@ -1,0 +1,99 @@
+"""Apply stage: evaluate the sparse resampling operator on device (XLA paths).
+
+The reference evaluates weights and applies them inside one scalar loop
+(Source.cpp:411-579).  Here the apply stage is a standalone jittable function
+of static-shape operator arrays, so it batches with ``vmap`` over channels /
+frames and shards with ``shard_map`` over chips.  Pallas kernels for the same
+contractions live in pallas_apply.py; these XLA versions are the reference
+implementations and the fallback on non-TPU backends.
+
+All accumulation is float32 (or the operator dtype) regardless of image dtype
+(bf16 pixel I/O, fp32 accum).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quadrant_rotate(src: jax.Array, quadrant: int) -> jax.Array:
+    """90-degree quadrant pre-rotation of the source image.
+
+    Cell-level equivalent of the reference's replication loop rotation cases
+    (Source.cpp:159-172): quadrant k (k*90 degrees clockwise) is
+    ``rot90(src, -k)`` on the trailing two axes.
+    """
+    return jnp.rot90(src, k=-int(quadrant), axes=(-2, -1))
+
+
+def apply_separable_banded(
+    q: jax.Array,
+    y_start: jax.Array,  # (Hd,) int32
+    y_w: jax.Array,      # (Hd, ky)
+    x_start: jax.Array,  # (Wd,) int32
+    x_w: jax.Array,      # (Wd, kx)
+) -> jax.Array:
+    """dst = (Wy @ q) @ Wx.T with banded row-normalised weights.
+
+    O(k) work per output pixel instead of the dense O(n): bandwidth-bound,
+    the speed-of-light formulation for axis-aligned area-average resize.
+    q may have arbitrary leading batch dims: (..., H, W) -> (..., Hd, Wd).
+    """
+    acc_dtype = y_w.dtype
+    ky = y_w.shape[1]
+    kx = x_w.shape[1]
+    rows = y_start[:, None] + jnp.arange(ky, dtype=y_start.dtype)  # (Hd, ky)
+    cols = x_start[:, None] + jnp.arange(kx, dtype=x_start.dtype)  # (Wd, kx)
+    g = jnp.take(q, rows, axis=-2)                 # (..., Hd, ky, W)
+    t = jnp.einsum(
+        "hk,...hkw->...hw", y_w, g.astype(acc_dtype),
+        preferred_element_type=acc_dtype,
+    )
+    g2 = jnp.take(t, cols, axis=-1)                # (..., Hd, Wd, kx)
+    out = jnp.einsum(
+        "wk,...hwk->...hw", x_w, g2, preferred_element_type=acc_dtype
+    )
+    return out
+
+
+def apply_separable_dense(
+    q: jax.Array, wy: jax.Array, wx: jax.Array
+) -> jax.Array:
+    """dst = Wy @ q @ Wx.T with dense (Hd, H) / (Wd, W) operators.
+
+    MXU path: two large matmuls.  Wasteful in FLOPs for narrow bands but
+    maps perfectly onto the systolic array; useful as a cross-check and for
+    very wide bands (large downscale factors).
+    """
+    acc = jnp.float32 if wy.dtype != jnp.float64 else jnp.float64
+    t = jnp.einsum("yh,...hw->...yw", wy, q, preferred_element_type=acc)
+    return jnp.einsum("...yw,xw->...yx", t, wx, preferred_element_type=acc)
+
+
+def apply_ell(
+    q: jax.Array,
+    base: jax.Array,     # (Hd, Wd, 2) int32
+    weights: jax.Array,  # (Hd, Wd, K, K)
+) -> jax.Array:
+    """Gather-weighted window reduction for the rotated operator.
+
+    For each dst pixel, gathers its K x K candidate source cells and reduces
+    with the pre-normalised overlap weights.  Static tap loop (K*K gathers of
+    (Hd, Wd)) keeps the intermediate footprint at one dst-plane per tap.
+    q: (..., qH, qW) -> (..., Hd, Wd).
+    """
+    K = weights.shape[-1]
+    qW = q.shape[-1]
+    qf = q.reshape(q.shape[:-2] + (-1,))
+    a = jnp.arange(K, dtype=base.dtype)
+    ry = base[..., 0:1] + a                        # (Hd, Wd, K)
+    rx = base[..., 1:2] + a
+    idx = ry[..., :, None] * qW + rx[..., None, :]  # (Hd, Wd, K, K), in-range
+    acc_dtype = weights.dtype
+    vals = jnp.take(qf, idx.reshape(-1), axis=-1)
+    vals = vals.reshape(q.shape[:-2] + idx.shape).astype(acc_dtype)
+    return jnp.einsum(
+        "hwab,...hwab->...hw", weights, vals, preferred_element_type=acc_dtype
+    )

@@ -1,0 +1,152 @@
+"""1-D interval-overlap weights: the separable weight-generation stage.
+
+For axis-aligned resampling (residual rotation == 0) the exact overlap area
+between a destination pixel and a source cell factors into a product of two
+1-D interval overlaps, so the whole operator is ``dst = Wy @ src @ Wx.T``
+followed by a separable normalisation.  This ~replaces the reference's
+prescale/replication + 10-case polygon taxonomy (Source.cpp:135-172,
+1035-1431) for the non-rotated case with a closed-form banded matrix.
+
+Geometry (mod coordinates, see aainterp.grids):
+  dst interval i  : [(i + f)*L - L/2, (i + f)*L + L/2]     (Source.cpp:212-219 at angle 0)
+  src cell j      : [j*scale - 0.5, j*scale + scale - 0.5]  (replica block)
+  overlap(i, j)   = clip(min(hi_i, hi_j) - max(lo_i, lo_j), 0)
+
+Weights are generated on the host in float64 (data-independent, cacheable)
+and returned both dense and in a banded (ELL) layout with a static band
+width — static shapes for jit, no dynamic nnz (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Band1D:
+    """Banded 1-D overlap operator with a static band width.
+
+    ``weights[i, k]`` is the overlap of dst interval ``i`` with src cell
+    ``start[i] + k``; entries for out-of-range cells are 0.  ``start`` is
+    clamped so that ``start[i] + band - 1 < n_src`` whenever possible.
+    """
+
+    start: np.ndarray    # (n_dst,) int32, first src cell of the band
+    weights: np.ndarray  # (n_dst, band) float64
+    n_src: int
+    n_dst: int
+
+    @property
+    def band(self) -> int:
+        return self.weights.shape[1]
+
+    def dense(self) -> np.ndarray:
+        """Materialise the (n_dst, n_src) dense operator (tests/small sizes)."""
+        W = np.zeros((self.n_dst, self.n_src), dtype=self.weights.dtype)
+        for k in range(self.band):
+            j = self.start + k
+            valid = (j >= 0) & (j < self.n_src)
+            W[np.arange(self.n_dst)[valid], j[valid]] = self.weights[valid, k]
+        return W
+
+    def row_sums(self) -> np.ndarray:
+        return self.weights.sum(axis=1)
+
+
+def overlap_band_1d(
+    n_dst: int,
+    n_src: int,
+    dst_side: float,
+    scale: int,
+    iso_offset: float,
+    offset: float = 0.0,
+) -> Band1D:
+    """Exact 1-D interval overlaps, banded with static width.
+
+    Parameters mirror one axis of a GridSpec: dst interval i is
+    ``[(i+iso_offset)*dst_side + offset - dst_side/2, ... + dst_side/2]`` and
+    src cell j is ``[j*scale - 0.5, j*scale + scale - 0.5]`` (mod coords).
+    ``offset`` is 0 for axis-aligned resampling (corner-min offset vanishes at
+    angle 0, Source.cpp:189-200) but kept general for reuse.
+    """
+    L = float(dst_side)
+    s = float(scale)
+    i = np.arange(n_dst, dtype=np.float64)
+    lo = (i + iso_offset) * L + offset - L / 2.0
+    hi = lo + L
+
+    # band width: a dst interval of length L can overlap at most
+    # floor(L/s) + 2 cells of length s.
+    band = int(math.floor(L / s)) + 2
+
+    # first candidate cell: smallest j with j*s + s - 0.5 > lo
+    start = np.floor((lo + 0.5) / s - 1.0).astype(np.int64) + 1
+    # clamp into range so gather indices are always valid; weights of the
+    # shifted-in cells are computed honestly and come out 0 when disjoint.
+    start = np.clip(start, 0, max(n_src - band, 0))
+
+    k = np.arange(band, dtype=np.float64)
+    j = start[:, None] + k[None, :]
+    cell_lo = j * s - 0.5
+    cell_hi = cell_lo + s
+    w = np.minimum(hi[:, None], cell_hi) - np.maximum(lo[:, None], cell_lo)
+    w = np.maximum(w, 0.0)
+    # mask cells outside the image (can appear after clamping start to 0)
+    valid = (j >= 0) & (j < n_src)
+    w = np.where(valid, w, 0.0)
+
+    return Band1D(
+        start=start.astype(np.int32),
+        weights=w,
+        n_src=n_src,
+        n_dst=n_dst,
+    )
+
+
+def count_band_1d(
+    n_dst: int,
+    n_src: int,
+    dst_side: float,
+    scale: int,
+    iso_offset: float,
+    offset: float = 0.0,
+    eps: float = 1e-9,
+) -> Band1D:
+    """Fast-mode 1-D weights: replica-center counts instead of overlaps.
+
+    The reference's fast mode counts replicated pixel centers inside the dst
+    footprint (Source.cpp:866-907).  In 1-D, the weight of original cell j is
+    the number of replica centers ``j*scale + m`` (m = 0..scale-1) inside the
+    dst interval, boundary inclusive (the ray-cast at Source.cpp:837-864
+    counts tangent points as inside via DBL_EPSILON fuzz).
+    """
+    L = float(dst_side)
+    s = int(scale)
+    i = np.arange(n_dst, dtype=np.float64)
+    lo = (i + iso_offset) * L + offset - L / 2.0
+    hi = lo + L
+
+    band = int(math.floor(L / s)) + 2
+    start = np.floor((lo + 0.5) / s - 1.0).astype(np.int64) + 1
+    start = np.clip(start, 0, max(n_src - band, 0))
+
+    k = np.arange(band)
+    j = start[:, None] + k[None, :]
+    counts = np.zeros((n_dst, band), dtype=np.float64)
+    for m in range(s):
+        c = j * float(s) + m  # replica center coordinate
+        inside = (lo[:, None] - eps <= c) & (c <= hi[:, None] + eps)
+        counts += inside.astype(np.float64)
+    valid = (j >= 0) & (j < n_src)
+    counts = np.where(valid, counts, 0.0)
+
+    return Band1D(
+        start=start.astype(np.int32),
+        weights=counts,
+        n_src=n_src,
+        n_dst=n_dst,
+    )

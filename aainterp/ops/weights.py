@@ -1,0 +1,270 @@
+"""Weight-generation: assemble the sparse resampling operator from a GridSpec.
+
+The reference fuses weight computation and application inside one scalar
+double loop (Source.cpp:411-579).  Here weight-gen is a separate, data-
+independent stage producing a static-shape sparse operator W with
+``dst = W @ vec(src)`` where each row of W is pre-normalised to sum to 1
+(rows with ~zero total overlap are all-zero, reproducing the reference's
+``dst = 0`` fallback at Source.cpp:577/905).
+
+Two operator families:
+
+* :class:`SeparableOperator` — residual rotation == 0.  The overlap area
+  factors into 1-D interval overlaps per axis; normalisation also factors
+  (sumArea = (sum wy)*(sum wx)), so each axis band is row-normalised.
+
+* :class:`EllOperator` — arbitrary rotation.  Fixed K x K candidate window
+  per dst pixel (ELL layout, static nnz — SURVEY.md §7 hard part 3), weights
+  from Sutherland–Hodgman clipping (exact mode) or replica-center counting
+  (fast mode, Source.cpp:866-907 semantics).
+
+Host generation runs in numpy float64 (accuracy; the operator is cacheable —
+the checkpoint/resume story of SURVEY.md §5).  The same code path runs under
+``jax.numpy`` for fused on-device generation (float32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..grids import DBL_EPSILON, GridSpec
+from . import overlap1d
+from .clipper import quad_rect_overlap_area, quad_vertices
+
+
+# ----------------------------------------------------------------------
+# Separable operator (axis-aligned)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SeparableOperator:
+    """dst = (Wy @ q) @ Wx.T with row-normalised banded Wy/Wx.
+
+    ``q`` is the quadrant-pre-rotated original image (np.rot90(src, -quadrant),
+    equivalent to Source.cpp:159-172 at cell level).
+    """
+
+    spec: GridSpec
+    wy: overlap1d.Band1D  # row-normalised
+    wx: overlap1d.Band1D  # row-normalised
+    raw_row_sums: Tuple[np.ndarray, np.ndarray]  # pre-normalisation sums (y, x)
+
+    def dense(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.wy.dense(), self.wx.dense()
+
+
+def _normalise_band(band: overlap1d.Band1D):
+    sums = band.row_sums()
+    safe = np.where(np.abs(sums) > DBL_EPSILON, sums, 1.0)
+    w = np.where(
+        (np.abs(sums) > DBL_EPSILON)[:, None], band.weights / safe[:, None], 0.0
+    )
+    return (
+        overlap1d.Band1D(
+            start=band.start, weights=w, n_src=band.n_src, n_dst=band.n_dst
+        ),
+        sums,
+    )
+
+
+def separable_operator(spec: GridSpec, mode: str = "exact") -> SeparableOperator:
+    """Build the separable operator (requires spec.is_axis_aligned)."""
+    if not spec.is_axis_aligned:
+        raise ValueError("separable operator requires zero residual rotation")
+    gen = overlap1d.overlap_band_1d if mode == "exact" else overlap1d.count_band_1d
+    qH, qW = spec.qrot_shape
+    dstH, dstW = spec.dst_shape
+    # offset is identically 0 at zero residual angle (Source.cpp:189-200)
+    by = gen(dstH, qH, spec.dst_side, spec.scale, spec.iso_offset[1])
+    bx = gen(dstW, qW, spec.dst_side, spec.scale, spec.iso_offset[0])
+    by_n, sy = _normalise_band(by)
+    bx_n, sx = _normalise_band(bx)
+    return SeparableOperator(spec=spec, wy=by_n, wx=bx_n, raw_row_sums=(sy, sx))
+
+
+# ----------------------------------------------------------------------
+# ELL operator (rotated)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EllOperator:
+    """Fixed-window sparse operator for rotated resampling.
+
+    ``weights[dy, dx, a, b]`` multiplies the quadrant-rotated source cell
+    ``(base[dy, dx, 0] + a, base[dy, dx, 1] + b)``; rows are pre-normalised.
+    """
+
+    spec: GridSpec
+    base: np.ndarray     # (Hd, Wd, 2) int32 — (jy0, jx0)
+    weights: np.ndarray  # (Hd, Wd, K, K)
+    raw_row_sums: np.ndarray  # (Hd, Wd) pre-normalisation overlap totals
+
+    @property
+    def window(self) -> int:
+        return self.weights.shape[-1]
+
+    def dense(self) -> np.ndarray:
+        """(Hd*Wd, qH*qW) dense matrix — tests only."""
+        qH, qW = self.spec.qrot_shape
+        Hd, Wd = self.spec.dst_shape
+        K = self.window
+        W = np.zeros((Hd * Wd, qH * qW), dtype=self.weights.dtype)
+        for dy in range(Hd):
+            for dx in range(Wd):
+                jy0, jx0 = self.base[dy, dx]
+                for a in range(K):
+                    for b in range(K):
+                        jy, jx = jy0 + a, jx0 + b
+                        if 0 <= jy < qH and 0 <= jx < qW:
+                            W[dy * Wd + dx, jy * qW + jx] = self.weights[
+                                dy, dx, a, b
+                            ]
+        return W
+
+
+def _window_base(xp, p, radius, scale, n, K):
+    """First candidate cell index covering [p - radius, p + radius], clamped.
+
+    Smallest j with j*scale + scale - 0.5 > p - radius; clamped to [0, n-K]
+    so gathers are in-range (out-of-range cells are masked to weight 0, and
+    the clamp never shifts a genuinely-overlapping in-range cell out of the
+    window — see window-size bound in GridSpec.window_cells).
+    """
+    j0 = xp.floor((p - radius + 0.5) / scale - 1.0).astype(np.int32) + 1
+    return xp.clip(j0, 0, max(n - K, 0))
+
+
+def ell_weights(
+    spec: GridSpec,
+    xp=np,
+    dtype=np.float64,
+    mode: str = "exact",
+    dy_slice: Optional[Tuple[int, int]] = None,
+    normalise: bool = True,
+):
+    """Compute (base, weights, raw_sums) for dst rows [dy0, dy1).
+
+    Works under numpy (host, float64) and jax.numpy (device, float32 — the
+    fused path).  Static output shapes: (R, Wd, 2), (R, Wd, K, K), (R, Wd).
+    """
+    Hd, Wd = spec.dst_shape
+    dy0, dy1 = dy_slice if dy_slice is not None else (0, Hd)
+    R = dy1 - dy0
+    K = spec.window_cells
+    qH, qW = spec.qrot_shape
+    s = float(spec.scale)
+    L = spec.dst_side
+    c, sn = spec.cos, spec.sin
+
+    p00, ex, ey = spec.linear_map
+    dx = xp.arange(Wd, dtype=dtype)
+    dy = xp.arange(dy0, dy1, dtype=dtype)
+    px = p00[0] + dx[None, :] * ex[0] + dy[:, None] * ey[0]   # (R, Wd)
+    py = p00[1] + dx[None, :] * ex[1] + dy[:, None] * ey[1]
+
+    radius = L * (abs(c) + abs(sn)) / 2.0
+    jy0 = _window_base(xp, py, radius, s, qH, K)              # (R, Wd)
+    jx0 = _window_base(xp, px, radius, s, qW, K)
+
+    a = xp.arange(K, dtype=dtype)
+    jy = jy0[..., None].astype(dtype) + a                      # (R, Wd, K)
+    jx = jx0[..., None].astype(dtype) + a
+
+    # Everything below is in *local* coordinates relative to the dst pixel
+    # center (px, py): magnitudes stay ~dst_side so the same code is accurate
+    # in on-device float32 (fused path), not just host float64.
+    # candidate cell rectangles: [j*s - 0.5 - p, j*s + s - 0.5 - p]
+    cell_ylo = jy * s - 0.5 - py[..., None]
+    cell_xlo = jx * s - 0.5 - px[..., None]
+
+    if mode == "exact":
+        zero = xp.zeros((R, Wd), dtype=dtype)
+        qx, qy = quad_vertices(xp, zero, zero, L, c, sn)       # (R, Wd, 4)
+        # broadcast to (R, Wd, K, K)
+        lo_y = cell_ylo[..., :, None] + xp.zeros_like(cell_xlo[..., None, :])
+        lo_x = cell_xlo[..., None, :] + xp.zeros_like(cell_ylo[..., :, None])
+        w = quad_rect_overlap_area(
+            xp,
+            xp.broadcast_to(qx[..., None, None, :], (R, Wd, K, K, 4)),
+            xp.broadcast_to(qy[..., None, None, :], (R, Wd, K, K, 4)),
+            lo_x,
+            lo_y,
+            lo_x + s,
+            lo_y + s,
+        )
+        # Zero out numerical slivers: the clamp-clip shoelace leaves
+        # O(eps * extent^2) noise on empty/tangent overlaps; without this, a
+        # dst pixel whose footprint misses the image entirely would normalise
+        # noise into a garbage value (the reference gets exact zeros there via
+        # its empty search window, Source.cpp:426-429/577).
+        extent = K * s + L
+        machine_eps = float(np.finfo(np.dtype(dtype)).eps)
+        sliver = 64.0 * machine_eps * extent * extent
+        w = xp.where(w > sliver, w, xp.zeros_like(w))
+    elif mode == "fast":
+        # count replica centers (j*s + m) inside the rotated dst square:
+        # |R(theta) (center - p)|_inf <= L/2 (boundary inclusive, matching the
+        # DBL_EPSILON-fuzzed ray cast at Source.cpp:837-864)
+        eps = 1e-9
+        w = xp.zeros((R, Wd, K, K), dtype=dtype)
+        scale_i = int(spec.scale)
+        for my in range(scale_i):
+            for mx in range(scale_i):
+                cy = (cell_ylo + 0.5 + my)[..., :, None]       # (R, Wd, K, 1)
+                cx = (cell_xlo + 0.5 + mx)[..., None, :]       # (R, Wd, 1, K)
+                u = cx * c - cy * sn
+                v = cx * sn + cy * c
+                inside = xp.logical_and(
+                    xp.abs(u) <= L / 2.0 + eps, xp.abs(v) <= L / 2.0 + eps
+                )
+                w = w + inside.astype(dtype)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # mask out-of-range cells
+    valid = xp.logical_and(
+        xp.logical_and(jy[..., :, None] >= 0, jy[..., :, None] <= qH - 1),
+        xp.logical_and(jx[..., None, :] >= 0, jx[..., None, :] <= qW - 1),
+    )
+    w = xp.where(valid, w, xp.zeros_like(w))
+
+    sums = xp.sum(w, axis=(-1, -2))
+    if normalise:
+        guard = DBL_EPSILON if dtype == np.float64 else 1e-12
+        safe = xp.where(xp.abs(sums) > guard, sums, xp.ones_like(sums))
+        w = xp.where(
+            (xp.abs(sums) > guard)[..., None, None], w / safe[..., None, None],
+            xp.zeros_like(w),
+        )
+    base = xp.stack([jy0, jx0], axis=-1)
+    return base, w, sums
+
+
+def ell_operator(
+    spec: GridSpec, mode: str = "exact", row_chunk: int = 0
+) -> EllOperator:
+    """Host (numpy float64) ELL operator, chunked over dst rows."""
+    Hd, Wd = spec.dst_shape
+    K = spec.window_cells
+    if row_chunk <= 0:
+        # keep the clip batch (~36 vertices * a few temporaries, float64)
+        # around a few hundred MB
+        row_chunk = max(1, int(8.0e6 / max(Wd * K * K, 1)))
+    base = np.empty((Hd, Wd, 2), dtype=np.int32)
+    weights = np.empty((Hd, Wd, K, K), dtype=np.float64)
+    sums = np.empty((Hd, Wd), dtype=np.float64)
+    for dy0 in range(0, Hd, row_chunk):
+        dy1 = min(dy0 + row_chunk, Hd)
+        b, w, sm = ell_weights(
+            spec, xp=np, dtype=np.float64, mode=mode, dy_slice=(dy0, dy1)
+        )
+        base[dy0:dy1] = b
+        weights[dy0:dy1] = w
+        sums[dy0:dy1] = sm
+    return EllOperator(spec=spec, base=base, weights=weights, raw_row_sums=sums)

@@ -1,0 +1,80 @@
+"""CSV image I/O and path handling (reference L4 layer, Source.cpp:1437-1515).
+
+Semantics replicated:
+  * csvRead (Source.cpp:1471-1492): rows of comma-separated doubles,
+    non-numeric tokens silently skipped (Source.cpp:1457-1459), blank lines
+    skipped.  The reference's ragged-row handling is buggy (it indexes
+    vec[i] up to the running max width, Source.cpp:1484-1488, reading out of
+    range for short rows) — we instead pad short rows with 0.0 and document
+    the divergence (SURVEY.md §7 hard part 5: a bug to NOT replicate).
+  * csvWrite (Source.cpp:1493-1515): note the reference writes with default
+    C++ stream precision (6 significant digits); we default to full
+    precision but expose ``sig_digits=6`` for bit-compat diffs.
+  * split_path (Source.cpp:1437-1448): path -> (dir, base, extension), with
+    both '/' and '\\' delimiters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def split_path(full_path: str) -> Tuple[str, str, str]:
+    """path -> (directory-with-trailing-sep, base, extension-with-dot)."""
+    dot = full_path.rfind(".")
+    delim = full_path.rfind("\\")
+    if delim == -1:
+        delim = full_path.rfind("/")
+    delim += 1
+    ext = "" if dot == -1 else full_path[dot:]
+    end = dot if dot != -1 else len(full_path)
+    base = full_path[delim:end]
+    path = full_path[:delim]
+    return path, base, ext
+
+
+def csv_read(path: str) -> np.ndarray:
+    """Read a CSV image; invalid tokens skipped, rows padded to max width."""
+    rows = []
+    width = 0
+    with open(path, "r") as f:
+        for line in f:
+            vals = []
+            for tok in line.strip().split(","):
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    continue  # Source.cpp:1457-1459: silently skip
+            if not vals:
+                continue
+            width = max(width, len(vals))
+            rows.append(vals)
+    if not rows:
+        raise ValueError("There is no data in src array.")
+    out = np.zeros((len(rows), width), dtype=np.float64)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out
+
+
+def csv_write(path: str, data, sig_digits: int = 0) -> None:
+    """Write a 2-D image as CSV.
+
+    sig_digits=6 reproduces the reference's default stream precision
+    (Source.cpp:1508); 0 means full float64 repr.
+    """
+    arr = np.asarray(data, dtype=np.float64)
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError("There is no data in src array.")
+    fmt = f"%.{sig_digits}g" if sig_digits > 0 else "%.17g"
+    np.savetxt(path, arr, delimiter=",", fmt=fmt)
+
+
+def default_output_path(input_path: str) -> str:
+    """`<dir>/<base>_mod<ext>` — the reference's output naming
+    (Source.cpp:1591)."""
+    path, base, ext = split_path(input_path)
+    return f"{path}{base}_mod{ext}"

@@ -1,0 +1,93 @@
+"""End-to-end API tests: path cross-validation, batching, fast/exact modes."""
+
+import numpy as np
+import pytest
+
+import aainterp as aa
+
+RNG = np.random.default_rng(42)
+SRC = RNG.uniform(0.0, 1.0, (24, 24))
+
+
+def test_separable_equals_ell_at_axis_aligned():
+    """Two independent weight-gen paths (1-D intervals vs polygon clipping)
+    must agree exactly when the residual rotation is zero."""
+    r1 = aa.area_average_interpolate(SRC, 150.0, 25.4, (11.0, 13.0), 0.0)
+    r2 = aa.area_average_interpolate(
+        SRC, 150.0, 25.4, (11.0, 13.0), 0.0, method="ell"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.dst), np.asarray(r2.dst), atol=1e-5
+    )
+    assert r1.dst_isocenter == r2.dst_isocenter
+
+
+def test_separable_equals_ell_at_quadrants():
+    for ang in (90.0, 180.0, 270.0):
+        r1 = aa.area_average_interpolate(SRC, 2.0, 1.0, (4.0, 7.0), ang)
+        r2 = aa.area_average_interpolate(
+            SRC, 2.0, 1.0, (4.0, 7.0), ang, method="ell"
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.dst), np.asarray(r2.dst), atol=1e-5
+        )
+
+
+def test_batching_matches_loop():
+    batch = RNG.uniform(0, 1, (2, 3, 24, 24))
+    rb = aa.area_average_interpolate(batch, 2.0, 1.0, (4.0, 4.0), 0.0)
+    assert rb.dst.shape[:2] == (2, 3)
+    r00 = aa.area_average_interpolate(batch[0, 0], 2.0, 1.0, (4.0, 4.0), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(rb.dst[0, 0]), np.asarray(r00.dst), atol=1e-6
+    )
+
+
+def test_operator_reuse():
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    op = aa.build_operator(spec)
+    r1 = aa.area_average_interpolate(
+        SRC, 2.0, 1.0, (4.0, 4.0), 0.0, operator=op
+    )
+    r2 = aa.area_average_interpolate(SRC, 2.0, 1.0, (4.0, 4.0), 0.0)
+    np.testing.assert_array_equal(np.asarray(r1.dst), np.asarray(r2.dst))
+
+
+def test_fast_mode_converges_to_exact():
+    """Fast mode is supersampled nearest rasterisation: exact in the limit
+    scale -> inf; at rotation 0 with aligned integer grids both are exact up
+    to the boundary-center double-count (Source.cpp:866-907 semantics)."""
+    r_exact = aa.area_average_interpolate(SRC, 8.0, 1.0, (8.0, 8.0), 0.0)
+    r_fast = aa.area_average_interpolate(
+        SRC, 8.0, 1.0, (8.0, 8.0), 0.0, mode="fast"
+    )
+    # L = 8: interval [8i-4, 8i+4] with 9 centers (counts) vs 8 units (areas)
+    assert (
+        np.abs(np.asarray(r_exact.dst) - np.asarray(r_fast.dst)).max() < 0.15
+    )
+
+
+def test_constant_image_invariance():
+    """A constant image must stay exactly constant everywhere the footprint
+    covers any source area (weights are normalised)."""
+    const = np.full((24, 24), 3.25)
+    for ang in (0.0, 30.0):
+        r = aa.area_average_interpolate(const, 1.0, 0.5, (11.5, 12.5), ang)
+        d = np.asarray(r.dst)
+        covered = d != 0.0
+        assert covered.any()
+        np.testing.assert_allclose(d[covered], 3.25, rtol=1e-5)
+
+
+def test_validation_raised_from_api():
+    with pytest.raises(aa.ValidationError):
+        aa.area_average_interpolate(SRC, 0.0, 1.0, (0, 0), 0.0)
+
+
+def test_reference_named_wrappers():
+    dst, iso = aa.area_average_interpolation(SRC, 2.0, 1.0, (4.0, 4.0), 0.0)
+    dst_f, iso_f = aa.fast_area_average_interpolation(
+        SRC, 2.0, 1.0, (4.0, 4.0), 0.0
+    )
+    assert dst.shape == dst_f.shape == (12, 12)
+    assert iso == iso_f == (2, 2)
