@@ -72,6 +72,24 @@ def _apply_ell_jit(src, quadrant, base, weights):
     return apply_ops.apply_ell(q, base, weights)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "mode"))
+def _fused_ell_jit(src, spec, mode):
+    """Fused on-device weight-gen + apply in one jitted graph.
+
+    Weight-gen runs in float32 on the accelerator (jnp path of
+    ops.weights.ell_weights — geometry in dst-local coordinates keeps f32
+    exact to ~1e-6); useful when geometry changes per call (no operator
+    reuse/caching possible) or to avoid host->device weight transfers.
+    """
+    import jax.numpy as jnp_
+
+    q = apply_ops.quadrant_rotate(src, spec.quadrant)
+    base, w, _ = weights_ops.ell_weights(
+        spec, xp=jnp_, dtype=jnp_.float32, mode=mode
+    )
+    return apply_ops.apply_ell(q, base, w)
+
+
 def apply_operator(
     op: Operator,
     src: jax.Array,
@@ -108,6 +126,7 @@ def area_average_interpolate(
     method: str = "auto",
     operator: Optional[Operator] = None,
     weight_dtype=jnp.float32,
+    fused: bool = False,
 ) -> InterpResult:
     """Area-average interpolation with optional rotation about an isocenter.
 
@@ -127,6 +146,10 @@ def area_average_interpolate(
         src_isocenter,
         rotation_angle,
     )
+    if fused:
+        dst = _fused_ell_jit(src, spec, mode)
+        return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter,
+                            spec=spec)
     if operator is None:
         operator = build_operator(spec, mode=mode, method=method)
     dst = apply_operator(operator, src, weight_dtype=weight_dtype)

@@ -1,0 +1,131 @@
+"""Conservative lat-lon regridding with spherical cell areas.
+
+The same separable area-average operator as the image path, with the
+y-overlap computed in sin(latitude) measure: the area of a lat-lon cell is
+proportional to delta(sin lat) * delta(lon), so exact conservative
+regridding uses 1-D interval overlaps on sin(lat) boundaries for the
+latitude axis and plain angular overlaps for longitude (periodic).
+
+This is BASELINE.json config 5 ("global 0.1deg -> 1deg lat-lon conservative
+regrid ... sharded over 8 chips") — it shares the banded apply and the
+sharded apply with the image path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.overlap1d import Band1D
+
+
+@dataclasses.dataclass(frozen=True)
+class LatLonGrid:
+    """Regular lat-lon grid: n_lat rows from +90..-90, n_lon cols 0..360."""
+
+    n_lat: int
+    n_lon: int
+
+    @property
+    def lat_edges(self) -> np.ndarray:
+        return np.linspace(90.0, -90.0, self.n_lat + 1)
+
+    @property
+    def lon_edges(self) -> np.ndarray:
+        return np.linspace(0.0, 360.0, self.n_lon + 1)
+
+
+def _interval_overlap_band(src_edges: np.ndarray, dst_edges: np.ndarray,
+                           band: int) -> Band1D:
+    """Generic monotone-interval overlap band (edges may be non-uniform and
+    ascending or descending — lat edges run north->south, i.e. descending
+    in sin(lat))."""
+    n_src = src_edges.size - 1
+    n_dst = dst_edges.size - 1
+    descending = src_edges[0] > src_edges[-1]
+    se = src_edges[::-1] if descending else src_edges
+
+    lo = np.minimum(dst_edges[:-1], dst_edges[1:])
+    hi = np.maximum(dst_edges[:-1], dst_edges[1:])
+    slo, shi = se[:-1], se[1:]
+    # first (ascending-order) src cell with shi > lo
+    start = np.clip(np.searchsorted(shi, lo, side="right"), 0,
+                    max(n_src - band, 0)).astype(np.int64)
+    k = np.arange(band)
+    j = np.clip(start[:, None] + k[None, :], 0, n_src - 1)
+    w = np.maximum(
+        0.0,
+        np.minimum(hi[:, None], shi[j]) - np.maximum(lo[:, None], slo[j]),
+    )
+    # de-duplicate clipped j repeats (when n_src < band)
+    dup = np.zeros_like(w, dtype=bool)
+    dup[:, 1:] = j[:, 1:] == j[:, :-1]
+    w = np.where(dup, 0.0, w)
+    if descending:
+        # map ascending indices back to original (descending) cell order:
+        # original j = n_src - 1 - ascending j; keep start+k contiguous by
+        # reversing the band
+        start = n_src - band - start
+        w = w[:, ::-1].copy()
+        valid_fix = start < 0
+        if valid_fix.any():
+            # n_src < band edge case: shift and zero-pad
+            shift = -start[valid_fix]
+            start[valid_fix] = 0
+            for i, sh in zip(np.where(valid_fix)[0], shift):
+                w[i] = np.roll(w[i], -sh)
+                w[i, band - sh:] = 0.0
+    return Band1D(start=start.astype(np.int32), weights=w,
+                  n_src=n_src, n_dst=n_dst)
+
+
+def conservative_regrid_operator(
+    src: LatLonGrid, dst: LatLonGrid
+) -> Tuple[Band1D, Band1D]:
+    """(lat_band, lon_band): row-normalised spherical-area overlap operators.
+
+    Latitude weights are overlaps in sin(lat); longitude in degrees.
+    Together w[iy,jy]*w[ix,jx] is proportional to the spherical area of
+    cell(j) covered by cell(i), so the normalised 2-pass apply is the exact
+    area-weighted (conservative first-order) regrid.
+    """
+    sin_src = np.sin(np.radians(src.lat_edges))
+    sin_dst = np.sin(np.radians(dst.lat_edges))
+    band_lat = max(2, int(math.ceil(src.n_lat / dst.n_lat)) + 2)
+    by = _interval_overlap_band(sin_src, sin_dst, band_lat)
+    band_lon = max(2, int(math.ceil(src.n_lon / dst.n_lon)) + 2)
+    bx = _interval_overlap_band(src.lon_edges, dst.lon_edges, band_lon)
+
+    def _norm(b: Band1D) -> Band1D:
+        s = b.weights.sum(axis=1, keepdims=True)
+        safe = np.where(np.abs(s) > 1e-300, s, 1.0)
+        return Band1D(start=b.start, weights=np.where(np.abs(s) > 1e-300,
+                      b.weights / safe, 0.0), n_src=b.n_src, n_dst=b.n_dst)
+
+    return _norm(by), _norm(bx)
+
+
+def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid):
+    """Regrid (..., n_lat, n_lon) fields conservatively (non-periodic lon
+    seam handled by construction since both grids share the 0/360 seam)."""
+    from .ops.apply import apply_separable_banded
+
+    by, bx = conservative_regrid_operator(src, dst)
+    return apply_separable_banded(
+        jnp.asarray(field),
+        jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
+        jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32),
+    )
+
+
+def area_weighted_mean(field, grid: LatLonGrid):
+    """Spherical-area-weighted global mean (for conservation checks)."""
+    sin_edges = np.sin(np.radians(grid.lat_edges))
+    w = np.abs(np.diff(sin_edges))[:, None] * np.ones((1, grid.n_lon))
+    w = jnp.asarray(w / w.sum(), jnp.float32)
+    return jnp.sum(jnp.asarray(field, jnp.float32) * w, axis=(-2, -1))

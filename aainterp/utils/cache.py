@@ -1,0 +1,104 @@
+"""Persistent operator cache — the framework's checkpoint/resume story.
+
+The sparse resampling operator is data-independent and depends only on the
+grid geometry (SURVEY.md §5: "the intermediate product worth persisting ...
+cache it to disk keyed by (src grid, dst grid, angle)").  For repeated
+serving with fixed geometry, weight-gen happens once per key and resume is
+a single mmap-able npz load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Optional, Union
+
+import numpy as np
+
+from ..grids import GridSpec
+from ..ops import overlap1d, weights as weights_ops
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "AAINTERP_CACHE_DIR", os.path.expanduser("~/.cache/aainterp")
+)
+
+Operator = Union[weights_ops.SeparableOperator, weights_ops.EllOperator]
+
+
+def spec_key(spec: GridSpec, mode: str, method: str) -> str:
+    payload = json.dumps(
+        {
+            "v": 1,
+            "src_shape": spec.src_shape,
+            "src_resolution": spec.src_resolution,
+            "dst_resolution": spec.dst_resolution,
+            "src_isocenter": spec.src_isocenter,
+            "rotation_angle": spec.rotation_angle,
+            "mode": mode,
+            "method": method,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> str:
+    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+    if isinstance(op, weights_ops.SeparableOperator):
+        method = "separable"
+        arrays = dict(
+            wy_start=op.wy.start, wy_w=op.wy.weights,
+            wx_start=op.wx.start, wx_w=op.wx.weights,
+            sums_y=op.raw_row_sums[0], sums_x=op.raw_row_sums[1],
+        )
+    else:
+        method = "ell"
+        arrays = dict(base=op.base, w=op.weights, sums=op.raw_row_sums)
+    key = spec_key(op.spec, mode, method)
+    path = os.path.join(cache_dir, f"{key}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __spec__=json.dumps(dataclasses.asdict(op.spec)),
+                 __method__=method, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def load_operator(
+    spec: GridSpec, mode: str, method: str, cache_dir: Optional[str] = None
+) -> Optional[Operator]:
+    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    path = os.path.join(cache_dir, f"{spec_key(spec, mode, method)}.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path, allow_pickle=False)
+    if method == "separable":
+        qH, qW = spec.qrot_shape
+        dstH, dstW = spec.dst_shape
+        wy = overlap1d.Band1D(z["wy_start"], z["wy_w"], qH, dstH)
+        wx = overlap1d.Band1D(z["wx_start"], z["wx_w"], qW, dstW)
+        return weights_ops.SeparableOperator(
+            spec=spec, wy=wy, wx=wx, raw_row_sums=(z["sums_y"], z["sums_x"])
+        )
+    return weights_ops.EllOperator(
+        spec=spec, base=z["base"], weights=z["w"], raw_row_sums=z["sums"]
+    )
+
+
+def build_operator_cached(
+    spec: GridSpec, mode: str = "exact", method: str = "auto",
+    cache_dir: Optional[str] = None,
+) -> Operator:
+    """build_operator with a persistent disk cache."""
+    from ..api import build_operator
+
+    if method == "auto":
+        method = "separable" if spec.is_axis_aligned else "ell"
+    op = load_operator(spec, mode, method, cache_dir)
+    if op is None:
+        op = build_operator(spec, mode=mode, method=method)
+        save_operator(op, mode, cache_dir)
+    return op

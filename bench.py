@@ -1,0 +1,136 @@
+"""Benchmark: 4K -> 1080p area-average resize throughput (BASELINE.md target).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "Gpixel/s",
+"vs_baseline": N / 5.0} where value counts *input* pixels processed per
+second per chip (batch * 3840 * 2160 / wall-time), bf16 pixel I/O with fp32
+accumulation, weights precomputed (the production serving configuration —
+geometry is fixed across frames, the operator is cached).
+
+The reference publishes no numbers (BASELINE.md); the driver-provided north
+star is >= 5 Gpixel/s/chip on TPU v5p.  Run with no env overrides to use the
+real TPU; --backend / --impl / --batch for exploration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compile cache: the remote-compile tunnel on this box takes
+# minutes per kernel; cache hits make reruns (and the driver's run) fast
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_inputs(batch: int, dtype):
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.weights import separable_operator
+
+    H, W = 2160, 3840
+    spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec, mode="exact")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 1, (batch, H, W)).astype(np.float32), dtype=dtype
+    )
+    return spec, op, frames
+
+
+def make_fn(impl: str, op, dtype):
+    from aainterp.ops import apply as apply_ops
+
+    y_start = jnp.asarray(op.wy.start)
+    x_start = jnp.asarray(op.wx.start)
+    y_w = jnp.asarray(op.wy.weights, dtype=jnp.float32)
+    x_w = jnp.asarray(op.wx.weights, dtype=jnp.float32)
+
+    if impl == "banded":
+        def fn(frames):
+            return apply_ops.apply_separable_banded(
+                frames, y_start, y_w, x_start, x_w
+            ).astype(dtype)
+    elif impl == "dense":
+        wy = jnp.asarray(op.wy.dense(), dtype=jnp.bfloat16)
+        wx = jnp.asarray(op.wx.dense(), dtype=jnp.bfloat16)
+
+        def fn(frames):
+            return apply_ops.apply_separable_dense(frames, wy, wx).astype(dtype)
+    elif impl == "pallas":
+        from aainterp.ops.pallas_apply import apply_separable_pallas
+
+        def fn(frames):
+            return apply_separable_pallas(
+                frames, y_start, y_w, x_start, x_w
+            ).astype(dtype)
+    else:
+        raise ValueError(impl)
+    return jax.jit(fn)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--impl", default="auto",
+                    choices=("auto", "banded", "dense", "pallas"))
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--all", action="store_true",
+                    help="benchmark every impl and report the best")
+    args = ap.parse_args()
+
+    dtype = jnp.dtype(args.dtype)
+    platform = jax.devices()[0].platform
+    spec, op, frames = build_inputs(args.batch, dtype)
+    in_pixels = args.batch * 2160 * 3840
+
+    def run(impl):
+        try:
+            fn = make_fn(impl, op, dtype)
+            out = fn(frames)
+            out.block_until_ready()  # compile + warm-up
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(frames)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / args.iters
+            return in_pixels / dt / 1e9
+        except Exception as e:  # pragma: no cover
+            print(f"# impl {impl} failed: {type(e).__name__}: {e}")
+            return None
+
+    if args.impl == "auto" or args.all:
+        impls = ["pallas", "banded", "dense"] if args.all else ["banded"]
+        if args.impl == "auto" and not args.all:
+            impls = ["pallas", "banded"]
+        results = {}
+        for impl in impls:
+            g = run(impl)
+            if g is not None:
+                results[impl] = g
+                print(f"# {impl}: {g:.2f} Gpixel/s")
+        best_impl = max(results, key=results.get)
+        gpix = results[best_impl]
+    else:
+        best_impl = args.impl
+        gpix = run(args.impl)
+
+    print(json.dumps({
+        "metric": f"gpixel_per_s_4k_to_1080p_bf16_x{args.batch} "
+                  f"({best_impl}, {platform})",
+        "value": round(gpix, 3),
+        "unit": "Gpixel/s",
+        "vs_baseline": round(gpix / 5.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

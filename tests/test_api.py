@@ -91,3 +91,33 @@ def test_reference_named_wrappers():
     )
     assert dst.shape == dst_f.shape == (12, 12)
     assert iso == iso_f == (2, 2)
+
+
+def test_fused_matches_operator_path():
+    """On-device f32 fused weight-gen + apply (BASELINE config 4) agrees
+    with the host f64 operator path to f32 geometry tolerance.  Pixels whose
+    footprint barely grazes the image (total overlap below the f32 sliver
+    threshold) may be zero in one path and tiny-coverage in the other —
+    measure-zero boundary cases (SURVEY.md §7 hard part 1); allow a <1%
+    count of them."""
+    r_host = aa.area_average_interpolate(SRC, 1.0, 0.5, (11.5, 12.5), 30.0)
+    r_fused = aa.area_average_interpolate(
+        SRC, 1.0, 0.5, (11.5, 12.5), 30.0, fused=True
+    )
+    a = np.asarray(r_fused.dst)
+    b = np.asarray(r_host.dst)
+    edge = (a == 0.0) != (b == 0.0)
+    assert edge.mean() < 0.01
+    np.testing.assert_allclose(a[~edge], b[~edge], atol=2e-4)
+
+
+def test_fused_fast_mode():
+    r_host = aa.area_average_interpolate(
+        SRC, 1.0, 1.0, (11.5, 12.5), 30.0, mode="fast"
+    )
+    r_fused = aa.area_average_interpolate(
+        SRC, 1.0, 1.0, (11.5, 12.5), 30.0, mode="fast", fused=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.dst), np.asarray(r_host.dst), atol=2e-4
+    )

@@ -1,0 +1,90 @@
+"""I/O, CLI and operator-cache tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import aainterp as aa
+from aainterp.utils import io as iom
+from aainterp.utils.cache import build_operator_cached, load_operator, spec_key
+
+
+def test_split_path():
+    assert iom.split_path("a/b/c.csv") == ("a/b/", "c", ".csv")
+    assert iom.split_path("c.csv") == ("", "c", ".csv")
+    assert iom.split_path("a\\b\\c.CSV") == ("a\\b\\", "c", ".CSV")
+    assert iom.split_path("noext") == ("", "noext", "")
+
+
+def test_csv_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (7, 9))
+    p = str(tmp_path / "img.csv")
+    iom.csv_write(p, img)
+    back = iom.csv_read(p)
+    np.testing.assert_allclose(back, img, atol=0)
+
+
+def test_csv_read_skips_bad_tokens(tmp_path):
+    p = str(tmp_path / "img.csv")
+    with open(p, "w") as f:
+        f.write("1.0,abc,2.0\n\n3.0,4.0,5.0\n")
+    img = iom.csv_read(p)
+    # 'abc' skipped (Source.cpp:1457-1459), blank line skipped
+    np.testing.assert_allclose(img, [[1.0, 2.0, 0.0], [3.0, 4.0, 5.0]])
+
+
+def test_default_output_path():
+    assert iom.default_output_path("d/x.csv") == "d/x_mod.csv"
+
+
+def test_cli_end_to_end(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (16, 16))
+    inp = str(tmp_path / "in.csv")
+    iom.csv_write(inp, img)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "aainterp.cli", inp,
+         "--src-resolution", "2", "--dst-resolution", "1",
+         "--isocenter", "4", "4", "--angle", "0", "--mode", "1"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "Run terminated correctly." in proc.stdout
+    out = iom.csv_read(str(tmp_path / "in_mod.csv"))
+    ref = aa.area_average_interpolate(img, 2.0, 1.0, (4.0, 4.0), 0.0)
+    np.testing.assert_allclose(out, np.asarray(ref.dst), atol=1e-6)
+
+
+def test_cli_rejects_non_csv(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "aainterp.cli", "x.txt"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "only csv format can be used" in proc.stdout
+
+
+def test_operator_cache_roundtrip(tmp_path):
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    op1 = build_operator_cached(spec, cache_dir=str(tmp_path))
+    key = spec_key(spec, "exact", "separable")
+    assert os.path.exists(tmp_path / f"{key}.npz")
+    op2 = load_operator(spec, "exact", "separable", cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(op1.wy.weights, op2.wy.weights)
+    np.testing.assert_array_equal(op1.wx.start, op2.wx.start)
+
+
+def test_operator_cache_ell(tmp_path):
+    spec = aa.make_grid_spec((16, 16), 1.0, 0.5, (7.5, 8.5), 30.0)
+    op1 = build_operator_cached(spec, cache_dir=str(tmp_path))
+    op2 = load_operator(spec, "exact", "ell", cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(op1.weights, op2.weights)
+    np.testing.assert_array_equal(op1.base, op2.base)

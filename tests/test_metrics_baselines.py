@@ -1,0 +1,55 @@
+"""Metrics + baseline-comparison tests: the README's information-preservation
+claim (reference README.md:8-9), quantified."""
+
+import numpy as np
+import pytest
+
+from aainterp import baselines, metrics
+
+
+def test_psnr_identical_is_huge():
+    x = np.random.default_rng(0).uniform(0, 1, (32, 32)).astype(np.float32)
+    assert float(metrics.psnr(x, x)) > 200.0
+
+
+def test_psnr_known_value():
+    x = np.zeros((16, 16), np.float32)
+    y = x + 0.1
+    # data_range 1: PSNR = 10 log10(1 / 0.01) = 20 dB
+    assert float(metrics.psnr(x, y, data_range=1.0)) == pytest.approx(20.0, abs=1e-4)
+
+
+def test_mean_flux_conserved_by_area_average():
+    """With a perfectly tiling destination grid (isocenter chosen so the dst
+    intervals partition the image: f = (L-1)/(2L), here iso 0.5 at 2x) the
+    area-average downscale preserves the mean exactly — the conservative
+    property.  Note the reference's grid convention does NOT tile exactly
+    for arbitrary isocenters (boundary half-cells are only partially
+    covered), so exact global conservation holds only for aligned grids;
+    interior-cell conservation always holds (test_vs_bruteforce)."""
+    rng = np.random.default_rng(1)
+    src = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+    res = baselines.compare_downscale(src, 2.0, 1.0, src_isocenter=(0.5, 0.5))
+    assert res["area_average"]["mean_flux_error"] < 2e-6
+    assert set(res) == {"area_average", "bilinear", "bicubic"}
+
+
+def test_area_average_beats_baselines_on_flux():
+    """The README's claim, quantitatively: conservative resampling keeps the
+    mean better than bilinear/bicubic on structured images (aligned grid)."""
+    y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+    src = (np.sin(x * 1.3) * np.cos(y * 0.7) + 1.0) / 2.0 + 0.005 * x
+    res = baselines.compare_downscale(src, 2.0, 1.0, src_isocenter=(0.5, 0.5))
+    aa_err = res["area_average"]["mean_flux_error"]
+    bl_err = res["bilinear"]["mean_flux_error"]
+    bc_err = res["bicubic"]["mean_flux_error"]
+    assert aa_err <= min(bl_err, bc_err) + 1e-6, (aa_err, bl_err, bc_err)
+    assert aa_err < 1e-5
+
+
+def test_information_loss_metric():
+    x = np.random.default_rng(2).uniform(0, 1, (32, 32)).astype(np.float32)
+    assert float(metrics.information_loss(x, x)) == pytest.approx(0.0, abs=1e-6)
+    assert float(metrics.information_loss(x, np.zeros_like(x))) == pytest.approx(
+        1.0, rel=1e-5
+    )

@@ -1,0 +1,61 @@
+"""Pallas separable kernel tests (interpret mode on CPU; the real-TPU run is
+exercised by bench.py and was validated manually on v5e)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import aainterp as aa
+from aainterp.ops.apply import apply_separable_banded
+from aainterp.ops.pallas_apply import apply_separable_pallas
+from aainterp.ops.weights import separable_operator
+
+RNG = np.random.default_rng(0)
+
+
+def _bands(spec):
+    op = separable_operator(spec)
+    return (
+        jnp.asarray(op.wy.start), jnp.asarray(op.wy.weights, jnp.float32),
+        jnp.asarray(op.wx.start), jnp.asarray(op.wx.weights, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("H,W,sr,dr", [
+    (256, 512, 2.0, 1.0),          # integer 2x downscale
+    (512, 768, 150.0, 60.0),       # non-integer ratio
+    (384, 640, 4.0, 1.0),          # 4x downscale (wider band)
+])
+def test_pallas_matches_banded_f32(H, W, sr, dr):
+    spec = aa.make_grid_spec((H, W), sr, dr, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(RNG.uniform(0, 1, (2, H, W)).astype(np.float32))
+    ref = apply_separable_banded(frames, ys, yw, xs, xw)
+    got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_pallas_bf16_output_rounding_only():
+    spec = aa.make_grid_spec((256, 512), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(
+        RNG.uniform(0, 1, (1, 256, 512)).astype(np.float32), jnp.bfloat16
+    )
+    ref = apply_separable_banded(frames, ys, yw, xs, xw).astype(jnp.bfloat16)
+    got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=1e-2
+    )
+
+
+def test_pallas_small_image_fallback():
+    """Tiny images (band span exceeds image) route to the XLA path."""
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(RNG.uniform(0, 1, (1, 24, 24)).astype(np.float32))
+    ref = apply_separable_banded(frames, ys, yw, xs, xw)
+    got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

@@ -1,0 +1,86 @@
+"""shard_map spatial sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import aainterp as aa
+from aainterp.ops.weights import ell_operator, separable_operator
+from aainterp.parallel.sharding import (
+    sharded_apply_ell,
+    sharded_apply_separable,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mesh(data, rows):
+    devs = np.asarray(jax.devices()[: data * rows]).reshape(data, rows)
+    return Mesh(devs, ("data", "rows"))
+
+
+RNG = np.random.default_rng(0)
+
+
+def test_sharded_separable_matches_unsharded():
+    H, W, B = 128, 64, 4
+    frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh(2, 4)
+    sharding = NamedSharding(mesh, P("data", "rows", None))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable(f, op, mesh))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # output keeps the sharded layout
+    assert out.sharding.spec == P("data", "rows", None)
+
+
+def test_sharded_separable_noninteger_ratio():
+    H, W, B = 160, 64, 2
+    frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+    spec = aa.make_grid_spec((H, W), 150.0, 30.0, (0.0, 0.0), 0.0)
+    # dst rows = 32, src rows = 160: divisible by 4 row shards
+    assert spec.dst_shape[0] % 4 == 0
+    op = separable_operator(spec)
+    mesh = _mesh(2, 4)
+    fdev = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = jax.jit(lambda f: sharded_apply_separable(f, op, mesh))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_ell_rotated_matches_unsharded():
+    H, W, B = 128, 64, 2
+    frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 5.0)
+    Hd = spec.dst_shape[0]
+    if Hd % 4 != 0 or spec.qrot_shape[0] % 4 != 0:
+        pytest.skip(f"shapes not divisible: Hd={Hd}")
+    op = ell_operator(spec, mode="exact")
+    mesh = _mesh(2, 4)
+    fdev = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = jax.jit(lambda f: sharded_apply_ell(f, op, mesh))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_steep_rotation_halo_guard():
+    H, W = 64, 512
+    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 40.0)
+    if spec.dst_shape[0] % 8 or spec.qrot_shape[0] % 8:
+        pytest.skip("shapes not divisible")
+    op = ell_operator(spec, mode="exact")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "rows"))
+    frames = jnp.zeros((1, H, W), jnp.float32)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_apply_ell(frames, op, mesh)
