@@ -76,6 +76,62 @@ def make_fn(impl: str, op, dtype):
     return jax.jit(fn)
 
 
+def bench_rot30(batch: int, iters: int, dtype):
+    """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights."""
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops import apply as apply_ops
+    from aainterp.ops.weights import ell_operator
+
+    H = W = 2048
+    spec = make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 30.0)
+    op = ell_operator(spec, mode="exact")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 1, (batch, H, W)).astype(np.float32), dtype=dtype
+    )
+    base = jnp.asarray(op.base)
+    w = jnp.asarray(op.weights, dtype=jnp.float32)
+    fn = jax.jit(lambda f: apply_ops.apply_ell(f, base, w).astype(dtype))
+    out = fn(frames)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(frames)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    gpix = batch * H * W / dt / 1e9
+    print(f"# rot30 K={op.window} dst={spec.dst_shape}: {gpix:.2f} Gpixel/s")
+    return gpix
+
+
+def bench_regrid(batch: int, iters: int):
+    """Config 5 (single-chip): 0.1deg -> 1deg conservative lat-lon regrid."""
+    from aainterp.regrid import LatLonGrid, conservative_regrid_operator
+    from aainterp.ops import apply as apply_ops
+
+    src, dst = LatLonGrid(1800, 3600), LatLonGrid(180, 360)
+    by, bx = conservative_regrid_operator(src, dst)
+    rng = np.random.default_rng(0)
+    fields = jnp.asarray(
+        rng.uniform(250, 300, (batch, 1800, 3600)).astype(np.float32)
+    )
+    args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
+            jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
+    fn = jax.jit(
+        lambda f: apply_ops.apply_separable_banded(f, *args)
+    )
+    out = fn(fields)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(fields)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    gpix = batch * 1800 * 3600 / dt / 1e9
+    print(f"# regrid 0.1deg->1deg: {gpix:.2f} Gpixel/s")
+    return gpix
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -85,7 +141,24 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--all", action="store_true",
                     help="benchmark every impl and report the best")
+    ap.add_argument("--case", default="resize4k",
+                    choices=("resize4k", "rot30", "regrid"))
     args = ap.parse_args()
+
+    if args.case == "rot30":
+        g = bench_rot30(args.batch, args.iters, jnp.dtype(args.dtype))
+        print(json.dumps({
+            "metric": f"gpixel_per_s_2048_rot30_x{args.batch}",
+            "value": round(g, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(g / 5.0, 3)}))
+        return
+    if args.case == "regrid":
+        g = bench_regrid(args.batch, args.iters)
+        print(json.dumps({
+            "metric": f"gpixel_per_s_regrid_0p1_to_1deg_x{args.batch}",
+            "value": round(g, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(g / 5.0, 3)}))
+        return
 
     dtype = jnp.dtype(args.dtype)
     platform = jax.devices()[0].platform
