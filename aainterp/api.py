@@ -135,9 +135,22 @@ def area_average_interpolate(
     Source.cpp:111-117); ``src_isocenter`` is (x, y) in source pixels;
     ``rotation_angle`` is degrees, clockwise positive.
 
-    mode: 'exact' (overlap areas, Source.cpp mode 1) or 'fast'
-    (replica-center counting, Source.cpp mode 2).
+    mode: 'exact' (true overlap areas, Source.cpp mode 1 semantics), 'fast'
+    (replica-center counting, Source.cpp mode 2), or 'compat'
+    (bug-for-bug reproduction of the reference's exact mode, including its
+    rotated type-2 area defect — for users requiring bit-compatible
+    migration; see PARITY.md).
     """
+    if mode == "compat" and method == "auto":
+        spec_probe = make_grid_spec(
+            (jnp.asarray(src).shape[-2], jnp.asarray(src).shape[-1]),
+            src_resolution, dst_resolution, src_isocenter, rotation_angle,
+        )
+        # axis-aligned compat == exact separable (no taxonomy involved)
+        if spec_probe.is_axis_aligned:
+            mode = "exact"
+        else:
+            method = "ell"
     src = jnp.asarray(src)
     spec = make_grid_spec(
         (src.shape[-2], src.shape[-1]),

@@ -90,10 +90,17 @@ def apply_ell(
     a = jnp.arange(K, dtype=base.dtype)
     ry = base[..., 0:1] + a                        # (Hd, Wd, K)
     rx = base[..., 1:2] + a
+    # tap axis leads: trailing (Hd, Wd) keeps TPU (8,128) tiling dense —
+    # a trailing (K, K) would pad each 6x6 tap block to (8,128), a ~28x
+    # memory blowup.
     idx = ry[..., :, None] * qW + rx[..., None, :]  # (Hd, Wd, K, K), in-range
+    idx = jnp.moveaxis(idx.reshape(idx.shape[:-2] + (K * K,)), -1, 0)
+    w_t = jnp.moveaxis(
+        weights.reshape(weights.shape[:-2] + (K * K,)), -1, 0
+    )                                               # (K*K, Hd, Wd)
     acc_dtype = weights.dtype
     vals = jnp.take(qf, idx.reshape(-1), axis=-1)
     vals = vals.reshape(q.shape[:-2] + idx.shape).astype(acc_dtype)
     return jnp.einsum(
-        "hwab,...hwab->...hw", weights, vals, preferred_element_type=acc_dtype
+        "khw,...khw->...hw", w_t, vals, preferred_element_type=acc_dtype
     )

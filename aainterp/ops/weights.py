@@ -256,6 +256,12 @@ def ell_operator(
     ~10-50x faster than vectorised numpy for large grids; bit-validated
     against this path in tests/test_native.py), falling back to numpy
     chunked over dst rows."""
+    if mode == "compat":
+        # reference-compatible exact mode (bug-for-bug, ops/compat.py)
+        from .compat import compat_ell_weights
+
+        base, w, sums = compat_ell_weights(spec)
+        return EllOperator(spec=spec, base=base, weights=w, raw_row_sums=sums)
     if prefer_native:
         try:
             from .. import native

@@ -91,12 +91,14 @@ def bench_rot30(batch: int, iters: int, dtype):
     )
     base = jnp.asarray(op.base)
     w = jnp.asarray(op.weights, dtype=jnp.float32)
-    fn = jax.jit(lambda f: apply_ops.apply_ell(f, base, w).astype(dtype))
-    out = fn(frames)
+    fn = jax.jit(
+        lambda f, b, ww: apply_ops.apply_ell(f, b, ww).astype(dtype)
+    )
+    out = fn(frames, base, w)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(frames)
+        out = fn(frames, base, w)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     gpix = batch * H * W / dt / 1e9

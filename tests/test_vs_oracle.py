@@ -44,7 +44,9 @@ SRC = RNG.uniform(0.0, 1.0, (24, 24))
 
 
 def _assert_parity(src, sr, dr, iso, ang, mode, tol_abs=1e-5, tol_rel=1e-5):
-    ref, ref_iso = run_oracle(src, sr, dr, iso, ang, mode=1 if mode == "exact" else 2)
+    ref, ref_iso = run_oracle(
+        src, sr, dr, iso, ang, mode=1 if mode in ("exact", "compat") else 2
+    )
     r = aa.area_average_interpolate(src, sr, dr, iso, ang, mode=mode)
     got = np.asarray(r.dst, dtype=np.float64)
     assert got.shape == ref.shape
@@ -142,3 +144,19 @@ def test_reference_type2_bug_documented():
     # the oracle disagrees with true-area interpolation at this pixel by far
     # more than any numerical tolerance
     assert abs(ref[8, 0] - float(r.dst[8, 0])) > 1e-3
+
+
+# ---- reference-compat exact mode: full parity under rotation ----
+
+@pytest.mark.parametrize("sr,dr,iso,ang", [
+    (1.0, 0.5, (11.5, 12.5), 30.0),    # exact-tangency angle, scale 1
+    (1.0, 1.0, (11.5, 12.5), 30.0),    # scale 2
+    (150.0, 25.4, (11.0, 13.0), 1.5),  # the shipped film config
+    (1.0, 1.0, (11.5, 12.5), 117.0),   # quadrant 1
+    (25.4, 72.0, (11.0, 13.0), 10.0),  # upscale (scale 5)
+    (1.0, 0.5, (11.5, 12.5), 290.5),   # quadrant 3, >=45 residual branch
+])
+def test_compat_mode_full_rotated_parity(sr, dr, iso, ang):
+    """mode='compat' reproduces the reference's exact mode bug-for-bug under
+    rotation (reference-exact corner fp ordering + the type-2 defect)."""
+    _assert_parity(SRC, sr, dr, iso, ang, "compat")
