@@ -67,35 +67,26 @@ def _halo_extend(x, h: int, axis_name: str):
     return jnp.concatenate([from_prev, x, from_next], axis=-2)
 
 
-def sharded_apply_separable(
+def sharded_apply_banded(
     frames: jax.Array,
-    op: weights_ops.SeparableOperator,
+    y_band,
+    x_band,
     mesh: Mesh,
     *,
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
 ) -> jax.Array:
-    """Apply a separable operator with dst/src rows sharded over ``row_axis``
-    and leading batch dims over ``data_axis``.
-
-    frames: (B, H, W) (or (H, W) with data_axis=None).  Returns (B, Hd, Wd)
-    with the same sharding layout.
-    """
+    """Row-sharded banded apply from plain Band1D operators (used by both
+    the image separable path and the lat-lon conservative regrid)."""
     n_dev = mesh.shape[row_axis]
-    qH, qW = op.spec.qrot_shape
-    Hd, Wd = op.spec.dst_shape
-    if op.spec.quadrant != 0:
-        raise NotImplementedError(
-            "sharded apply currently requires quadrant==0 (rotate on host or "
-            "extend with a sharded rot90)"
-        )
-    halo = _row_halo(op.wy.start, op.wy.band, qH, Hd, n_dev)
+    qH, Hd = y_band.n_src, y_band.n_dst
+    halo = _row_halo(y_band.start, y_band.band, qH, Hd, n_dev)
     sb = qH // n_dev
 
-    y_start = jnp.asarray(op.wy.start)
-    y_w = jnp.asarray(op.wy.weights, dtype=jnp.float32)
-    x_start = jnp.asarray(op.wx.start)
-    x_w = jnp.asarray(op.wx.weights, dtype=jnp.float32)
+    y_start = jnp.asarray(y_band.start)
+    y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)
+    x_start = jnp.asarray(x_band.start)
+    x_w = jnp.asarray(x_band.weights, dtype=jnp.float32)
 
     batch_spec = (P(data_axis),) if data_axis else (P(),)
     row_only = P(*(batch_spec[0] + (row_axis, None)))
@@ -119,6 +110,30 @@ def sharded_apply_separable(
         check_rep=False,
     )
     return fn(frames, y_start, y_w, x_start, x_w)
+
+
+def sharded_apply_separable(
+    frames: jax.Array,
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+) -> jax.Array:
+    """Apply a separable operator with dst/src rows sharded over ``row_axis``
+    and leading batch dims over ``data_axis``.
+
+    frames: (B, H, W) (or (H, W) with data_axis=None).  Returns (B, Hd, Wd)
+    with the same sharding layout.
+    """
+    if op.spec.quadrant != 0:
+        raise NotImplementedError(
+            "sharded apply currently requires quadrant==0 (rotate on host or "
+            "extend with a sharded rot90)"
+        )
+    return sharded_apply_banded(
+        frames, op.wy, op.wx, mesh, data_axis=data_axis, row_axis=row_axis
+    )
 
 
 def sharded_apply_ell(

@@ -123,6 +123,20 @@ def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid):
     )
 
 
+def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
+                                mesh, *, data_axis="data", row_axis="rows"):
+    """Multi-chip conservative regrid: latitude rows sharded over the mesh
+    with ring halo exchange (BASELINE config 5).  field: (B, n_lat, n_lon)
+    sharded (data_axis, row_axis, None)."""
+    from .parallel.sharding import sharded_apply_banded
+
+    by, bx = conservative_regrid_operator(src, dst)
+    return sharded_apply_banded(
+        jnp.asarray(field), by, bx, mesh,
+        data_axis=data_axis, row_axis=row_axis,
+    )
+
+
 def area_weighted_mean(field, grid: LatLonGrid):
     """Spherical-area-weighted global mean (for conservation checks)."""
     sin_edges = np.sin(np.radians(grid.lat_edges))

@@ -60,10 +60,10 @@ def test_sharded_separable_noninteger_ratio():
 def test_sharded_ell_rotated_matches_unsharded():
     H, W, B = 128, 64, 2
     frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
-    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 5.0)
+    # 8 deg, 2x downscale: Hd=68 and qH=128 are both divisible by 4
+    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 8.0)
     Hd = spec.dst_shape[0]
-    if Hd % 4 != 0 or spec.qrot_shape[0] % 4 != 0:
-        pytest.skip(f"shapes not divisible: Hd={Hd}")
+    assert Hd % 4 == 0 and spec.qrot_shape[0] % 4 == 0
     op = ell_operator(spec, mode="exact")
     mesh = _mesh(2, 4)
     fdev = jax.device_put(
@@ -75,12 +75,34 @@ def test_sharded_ell_rotated_matches_unsharded():
 
 
 def test_steep_rotation_halo_guard():
-    H, W = 64, 512
-    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 40.0)
-    if spec.dst_shape[0] % 8 or spec.qrot_shape[0] % 8:
-        pytest.skip("shapes not divisible")
+    # 45 deg on a wide 32x512 image: Hd=192, qH=32 (both divide 8); the
+    # diagonal halo exceeds the 4-row shards and must be rejected
+    H, W = 32, 512
+    spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 45.0)
+    assert spec.dst_shape[0] % 8 == 0 and spec.qrot_shape[0] % 8 == 0
     op = ell_operator(spec, mode="exact")
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "rows"))
     frames = jnp.zeros((1, H, W), jnp.float32)
     with pytest.raises(ValueError, match="halo"):
         sharded_apply_ell(frames, op, mesh)
+
+
+def test_sharded_regrid_matches_unsharded():
+    """BASELINE config 5: lat-lon conservative regrid sharded over 8 chips
+    (latitude rows over the mesh, halo via ppermute)."""
+    from aainterp.regrid import (
+        LatLonGrid, conservative_regrid, conservative_regrid_sharded,
+    )
+
+    src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
+    rng = np.random.default_rng(5)
+    fields = rng.uniform(200, 300, (2, 96, 72)).astype(np.float32)
+    mesh = _mesh(2, 4)
+    fdev = jax.device_put(
+        jnp.asarray(fields), NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = jax.jit(
+        lambda f: conservative_regrid_sharded(f, src, dst, mesh)
+    )(fdev)
+    ref = conservative_regrid(fields, src, dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
