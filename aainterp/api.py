@@ -94,9 +94,29 @@ def apply_operator(
     op: Operator,
     src: jax.Array,
     weight_dtype=jnp.float32,
+    impl: str = "auto",
 ) -> jax.Array:
-    """Apply a prebuilt operator to (..., H, W) image(s) on device."""
+    """Apply a prebuilt operator to (..., H, W) image(s) on device.
+
+    impl: 'auto' routes large separable applies on TPU to the Pallas kernel
+    (ops/pallas_apply.py, ~3x the XLA banded path); 'xla' / 'pallas' force.
+    """
     if isinstance(op, weights_ops.SeparableOperator):
+        if impl == "auto":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            big = src.shape[-2] >= 512 and src.shape[-1] >= 512
+            impl = "pallas" if (on_tpu and big and src.ndim in (2, 3)
+                                and op.spec.quadrant == 0) else "xla"
+        if impl == "pallas":
+            from .ops.pallas_apply import apply_separable_pallas
+
+            return apply_separable_pallas(
+                src,
+                jnp.asarray(op.wy.start),
+                jnp.asarray(op.wy.weights, dtype=weight_dtype),
+                jnp.asarray(op.wx.start),
+                jnp.asarray(op.wx.weights, dtype=weight_dtype),
+            )
         return _apply_separable_jit(
             src,
             op.spec.quadrant,

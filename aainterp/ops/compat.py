@@ -24,12 +24,12 @@ collapses replica weights into original-cell ELL weights afterwards (exact:
 replicas share one value).  Intended for parity, not speed; the dispatch is
 data-parallel numpy over (pixels x window) with fixed 4-slot side lists.
 
-Known, documented divergences (measure-zero): our dst-quad corners come from
-the affine map instead of the reference's line intersections (equal in exact
-arithmetic; differs ~1e-16 which can flip DBL_EPSILON classifications only
-at exact tangencies), and the reference's ray test reuses stale r/s values
-when a ray is parallel to a quad edge (possible only at residual angle 0,
-where the separable path is used instead).
+Corner coordinates replicate the reference's edge-line construction and
+getIntersectionPoint bit-for-bit (see _reference_corners), so DBL_EPSILON
+classifications agree even at exact tangencies.  Known, documented
+divergence (unreachable here): the reference's ray test reuses stale r/s
+values when a ray is parallel to a quad edge — possible only at residual
+angle 0, where the separable path is used instead.
 """
 
 from __future__ import annotations
@@ -539,7 +539,6 @@ def compat_ell_weights(
     s = int(spec.scale)
     L = spec.dst_side
     c, sn = spec.cos, spec.sin
-    K = spec.window_cells
 
     # dstPos with the reference's exact fp association (Source.cpp:212-219)
     icx, icy = spec.mod_isocenter

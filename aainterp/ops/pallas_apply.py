@@ -74,12 +74,13 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
-                            out_dtype_name, in_dtype_name, interpret=False):
+                            ky, out_dtype_name, in_dtype_name,
+                            y_pass="mxu", interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
 
-    def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
-               out_ref, src_buf, tmp_buf, sem):
+    def kernel(row_base_ref, col_base_ref, row_off_ref, yw_flat_ref,
+               src_ref, wy_ref, wx_ref, out_ref, src_buf, tmp_buf, sem):
         t = pl.program_id(0)
         tile_row = jax.lax.rem(t, nty)
         frame = jax.lax.div(t, nty)
@@ -89,11 +90,34 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         )
         dma.start()
         dma.wait()
-        tmp_buf[:] = jnp.dot(
-            wy_ref[0],
-            src_buf[:].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # (TY, W)
+
+        if y_pass == "mxu":
+            # dense banded block on the MXU: simple but SY/ky x wasted FLOPs
+            tmp_buf[:] = jnp.dot(
+                wy_ref[0],
+                src_buf[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # (TY, W)
+        else:
+            # exact band taps on the VPU: ky fused multiply-adds per row,
+            # per-row dynamic sublane offsets from the prefetched band
+            def row_body(r, _):
+                i = tile_row * TY + r
+                off = row_off_ref[i]
+                acc = (
+                    yw_flat_ref[i * ky]
+                    * src_buf[pl.ds(off, 1), :].astype(jnp.float32)
+                )
+                for k in range(1, ky):
+                    acc += (
+                        yw_flat_ref[i * ky + k]
+                        * src_buf[pl.ds(off + k, 1), :].astype(jnp.float32)
+                    )
+                tmp_buf[pl.ds(r, 1), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, TY, row_body, 0)
+
         for c in range(ntx):
             cb = pl.multiple_of(col_base_ref[c], 128)
             seg = tmp_buf[:, pl.ds(cb, SX)]
@@ -103,7 +127,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(F * nty,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # src (HBM)
@@ -126,9 +150,10 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         ],
     )
 
-    flops = F * (Hd * SY * W + Hd * SX * Wd) * 2
+    y_flops = Hd * (ky * W if y_pass == "vpu" else SY * W)
+    flops = F * (y_flops + Hd * SX * Wd) * 2
 
-    def call(row_base, col_base, src, wy_blocks, wx_blocks):
+    def call(row_base, col_base, row_off, yw_flat, src, wy_blocks, wx_blocks):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -139,7 +164,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(row_base, col_base, src, wy_blocks, wx_blocks)
+        )(row_base, col_base, row_off, yw_flat, src, wy_blocks, wx_blocks)
 
     return call
 
@@ -153,17 +178,19 @@ def apply_separable_pallas(
     *,
     tile_y: int = 128,
     tile_x: int = 128,
+    y_pass: str = "mxu",
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
 
     Drop-in equivalent of ops.apply.apply_separable_banded for 3-D inputs
-    (use vmap/reshape for higher batch ranks).
+    (use vmap/reshape for higher batch ranks).  y_pass: 'vpu' (exact band
+    taps, ky FMAs/row) or 'mxu' (densified band matmul).
     """
     if frames.ndim == 2:
         return apply_separable_pallas(
             frames[None], y_start, y_w, x_start, x_w,
-            tile_y=tile_y, tile_x=tile_x, interpret=interpret,
+            tile_y=tile_y, tile_x=tile_x, y_pass=y_pass, interpret=interpret,
         )[0]
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
@@ -189,13 +216,28 @@ def apply_separable_pallas(
     if frames.dtype not in (jnp.bfloat16, jnp.float32):
         frames = frames.astype(jnp.float32)
     out_dtype = frames.dtype
+
+    # per-row band offsets/weights for the VPU y-pass (padded rows: weight 0)
+    ky = yw.shape[1]
+    n_rows = nty * TY
+    row_off = np.zeros(n_rows, dtype=np.int32)
+    yw_flat = np.zeros((n_rows, ky), dtype=np.float32)
+    rows = np.arange(Hd)
+    tiles = rows // TY
+    row_off[:Hd] = ys[:Hd] - row_base[tiles]
+    yw_flat[:Hd] = yw
+    assert (row_off >= 0).all() and (row_off[:Hd] + ky <= SY).all()
+
     call = _build_separable_kernel(
-        F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, jnp.dtype(out_dtype).name,
-        jnp.dtype(frames.dtype).name, interpret,
+        F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky,
+        jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
+        y_pass, interpret,
     )
     out = call(
         jnp.asarray(row_base),
         jnp.asarray(col_base),
+        jnp.asarray(row_off),
+        jnp.asarray(yw_flat.reshape(-1)),
         frames,
         jnp.asarray(wy_blocks),
         jnp.asarray(wx_blocks),

@@ -128,6 +128,44 @@ class EllOperator:
         return W
 
 
+def validate_operator(op) -> dict:
+    """Numerical sanitizer for a built operator (SURVEY.md §5).
+
+    Checks: finite weights; normalised rows sum to 1 (or exactly 0 for
+    empty footprints); raw row sums within [0, dst pixel area].  Returns a
+    dict of stats; raises AssertionError on violation.
+    """
+    L2 = op.spec.dst_side ** 2
+    if isinstance(op, SeparableOperator):
+        stats = {}
+        for name, band, sums in (
+            ("y", op.wy, op.raw_row_sums[0]),
+            ("x", op.wx, op.raw_row_sums[1]),
+        ):
+            w = band.weights
+            assert np.isfinite(w).all(), f"non-finite {name} weights"
+            rs = w.sum(axis=1)
+            ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
+            assert ok.all(), f"{name} rows not normalised"
+            assert (sums >= -1e-12).all()
+            assert (sums <= op.spec.dst_side + 1e-9).all()
+            stats[f"{name}_zero_rows"] = int((rs == 0.0).sum())
+        return stats
+    w = op.weights
+    assert np.isfinite(w).all(), "non-finite ELL weights"
+    rs = w.sum(axis=(-1, -2))
+    ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
+    assert ok.all(), "ELL rows not normalised"
+    assert (op.raw_row_sums >= -1e-12).all()
+    assert (op.raw_row_sums <= L2 * (1 + 1e-9) + 1e-9).all()
+    qH, qW = op.spec.qrot_shape
+    K = op.window
+    assert (op.base >= 0).all()
+    assert (op.base[..., 0] + K <= max(qH, K)).all()
+    assert (op.base[..., 1] + K <= max(qW, K)).all()
+    return {"zero_rows": int((rs == 0.0).sum())}
+
+
 def _window_base(xp, p, radius, scale, n, K):
     """First candidate cell index covering [p - radius, p + radius], clamped.
 
@@ -257,10 +295,25 @@ def ell_operator(
     against this path in tests/test_native.py), falling back to numpy
     chunked over dst rows."""
     if mode == "compat":
-        # reference-compatible exact mode (bug-for-bug, ops/compat.py)
+        # reference-compatible exact mode (bug-for-bug, ops/compat.py),
+        # chunked over dst rows (the per-cell state machine is memory-heavy)
         from .compat import compat_ell_weights
 
-        base, w, sums = compat_ell_weights(spec)
+        Hd, Wd = spec.dst_shape
+        Km = spec.window_cells  # proxy for sizing
+        chunk = max(1, int(2.0e6 / max(Wd * Km * Km, 1)))
+        base = None
+        for dy0 in range(0, Hd, chunk):
+            dy1 = min(dy0 + chunk, Hd)
+            b, w_c, s_c = compat_ell_weights(spec, dy_slice=(dy0, dy1))
+            if base is None:
+                Kc = w_c.shape[-1]
+                base = np.empty((Hd, Wd, 2), dtype=np.int32)
+                w = np.empty((Hd, Wd, Kc, Kc), dtype=np.float64)
+                sums = np.empty((Hd, Wd), dtype=np.float64)
+            base[dy0:dy1] = b
+            w[dy0:dy1] = w_c
+            sums[dy0:dy1] = s_c
         return EllOperator(spec=spec, base=base, weights=w, raw_row_sums=sums)
     if prefer_native:
         try:

@@ -121,3 +121,23 @@ def test_fused_fast_mode():
     np.testing.assert_allclose(
         np.asarray(r_fused.dst), np.asarray(r_host.dst), atol=2e-4
     )
+
+
+def test_operator_sanitizer():
+    """The numerical-sanitizer path (SURVEY.md §5): weight-row checks plus
+    jax_debug_nans over a full apply."""
+    import jax
+
+    from aainterp.ops.weights import validate_operator
+
+    spec_s = aa.make_grid_spec((24, 24), 150.0, 25.4, (11.0, 13.0), 0.0)
+    stats = validate_operator(aa.build_operator(spec_s))
+    assert "y_zero_rows" in stats
+
+    spec_e = aa.make_grid_spec((24, 24), 1.0, 0.5, (11.5, 12.5), 30.0)
+    stats = validate_operator(aa.build_operator(spec_e))
+    assert stats["zero_rows"] > 0  # bounding-box corners are empty
+
+    with jax.debug_nans(True):
+        r = aa.area_average_interpolate(SRC, 1.0, 0.5, (11.5, 12.5), 30.0)
+        np.asarray(r.dst)

@@ -21,17 +21,20 @@ def _bands(spec):
     )
 
 
+@pytest.mark.parametrize("y_pass", ["vpu", "mxu"])
 @pytest.mark.parametrize("H,W,sr,dr", [
     (256, 512, 2.0, 1.0),          # integer 2x downscale
     (512, 768, 150.0, 60.0),       # non-integer ratio
     (384, 640, 4.0, 1.0),          # 4x downscale (wider band)
 ])
-def test_pallas_matches_banded_f32(H, W, sr, dr):
+def test_pallas_matches_banded_f32(H, W, sr, dr, y_pass):
     spec = aa.make_grid_spec((H, W), sr, dr, (0.0, 0.0), 0.0)
     ys, yw, xs, xw = _bands(spec)
     frames = jnp.asarray(RNG.uniform(0, 1, (2, H, W)).astype(np.float32))
     ref = apply_separable_banded(frames, ys, yw, xs, xw)
-    got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
+    got = apply_separable_pallas(
+        frames, ys, yw, xs, xw, y_pass=y_pass, interpret=True
+    )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-5
     )
