@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotation angle [degrees], clockwise positive")
     p.add_argument("--mode", type=int, choices=(1, 2), default=2,
                    help="1: exact area average, 2: fast area average")
+    p.add_argument("--compat", action="store_true",
+                   help="with --mode 1: reproduce the C++ reference's exact "
+                        "mode bug-for-bug under rotation (see PARITY.md)")
     p.add_argument("--output", default=None,
                    help="output path (default: <base>_mod.csv)")
     p.add_argument("--sig-digits", type=int, default=0,
@@ -65,6 +68,8 @@ def main(argv=None) -> int:
         return -1
 
     mode = "exact" if args.mode == 1 else "fast"
+    if args.compat and args.mode == 1:
+        mode = "compat"
     start = time.perf_counter()
     try:
         result = api.area_average_interpolate(

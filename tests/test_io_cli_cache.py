@@ -88,3 +88,39 @@ def test_operator_cache_ell(tmp_path):
     op2 = load_operator(spec, "exact", "ell", cache_dir=str(tmp_path))
     np.testing.assert_array_equal(op1.weights, op2.weights)
     np.testing.assert_array_equal(op1.base, op2.base)
+
+
+def test_cli_compat_flag(tmp_path):
+    img = np.random.default_rng(1).uniform(0, 1, (16, 16))
+    inp = str(tmp_path / "in.csv")
+    iom.csv_write(inp, img)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "aainterp", inp,
+         "--src-resolution", "1", "--dst-resolution", "0.5",
+         "--isocenter", "8", "8", "--angle", "30", "--mode", "1", "--compat"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = iom.csv_read(str(tmp_path / "in_mod.csv"))
+    ref = aa.area_average_interpolate(img, 1.0, 0.5, (8.0, 8.0), 30.0,
+                                      mode="compat")
+    np.testing.assert_allclose(out, np.asarray(ref.dst), atol=1e-6)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace hook (SURVEY.md §5 tracing) produces a trace dir."""
+    from aainterp.utils.log import device_timer, profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        r = aa.area_average_interpolate(
+            np.ones((24, 24), np.float32), 2.0, 1.0, (4.0, 4.0), 0.0
+        )
+        r.dst.block_until_ready()
+    assert os.path.isdir(tmp_path / "trace")
+    holder = {}
+    with device_timer("apply", holder):
+        r.dst.block_until_ready()
+    assert holder["apply"] >= 0.0
