@@ -73,6 +73,33 @@ def csv_write(path: str, data, sig_digits: int = 0) -> None:
     np.savetxt(path, arr, delimiter=",", fmt=fmt)
 
 
+def image_read(path: str, as_gray: bool = False) -> np.ndarray:
+    """Read a raster image (PNG/JPEG/TIFF/...) as float64 in [0, 1].
+
+    Returns (H, W) for single-channel or as_gray, else (H, W, C).
+    The CSV path remains the reference-parity surface; this is the general
+    loader for the library API (SURVEY.md C15 rebuild target)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if as_gray:
+        img = img.convert("F")
+        return np.asarray(img, dtype=np.float64) / 255.0
+    arr = np.asarray(img, dtype=np.float64)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    return arr / 255.0
+
+
+def image_write(path: str, data) -> None:
+    """Write a float image in [0, 1] as an 8-bit raster file."""
+    from PIL import Image
+
+    arr = np.asarray(data, dtype=np.float64)
+    arr = np.clip(arr, 0.0, 1.0)
+    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
+
+
 def default_output_path(input_path: str) -> str:
     """`<dir>/<base>_mod<ext>` — the reference's output naming
     (Source.cpp:1591)."""
