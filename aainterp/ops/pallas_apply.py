@@ -74,8 +74,9 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
-                            ky, out_dtype_name, in_dtype_name,
-                            y_pass="mxu", interpret=False):
+                            ky, wy_width, out_dtype_name, in_dtype_name,
+                            y_pass="mxu", stride_m=0, x_bases=None,
+                            interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
 
@@ -91,7 +92,22 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         dma.start()
         dma.wait()
 
-        if y_pass == "mxu":
+        if y_pass == "strided":
+            # Integer-ratio fast path: within a tile, dst row r reads src
+            # rows m*r + k for static taps k (the per-tile 8-alignment
+            # residue is folded into the tap weights on the host), so every
+            # tap is a static stride-m sublane slice — pure VPU FMAs, no
+            # MXU waste, no dynamic indexing.  wy_ref here holds the shifted
+            # per-row tap weights (1, TY, ky).
+            m = stride_m
+            acc = jnp.zeros((TY, W), jnp.float32)
+            for k in range(ky):
+                j, q = k % m, k // m
+                v = src_buf[j::m, :]            # strided sublane read
+                rows = v[q: q + TY, :]
+                acc = acc + wy_ref[0, :, k:k + 1] * rows.astype(jnp.float32)
+            tmp_buf[:] = acc
+        elif y_pass == "mxu":
             # dense banded block on the MXU: simple but SY/ky x wasted FLOPs
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
@@ -119,8 +135,13 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             jax.lax.fori_loop(0, TY, row_body, 0)
 
         for c in range(ntx):
-            cb = pl.multiple_of(col_base_ref[c], 128)
-            seg = tmp_buf[:, pl.ds(cb, SX)]
+            if x_bases is not None:
+                # integer-stride x band: block bases are static ints and the
+                # span is tight (8-aligned), no 128-lane alignment slack
+                seg = tmp_buf[:, x_bases[c]: x_bases[c] + SX]
+            else:
+                cb = pl.multiple_of(col_base_ref[c], 128)
+                seg = tmp_buf[:, pl.ds(cb, SX)]
             blk = jnp.dot(
                 seg, wx_ref[c], preferred_element_type=jnp.float32
             )
@@ -132,7 +153,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # src (HBM)
             pl.BlockSpec(
-                (1, TY, SY),
+                (1, TY, wy_width),
                 lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
                 memory_space=pltpu.VMEM,
             ),                                           # wy blocks
@@ -150,7 +171,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         ],
     )
 
-    y_flops = Hd * (ky * W if y_pass == "vpu" else SY * W)
+    y_flops = Hd * (SY * W if y_pass == "mxu" else ky * W)
     flops = F * (y_flops + Hd * SX * Wd) * 2
 
     def call(row_base, col_base, row_off, yw_flat, src, wy_blocks, wx_blocks):
@@ -178,7 +199,7 @@ def apply_separable_pallas(
     *,
     tile_y: int = 128,
     tile_x: int = 128,
-    y_pass: str = "mxu",
+    y_pass: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
@@ -228,10 +249,70 @@ def apply_separable_pallas(
     yw_flat[:Hd] = yw
     assert (row_off >= 0).all() and (row_off[:Hd] + ky <= SY).all()
 
+    # static tight x blocks when the x band has a constant integer stride
+    x_bases = None
+    dx = np.diff(xs.astype(np.int64))
+    if dx.size and (dx == dx[0]).all() and int(dx[0]) >= 1:
+        mx = int(dx[0])
+        kx = xw.shape[1]
+        cgx = int(xs[0])
+        cg8 = (cgx // 8) * 8
+        SXs = _round_up(mx * (TX - 1) + (cgx - cg8) + kx, 8)
+        bases = [mx * TX * c + cg8 for c in range(ntx)]
+        if bases[-1] >= 0 and bases[-1] + SXs <= W:
+            wx_t = np.zeros((ntx, TX, SXs), dtype=np.float32)
+            ok = True
+            for c in range(ntx):
+                for r in range(TX):
+                    i = c * TX + r
+                    if i >= Wd:
+                        continue
+                    off = int(xs[i]) - bases[c]
+                    if off < 0 or off + kx > SXs:
+                        ok = False
+                        break
+                    wx_t[c, r, off: off + kx] = xw[i]
+                if not ok:
+                    break
+            if ok:
+                x_bases = tuple(bases)
+                SX = SXs
+                wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
+
+    stride_m = 0
+    wy_in = wy_blocks
+    wy_width = SY
+    if y_pass == "auto":
+        # strided is strictly better when applicable; it falls back below
+        y_pass = "strided"
+    if y_pass == "strided":
+        d = np.diff(ys.astype(np.int64))
+        if d.size and (d == d[0]).all() and int(d[0]) >= 1:
+            # integer-stride band: fold the per-tile alignment residue c0
+            # (start[t*TY] - row_base[t], constant within a tile) into
+            # shifted tap weights so every tap index is static
+            stride_m = int(d[0])
+            c0 = row_off - stride_m * (np.arange(n_rows) % TY)
+            c0_ok = (c0 >= 0).all()
+            kys = ky + (int(c0.max()) if c0_ok else 0)
+            need = stride_m * (TY - 1) + kys
+            if c0_ok and need <= SY:
+                wy_shift = np.zeros((nty, TY, kys), dtype=np.float32)
+                idx = np.arange(Hd)
+                for k in range(ky):
+                    wy_shift[tiles, idx % TY, c0[:Hd] + k] = yw[:, k]
+                wy_in = wy_shift
+                wy_width = kys
+                ky = kys
+            else:
+                y_pass = "mxu"
+        else:
+            y_pass = "mxu"
+
     call = _build_separable_kernel(
-        F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky,
+        F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
         jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
-        y_pass, interpret,
+        y_pass, stride_m, x_bases, interpret,
     )
     out = call(
         jnp.asarray(row_base),
@@ -239,7 +320,7 @@ def apply_separable_pallas(
         jnp.asarray(row_off),
         jnp.asarray(yw_flat.reshape(-1)),
         frames,
-        jnp.asarray(wy_blocks),
+        jnp.asarray(wy_in),
         jnp.asarray(wx_blocks),
     )
     return out[:, :Hd, :Wd]
