@@ -200,6 +200,7 @@ def apply_separable_pallas(
     tile_y: int = 128,
     tile_x: int = 128,
     y_pass: str = "auto",
+    x_static: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
@@ -249,10 +250,13 @@ def apply_separable_pallas(
     yw_flat[:Hd] = yw
     assert (row_off >= 0).all() and (row_off[:Hd] + ky <= SY).all()
 
-    # static tight x blocks when the x band has a constant integer stride
+    # Static tight x blocks (off by default: measured SLOWER on v5e —
+    # the tight spans land on non-128 lane offsets and the static slices
+    # then pay lane-relayout copies that outweigh the saved MXU FLOPs;
+    # the 128-aligned dynamic path wins at 59.3 vs 35.9 Gpixel/s)
     x_bases = None
     dx = np.diff(xs.astype(np.int64))
-    if dx.size and (dx == dx[0]).all() and int(dx[0]) >= 1:
+    if x_static and dx.size and (dx == dx[0]).all() and int(dx[0]) >= 1:
         mx = int(dx[0])
         kx = xw.shape[1]
         cgx = int(xs[0])
