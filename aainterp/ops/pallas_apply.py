@@ -224,6 +224,16 @@ def apply_separable_pallas(
     xs = np.asarray(x_start)
     xw = np.asarray(x_w, dtype=np.float32)
 
+    # cache the host-side densify/shift prep per operator content (eager
+    # callers would otherwise redo ~ms of numpy per frame batch)
+    prep_key = (
+        hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
+        F, H, W, TY, TX, y_pass, x_static, str(frames.dtype),
+    )
+    cached = _PREP_CACHE.get(prep_key)
+    if cached is not None:
+        return _finish_separable_pallas(frames, cached, interpret)
+
     row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
     col_base, wx_blocks_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
     if SY > H or SX > W:
@@ -313,18 +323,33 @@ def apply_separable_pallas(
         else:
             y_pass = "mxu"
 
-    call = _build_separable_kernel(
-        F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
-        jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
-        y_pass, stride_m, x_bases, interpret,
+    plan = dict(
+        build_args=(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
+                    jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
+                    y_pass, stride_m, x_bases),
+        row_base=jnp.asarray(row_base),
+        col_base=jnp.asarray(col_base),
+        row_off=jnp.asarray(row_off),
+        yw_flat=jnp.asarray(yw_flat.reshape(-1)),
+        wy=jnp.asarray(wy_in),
+        wx=jnp.asarray(wx_blocks),
+        Hd=Hd,
+        Wd=Wd,
+        in_dtype=frames.dtype,
     )
+    _PREP_CACHE[prep_key] = plan
+    return _finish_separable_pallas(frames, plan, interpret)
+
+
+_PREP_CACHE: dict = {}
+
+
+def _finish_separable_pallas(frames, plan, interpret):
+    if frames.dtype != plan["in_dtype"]:
+        frames = frames.astype(plan["in_dtype"])
+    call = _build_separable_kernel(*plan["build_args"], interpret)
     out = call(
-        jnp.asarray(row_base),
-        jnp.asarray(col_base),
-        jnp.asarray(row_off),
-        jnp.asarray(yw_flat.reshape(-1)),
-        frames,
-        jnp.asarray(wy_in),
-        jnp.asarray(wx_blocks),
+        plan["row_base"], plan["col_base"], plan["row_off"],
+        plan["yw_flat"], frames, plan["wy"], plan["wx"],
     )
-    return out[:, :Hd, :Wd]
+    return out[:, : plan["Hd"], : plan["Wd"]]

@@ -136,7 +136,7 @@ def bench_regrid(batch: int, iters: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--impl", default="auto",
                     choices=("auto", "banded", "dense", "pallas"))
     ap.add_argument("--dtype", default="bfloat16")
@@ -182,18 +182,23 @@ def main():
             print(f"# impl {impl} failed: {type(e).__name__}: {e}")
             return None
 
-    if args.impl == "auto" or args.all:
-        impls = ["pallas", "banded", "dense"] if args.all else ["banded"]
-        if args.impl == "auto" and not args.all:
-            impls = ["pallas", "banded"]
+    if args.all:
         results = {}
-        for impl in impls:
+        for impl in ("pallas", "banded", "dense"):
             g = run(impl)
             if g is not None:
                 results[impl] = g
                 print(f"# {impl}: {g:.2f} Gpixel/s")
         best_impl = max(results, key=results.get)
         gpix = results[best_impl]
+    elif args.impl == "auto":
+        # pallas is the production path; banded is the fallback if the
+        # kernel fails on this backend
+        best_impl = "pallas"
+        gpix = run("pallas")
+        if gpix is None:
+            best_impl = "banded"
+            gpix = run("banded")
     else:
         best_impl = args.impl
         gpix = run(args.impl)
