@@ -106,6 +106,38 @@ def bench_rot30(batch: int, iters: int, dtype):
     return gpix
 
 
+def bench_rgb1024(batch: int, iters: int, dtype):
+    """Config 2: 1024x1024 RGB arbitrary-ratio resize (non-integer scale,
+    fractional edge overlaps) — exercises the Pallas MXU fallback (the
+    strided fast path requires integer band strides)."""
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+    from aainterp.ops.weights import separable_operator
+
+    H = W = 1024
+    spec = make_grid_spec((H, W), 150.0, 60.0, (0.0, 0.0), 0.0)  # ratio 2.5
+    op = separable_operator(spec, mode="exact")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 1, (batch * 3, H, W)).astype(np.float32), dtype=dtype
+    )  # batch RGB images flattened over channels
+    ys = jnp.asarray(op.wy.start)
+    yw = jnp.asarray(op.wy.weights, jnp.float32)
+    xs = jnp.asarray(op.wx.start)
+    xw = jnp.asarray(op.wx.weights, jnp.float32)
+    fn = jax.jit(lambda f: apply_separable_pallas(f, ys, yw, xs, xw))
+    out = fn(frames)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(frames)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    gpix = batch * 3 * H * W / dt / 1e9
+    print(f"# rgb1024 ratio 2.5 dst={spec.dst_shape}: {gpix:.2f} Gpixel/s")
+    return gpix
+
+
 def bench_regrid(batch: int, iters: int):
     """Config 5 (single-chip): 0.1deg -> 1deg conservative lat-lon regrid."""
     from aainterp.regrid import LatLonGrid, conservative_regrid_operator
@@ -144,9 +176,16 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="benchmark every impl and report the best")
     ap.add_argument("--case", default="resize4k",
-                    choices=("resize4k", "rot30", "regrid"))
+                    choices=("resize4k", "rot30", "regrid", "rgb1024"))
     args = ap.parse_args()
 
+    if args.case == "rgb1024":
+        g = bench_rgb1024(args.batch, args.iters, jnp.dtype(args.dtype))
+        print(json.dumps({
+            "metric": f"gpixel_per_s_rgb1024_ratio2.5_x{args.batch}",
+            "value": round(g, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(g / 5.0, 3)}))
+        return
     if args.case == "rot30":
         g = bench_rot30(args.batch, args.iters, jnp.dtype(args.dtype))
         print(json.dumps({
