@@ -180,6 +180,11 @@ def area_average_interpolate(
         rotation_angle,
     )
     if fused:
+        if mode not in ("exact", "fast"):
+            raise ValueError(
+                "fused weight-gen supports mode='exact'/'fast' only "
+                "(compat weight-gen is host-side, ops/compat.py)"
+            )
         dst = _fused_ell_jit(src, spec, mode)
         return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter,
                             spec=spec)

@@ -76,47 +76,80 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
 def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                             ky, wy_width, out_dtype_name, in_dtype_name,
                             y_pass="mxu", stride_m=0, x_bases=None,
+                            c0_static=-1, buf_rows=0, bf16_x=False,
                             interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
+
+    # strided mode geometry: the caller reshapes the source to
+    # (F, H/m, m, W) — free for row-major layouts — so parity j of the
+    # tile's band arrives via its own contiguous DMA and every tap is a
+    # plain static sublane slice (Mosaic supports neither strided VMEM
+    # loads on wide refs nor sub-8 dynamic offsets).
+    m = stride_m
+    PPAD = 8  # zeroed pad rows per parity buffer (residue + structural)
+    if y_pass == "strided":
+        rows_per_par = buf_rows
 
     def kernel(row_base_ref, col_base_ref, row_off_ref, yw_flat_ref,
                src_ref, wy_ref, wx_ref, out_ref, src_buf, tmp_buf, sem):
         t = pl.program_id(0)
         tile_row = jax.lax.rem(t, nty)
         frame = jax.lax.div(t, nty)
-        r0 = pl.multiple_of(row_base_ref[tile_row], 8)
-        dma = pltpu.make_async_copy(
-            src_ref.at[frame, pl.ds(r0, SY), :], src_buf, sem
-        )
-        dma.start()
-        dma.wait()
-
         if y_pass == "strided":
-            # Integer-ratio fast path: within a tile, dst row r reads src
-            # rows m*r + k for static taps k (the per-tile 8-alignment
-            # residue is folded into the tap weights on the host), so every
-            # tap is a static stride-m sublane slice — pure VPU FMAs, no
-            # MXU waste, no dynamic indexing.  wy_ref here holds the shifted
-            # per-row tap weights (1, TY, ky).
-            m = stride_m
+            # r0 is a multiple of lcm(8, m); per-parity row base r0 // m
+            r0 = pl.multiple_of(row_base_ref[tile_row], 8)
+            r0p = pl.multiple_of(jax.lax.div(r0, m), max(8 // m, 1))
+            SYp = (SY + m - 1) // m
+            for j in range(m):
+                dma = pltpu.make_async_copy(
+                    src_ref.at[frame, pl.ds(r0p, SYp), j, :],
+                    src_buf.at[j, PPAD: PPAD + SYp, :],
+                    sem.at[j],
+                )
+                dma.start()
+            src_buf[:, 0:PPAD, :] = jnp.zeros((m, PPAD, W), in_dtype)
+            if rows_per_par > PPAD + SYp:
+                src_buf[:, PPAD + SYp:, :] = jnp.zeros(
+                    (m, rows_per_par - PPAD - SYp, W), in_dtype
+                )
+            for j in range(m):
+                pltpu.make_async_copy(
+                    src_ref.at[frame, pl.ds(r0p, SYp), j, :],
+                    src_buf.at[j, PPAD: PPAD + SYp, :],
+                    sem.at[j],
+                ).wait()
+            # tap k reads global band row  m*r + c0 + k  (c0 = min per-row
+            # residue; deviations folded into shifted tap weights) =
+            # parity (c0+k) % m, per-parity row r + (c0+k)//m + PPAD
             acc = jnp.zeros((TY, W), jnp.float32)
             for k in range(ky):
-                j, q = k % m, k // m
-                v = src_buf[j::m, :]            # strided sublane read
-                rows = v[q: q + TY, :]
+                idx = c0_static + k   # c0_static = cmin + m*PPAD
+                j, q = idx % m, idx // m
+                rows = src_buf[j, q: q + TY, :]
                 acc = acc + wy_ref[0, :, k:k + 1] * rows.astype(jnp.float32)
             tmp_buf[:] = acc
-        elif y_pass == "mxu":
+        else:
+            dma = pltpu.make_async_copy(
+                src_ref.at[frame, pl.ds(
+                    pl.multiple_of(row_base_ref[tile_row], 8), SY), :],
+                src_buf,
+                sem.at[0],
+            )
+            dma.start()
+            dma.wait()
+
+        if y_pass == "mxu":
             # dense banded block on the MXU: simple but SY/ky x wasted FLOPs
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
                 src_buf[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )  # (TY, W)
-        else:
+        elif y_pass == "vpu":
             # exact band taps on the VPU: ky fused multiply-adds per row,
             # per-row dynamic sublane offsets from the prefetched band
+            # (crashes the Mosaic compiler on v5e — kept for interpret mode)
             def row_body(r, _):
                 i = tile_row * TY + r
                 off = row_off_ref[i]
@@ -142,9 +175,15 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             else:
                 cb = pl.multiple_of(col_base_ref[c], 128)
                 seg = tmp_buf[:, pl.ds(cb, SX)]
-            blk = jnp.dot(
-                seg, wx_ref[c], preferred_element_type=jnp.float32
-            )
+            if bf16_x:
+                blk = jnp.dot(
+                    seg.astype(jnp.bfloat16), wx_ref[c],
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                blk = jnp.dot(
+                    seg, wx_ref[c], preferred_element_type=jnp.float32
+                )
             out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -165,9 +204,10 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((SY, W), in_dtype),
+            (pltpu.VMEM((m, buf_rows, W), in_dtype) if y_pass == "strided"
+             else pltpu.VMEM((SY, W), in_dtype)),
             pltpu.VMEM((TY, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((max(m, 1),)),
         ],
     )
 
@@ -201,6 +241,7 @@ def apply_separable_pallas(
     tile_x: int = 128,
     y_pass: str = "auto",
     x_static: bool = False,
+    bf16_x: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
@@ -218,6 +259,14 @@ def apply_separable_pallas(
     Hd = int(y_w.shape[0])
     Wd = int(x_w.shape[0])
     TY, TX = tile_y, tile_x
+    if y_pass in ("auto", "strided") and Hd % TY != 0:
+        # a partial last tile forces its DMA base down (base+SY <= H), which
+        # inflates that tile's tap residue beyond the static pad; prefer a
+        # tile height that divides Hd exactly
+        for cand in range(min(TY, Hd) - min(TY, Hd) % 8, 39, -8):
+            if Hd % cand == 0:
+                TY = cand
+                break
 
     ys = np.asarray(y_start)
     yw = np.asarray(y_w, dtype=np.float32)
@@ -228,7 +277,7 @@ def apply_separable_pallas(
     # callers would otherwise redo ~ms of numpy per frame batch)
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
-        F, H, W, TY, TX, y_pass, x_static, str(frames.dtype),
+        F, H, W, TY, TX, y_pass, x_static, bf16_x, str(frames.dtype),
     )
     cached = _PREP_CACHE.get(prep_key)
     if cached is not None:
@@ -294,27 +343,68 @@ def apply_separable_pallas(
                 wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
 
     stride_m = 0
+    c0_static = -1
+    buf_rows = 0
     wy_in = wy_blocks
     wy_width = SY
     if y_pass == "auto":
-        # strided is strictly better when applicable; it falls back below
-        y_pass = "strided"
+        # 'mxu' is the production path.  The 'strided' integer-ratio
+        # variant is exact and ~40x cheaper in y-pass FLOPs but every
+        # formulation hits a Mosaic limitation on v5e (strided VMEM loads
+        # are 32-bit-only and require last-dim-128 refs; per-parity DMA
+        # slices collide with bf16 sub-tile packing) — kept for interpret
+        # mode and future Mosaic versions.  See BENCHMARKS.md.
+        y_pass = "mxu"
     if y_pass == "strided":
         d = np.diff(ys.astype(np.int64))
-        if d.size and (d == d[0]).all() and int(d[0]) >= 1:
-            # integer-stride band: fold the per-tile alignment residue c0
-            # (start[t*TY] - row_base[t], constant within a tile) into
-            # shifted tap weights so every tap index is static
-            stride_m = int(d[0])
+        # use the median (interior) stride; boundary clamping of the band
+        # start may perturb the first/last steps — those rows' residues are
+        # absorbed by the shifted weights below
+        d0 = int(np.median(d)) if d.size else 0
+        interior_const = d.size and (np.abs(d - d0) <= max(d0, 1)).all() \
+            and d0 >= 1
+        # the per-parity decomposition needs the DMA base divisible by both
+        # the sublane alignment (8) and the stride m, and the source height
+        # divisible by m (the caller reshapes to (F, H/m, m, W))
+        lcm = 0
+        if interior_const:
+            stride_m = d0
+            lcm = 8 * stride_m // math.gcd(8, stride_m)
+            if H % stride_m or lcm > 64:
+                interior_const = False
+        if interior_const:
+            # re-densify the y band at lcm(8, m) alignment so every tile's
+            # base is stride-divisible
+            row_base, wy_blocks, SY = _densify_row_band(
+                ys, yw, H, TY, align=lcm
+            )
+            SY = _round_up(SY, lcm)
+            nty = wy_blocks.shape[0]
+            wy_in = wy_blocks
+            wy_width = SY
+            row_off = np.zeros(n_rows, dtype=np.int32)
+            row_off[:Hd] = ys[:Hd] - row_base[tiles]
+            if SY > H:
+                from .apply import apply_separable_banded
+
+                return apply_separable_banded(frames, y_start, y_w,
+                                              x_start, x_w)
             c0 = row_off - stride_m * (np.arange(n_rows) % TY)
-            c0_ok = (c0 >= 0).all()
-            kys = ky + (int(c0.max()) if c0_ok else 0)
-            need = stride_m * (TY - 1) + kys
-            if c0_ok and need <= SY:
+            cc = c0[:Hd]
+            cmin, cmax = int(cc.min()), int(cc.max())
+            kys = cmax - cmin + ky
+            PPAD = 8  # per-parity zeroed pad rows (kernel constant)
+            if cmin >= -stride_m * PPAD and kys <= ky + 2 * lcm:
+                c0_static = cmin + stride_m * PPAD
+                SYp = SY // stride_m
+                buf_rows = _round_up(
+                    max(PPAD + SYp,
+                        TY + (cmax + ky) // stride_m + PPAD + 2), 8
+                )
                 wy_shift = np.zeros((nty, TY, kys), dtype=np.float32)
                 idx = np.arange(Hd)
                 for k in range(ky):
-                    wy_shift[tiles, idx % TY, c0[:Hd] + k] = yw[:, k]
+                    wy_shift[tiles, idx % TY, cc - cmin + k] = yw[:, k]
                 wy_in = wy_shift
                 wy_width = kys
                 ky = kys
@@ -322,20 +412,26 @@ def apply_separable_pallas(
                 y_pass = "mxu"
         else:
             y_pass = "mxu"
+        if y_pass == "mxu":
+            wy_in = wy_blocks  # never mix shifted weights with the mxu path
+            wy_width = SY
 
     plan = dict(
         build_args=(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
                     jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
-                    y_pass, stride_m, x_bases),
+                    y_pass, stride_m, x_bases, c0_static, buf_rows,
+                    bf16_x),
         row_base=jnp.asarray(row_base),
         col_base=jnp.asarray(col_base),
         row_off=jnp.asarray(row_off),
         yw_flat=jnp.asarray(yw_flat.reshape(-1)),
         wy=jnp.asarray(wy_in),
-        wx=jnp.asarray(wx_blocks),
+        wx=jnp.asarray(wx_blocks,
+                       dtype=jnp.bfloat16 if bf16_x else jnp.float32),
         Hd=Hd,
         Wd=Wd,
         in_dtype=frames.dtype,
+        reshape_m=stride_m if y_pass == "strided" else 0,
     )
     _PREP_CACHE[prep_key] = plan
     return _finish_separable_pallas(frames, plan, interpret)
@@ -347,6 +443,11 @@ _PREP_CACHE: dict = {}
 def _finish_separable_pallas(frames, plan, interpret):
     if frames.dtype != plan["in_dtype"]:
         frames = frames.astype(plan["in_dtype"])
+    m = plan["reshape_m"]
+    if m:
+        # parity split for the strided y-pass: free for row-major layout
+        F, H, W = frames.shape
+        frames = frames.reshape(F, H // m, m, W)
     call = _build_separable_kernel(*plan["build_args"], interpret)
     out = call(
         plan["row_base"], plan["col_base"], plan["row_off"],

@@ -141,7 +141,7 @@ def bench_rgb1024(batch: int, iters: int, dtype):
 def bench_regrid(batch: int, iters: int):
     """Config 5 (single-chip): 0.1deg -> 1deg conservative lat-lon regrid."""
     from aainterp.regrid import LatLonGrid, conservative_regrid_operator
-    from aainterp.ops import apply as apply_ops
+    from aainterp.ops.pallas_apply import apply_separable_pallas
 
     src, dst = LatLonGrid(1800, 3600), LatLonGrid(180, 360)
     by, bx = conservative_regrid_operator(src, dst)
@@ -152,7 +152,7 @@ def bench_regrid(batch: int, iters: int):
     args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
             jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
     fn = jax.jit(
-        lambda f: apply_ops.apply_separable_banded(f, *args)
+        lambda f: apply_separable_pallas(f, *args)
     )
     out = fn(fields)
     out.block_until_ready()

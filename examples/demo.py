@@ -1,0 +1,75 @@
+"""End-to-end demo of the aainterp API.
+
+Run:  python examples/demo.py  (CPU is fine: JAX_PLATFORMS=cpu)
+
+Covers the capabilities of the reference program and what this framework
+adds: exact/fast/compat modes, rotation about an isocenter, batching,
+operator reuse + disk cache, quality comparison against bilinear/bicubic,
+and conservative lat-lon regridding.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import aainterp as aa  # noqa: E402
+from aainterp.baselines import compare_downscale, compare_rotation_roundtrip
+from aainterp.regrid import (
+    LatLonGrid, area_weighted_mean, conservative_regrid,
+)
+from aainterp.utils.cache import build_operator_cached
+
+
+def main():
+    rng = np.random.default_rng(0)
+    film = rng.uniform(0.0, 2.0, (256, 256)).astype(np.float32)
+
+    # 1. The reference's shipped configuration: 150 dpi film scan to 25.4
+    #    dpi (1 px/mm), rotated 1.5 degrees about the isocenter.
+    result = aa.area_average_interpolate(
+        film, 150.0, 25.4, src_isocenter=(128.0, 128.0), rotation_angle=1.5,
+        mode="fast",   # the reference's default mode 2
+    )
+    print(f"film {film.shape} -> {result.dst.shape}, "
+          f"dst isocenter {result.dst_isocenter}")
+
+    # 2. Exact mode (true overlap areas) and reference-compat mode
+    #    (bug-for-bug with the C++ exact mode under rotation):
+    exact = aa.area_average_interpolate(film, 150.0, 25.4, (128, 128), 1.5)
+    compat = aa.area_average_interpolate(
+        film, 150.0, 25.4, (128, 128), 1.5, mode="compat"
+    )
+    diff = np.abs(np.asarray(exact.dst) - np.asarray(compat.dst)).max()
+    print(f"exact vs reference-compat max diff: {diff:.2e} "
+          "(the reference's type-2 area defect)")
+
+    # 3. Batched frames (leading dims) with a cached operator:
+    spec = aa.make_grid_spec((256, 256), 2.0, 1.0, (128, 128), 0.0)
+    op = build_operator_cached(spec)     # persisted in ~/.cache/aainterp
+    frames = rng.uniform(0, 1, (8, 256, 256)).astype(np.float32)
+    batch_out = aa.apply_operator(op, frames)
+    print(f"batched apply: {frames.shape} -> {batch_out.shape}")
+
+    # 4. Information preservation vs bilinear/bicubic:
+    y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+    img = (np.sin(x * 1.3) * np.cos(y * 0.7) + 1.0) / 2.0
+    flux = compare_downscale(img, 2.0, 1.0, src_isocenter=(0.5, 0.5))
+    print("mean-flux error  :",
+          {k: f"{v['mean_flux_error']:.2e}" for k, v in flux.items()})
+    rt = compare_rotation_roundtrip(img.astype(np.float64), 30.0)
+    print("rotate +/-30 PSNR:", {k: f"{v:.1f} dB" for k, v in rt.items()})
+
+    # 5. Conservative lat-lon regrid (spherical cell areas):
+    src_g, dst_g = LatLonGrid(180, 360), LatLonGrid(45, 90)
+    field = rng.uniform(250.0, 300.0, (180, 360)).astype(np.float32)
+    coarse = conservative_regrid(field, src_g, dst_g)
+    print(f"regrid 1deg -> 4deg: global mean "
+          f"{float(area_weighted_mean(field, src_g)):.4f} -> "
+          f"{float(area_weighted_mean(coarse, dst_g)):.4f} (conserved)")
+
+
+if __name__ == "__main__":
+    main()
