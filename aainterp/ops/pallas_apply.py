@@ -3,22 +3,28 @@
 The XLA banded apply (ops/apply.py) materialises its gathers in HBM; these
 kernels keep everything in VMEM.  Design (separable kernel):
 
-  grid = one program per (frame, dst-row-tile)
+  grid = one program per (frame, dst-row-tile); the tile height is chosen
+  to divide the dst height exactly (no partial last tile, whose clamped
+  DMA base would inflate the band span)
   1. DMA the tile's source row band HBM -> VMEM (band start is a prefetched
      scalar — data-dependent row offsets, the reason BlockSpec indexing
      alone can't express this).
-  2. y-contraction on the MXU: the banded Wy rows of this tile are
+  2. y-contraction (default 'mxu'): the banded Wy rows of this tile are
      *densified per tile* into a (TY, SY) block on the host (SY = band span
      of the tile, a static bound like the reference's search window,
      Source.cpp:426-429) -> tmp (TY, W) in fp32.
   3. x-contraction: static loop over dst column tiles, each a
      (TY, SX) x (SX, TX) MXU matmul against the per-column-tile densified
-     Wx block, writing bf16/f32 output.
+     Wx block at 128-aligned dynamic offsets, writing bf16/f32 output.
 
-Per-tile HBM traffic is the source band + output tile only (~9% halo
-overhead at 2x downscale) — bandwidth-bound, vs the XLA path's materialised
-gather intermediates.  Weights stay fp32 (bf16 weights would cost ~1e-3
-accuracy; fp32 MXU at half rate is still far from the bottleneck).
+Measured on v5e: 101 Gpixel/s on the 4K->1080p bf16 x64 flagship (20x the
+BASELINE target), ~6.5x the XLA banded path.  Per-tile HBM traffic is the
+source band + output tile only.  Weights stay fp32 by default (bf16
+weights would cost ~4e-3 relative accuracy; measured no speed benefit —
+see BENCHMARKS.md for this and the other negative results: tight static
+x blocks lose to lane relayouts, and every formulation of the exact
+integer-ratio 'strided' y-pass is blocked by current Mosaic limitations
+on this backend, though all are exact in interpret mode).
 """
 
 from __future__ import annotations
@@ -285,8 +291,10 @@ def apply_separable_pallas(
 
     row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
     col_base, wx_blocks_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
-    if SY > H or SX > W:
-        # tiny image / huge band: fall back to the XLA banded path
+    if SY > H or SX > W or W % 128 != 0:
+        # tiny image / huge band / unaligned width (the HBM band DMA slices
+        # the full last dim, which Mosaic requires 128-aligned): fall back
+        # to the XLA banded path
         from .apply import apply_separable_banded
 
         return apply_separable_banded(frames, y_start, y_w, x_start, x_w)
