@@ -126,6 +126,19 @@ def apply_operator(
             jnp.asarray(op.wx.weights, dtype=weight_dtype),
         )
     if isinstance(op, weights_ops.EllOperator):
+        if impl == "auto":
+            impl = "sheared" if jax.devices()[0].platform == "tpu" else "xla"
+        if impl == "sheared":
+            # XLA's general gather is ~100 ms/frame on TPU; the shear-aligned
+            # re-indexing (ops/shear_apply.py) evaluates the same exact
+            # weights with rolls + banded takes
+            try:
+                fn, arrs = _sheared_plan(op)
+                return fn(
+                    apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
+                )
+            except ValueError:
+                pass  # pathological sheared window: flat-gather fallback
         return _apply_ell_jit(
             src,
             op.spec.quadrant,
@@ -133,6 +146,22 @@ def apply_operator(
             jnp.asarray(op.weights, dtype=weight_dtype),
         )
     raise TypeError(f"unknown operator type {type(op)!r}")
+
+
+_SHEAR_CACHE: dict = {}
+
+
+def _sheared_plan(op):
+    from .ops.shear_apply import make_sheared_apply
+
+    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()))
+    hit = _SHEAR_CACHE.get(key)
+    if hit is None:
+        fn0, arrs = make_sheared_apply(op)
+        jfn = jax.jit(lambda q, a: fn0(q, **a))
+        hit = (jfn, arrs)
+        _SHEAR_CACHE[key] = hit
+    return hit
 
 
 def area_average_interpolate(

@@ -1,0 +1,196 @@
+"""Shear-aligned rotated apply: gather-free evaluation of the ELL operator.
+
+XLA's general gather is catastrophically slow on TPU (~95 ms for one
+2048x2048 frame at 30 deg — measured honestly, see BENCHMARKS.md), so the
+rotated apply reorganises the *gather structure* while keeping the exact
+overlap weights:
+
+1. Two integer shears (vertical per-source-column, then horizontal
+   per-row), applied with a bit-decomposed sequence of static `jnp.roll` +
+   `where` steps (log2(max shift) passes, pure VPU) — after them, every
+   destination pixel's candidate window lives at
+   ``T[ry0(dy) + a, cx0(dx) + b]`` with *per-row* and *per-column* bases.
+2. The apply then looks exactly like the separable path: per tap row a, one
+   cheap row-take, then a banded column-take + weighted reduction.
+
+The shear composition is a bijection on cell coordinates, so the exact ELL
+weights are re-indexed host-side into the sheared window with no change in
+value (build_shear_plan).  Window growth from the two roundings is ~+2 per
+axis.  Out-of-image cells keep weight 0 and rolls only wrap zero padding,
+so correctness is unconditional; geometries whose sheared windows blow up
+(pathological aspect ratios) fall back to the flat-gather apply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids import GridSpec
+from .weights import EllOperator
+
+
+@dataclasses.dataclass(frozen=True)
+class ShearPlan:
+    """Host-precomputed shear layout for one EllOperator."""
+
+    TH: int
+    TW: int
+    qH: int
+    qW: int
+    gy: np.ndarray      # (qW,) vertical shift per source column
+    hx: np.ndarray      # (TH,) horizontal shift per sheared row (>= 0)
+    ry0: np.ndarray     # (Hd,) per-dst-row tap base in T rows
+    cx0: np.ndarray     # (Wd,) per-dst-col tap base in T cols
+    weights: np.ndarray  # (Hd, Wd, Ka, Kb) re-indexed exact weights
+
+
+def build_shear_plan(op: EllOperator, max_window: int = 24) -> ShearPlan:
+    """Re-index an ELL operator into the sheared layout (host, float64)."""
+    spec = op.spec
+    qH, qW = spec.qrot_shape
+    Hd, Wd = spec.dst_shape
+    K = op.window
+    c, sn = spec.cos, spec.sin
+    tan = sn / c if c != 0 else 0.0
+
+    # vertical shear cancels the dx-dependence of the row index:
+    #   Ty ~ jy + jx*tan(theta); horizontal shear must then cancel the
+    # dy-dependence of the column index given u ~ dy*L/(s*cos):
+    #   hx(u) = -u*sin*cos  (so  jx + hx(Ty) loses its dy term exactly)
+    gy = np.round(np.arange(qW) * tan).astype(np.int64)
+    TH = int(qH + (gy.max() if qW else 0) + 1)
+    u = np.arange(TH)
+    hx_raw = -np.round(u * (sn * c)).astype(np.int64)
+    hx = hx_raw - hx_raw.min()
+    TW = int(qW + hx.max() + 1)
+
+    a = np.arange(K)
+    jy = op.base[..., 0:1, None] + a[:, None]          # (Hd, Wd, K, 1)
+    jx = op.base[..., 1:2, None].swapaxes(-1, -2) + a[None, :]  # (Hd, Wd, 1, K)
+    jy = np.broadcast_to(jy, (Hd, Wd, K, K))
+    jx = np.broadcast_to(jx, (Hd, Wd, K, K))
+    jyc = np.clip(jy, 0, qH - 1)
+    jxc = np.clip(jx, 0, qW - 1)
+
+    Ty = jyc + gy[jxc]
+    Tx = jxc + hx[Ty]
+
+    # spreads are computed over nonzero-weight cells only (edge windows are
+    # clamped into range, and their zero-weight fringe cells would otherwise
+    # inflate the sheared window)
+    live = op.weights != 0.0
+    if not live.any():
+        raise ValueError("empty operator")
+    BIG = 1 << 30
+    Ty_live = np.where(live, Ty, BIG)
+    Tx_live = np.where(live, Tx, BIG)
+    ry0 = Ty_live.min(axis=(1, 2, 3))
+    cx0 = Tx_live.min(axis=(0, 2, 3))
+    # all-zero rows/cols (outside the rotated footprint): harmless base
+    ry0 = np.where(ry0 == BIG, 0, ry0)
+    cx0 = np.where(cx0 == BIG, 0, cx0)
+    Ty_hi = np.where(live, Ty, -1)
+    Tx_hi = np.where(live, Tx, -1)
+    Ka = int((Ty_hi.max(axis=(1, 2, 3)) - ry0).max()) + 1
+    Kb = int((Tx_hi.max(axis=(0, 2, 3)) - cx0).max()) + 1
+    if Ka > max_window or Kb > max_window:
+        raise ValueError(f"sheared window {Ka}x{Kb} too large")
+    # keep gathers in range
+    ry0 = np.clip(ry0, 0, max(TH - Ka, 0)).astype(np.int32)
+    cx0 = np.clip(cx0, 0, max(TW - Kb, 0)).astype(np.int32)
+    a2 = np.clip(Ty - ry0[:, None, None, None], 0, Ka - 1)
+    b2 = np.clip(Tx - cx0[None, :, None, None], 0, Kb - 1)
+    # zero-weight cells may be clipped arbitrarily; live cells must fit
+    assert ((Ty - ry0[:, None, None, None])[live] >= 0).all()
+    assert ((Ty - ry0[:, None, None, None])[live] < Ka).all()
+    assert ((Tx - cx0[None, :, None, None])[live] >= 0).all()
+    assert ((Tx - cx0[None, :, None, None])[live] < Kb).all()
+
+    w2 = np.zeros((Hd, Wd, Ka, Kb), dtype=op.weights.dtype)
+    dyi, dxi = np.meshgrid(np.arange(Hd), np.arange(Wd), indexing="ij")
+    dyi = np.broadcast_to(dyi[..., None, None], a2.shape)
+    dxi = np.broadcast_to(dxi[..., None, None], a2.shape)
+    # the shear composition is bijective on cells, so no collisions among
+    # live cells; add.at is belt-and-braces
+    np.add.at(w2, (dyi, dxi, a2, b2), op.weights)
+
+    return ShearPlan(TH=TH, TW=TW, qH=qH, qW=qW,
+                     gy=gy.astype(np.int32), hx=hx.astype(np.int32),
+                     ry0=ry0, cx0=cx0, weights=w2)
+
+
+def _bit_roll(x, shifts, axis, max_shift):
+    """Per-slice integer roll via log2 passes of static roll + select.
+
+    shifts: int32 array broadcastable against x along the *other* axis.
+    Rolls are downward/rightward; the rolled-in wrap region only ever
+    contains zero padding (callers pad by >= max_shift).
+    """
+    nbits = max(1, int(max_shift).bit_length())
+    for k in range(nbits):
+        bit = (shifts >> k) & 1
+        rolled = jnp.roll(x, 1 << k, axis=axis)
+        x = jnp.where((bit == 1), rolled, x)
+    return x
+
+
+def apply_ell_sheared(
+    q: jax.Array,
+    gy: jax.Array,
+    hx: jax.Array,
+    ry0: jax.Array,
+    cx0: jax.Array,
+    weights: jax.Array,
+    TH: int,
+    TW: int,
+) -> jax.Array:
+    """Device-side sheared apply: (..., qH, qW) -> (..., Hd, Wd)."""
+    qH, qW = q.shape[-2], q.shape[-1]
+    Hd, Wd, Ka, Kb = weights.shape
+    acc_dtype = weights.dtype
+
+    # vertical shear: pad rows then roll each column down by gy[col]
+    pad = [(0, 0)] * (q.ndim - 2) + [(0, TH - qH), (0, 0)]
+    S = jnp.pad(q, pad)
+    S = _bit_roll(S, gy[None, :], axis=-2, max_shift=TH - qH)
+
+    # horizontal shear: pad cols then roll each row right by hx[row]
+    pad = [(0, 0)] * (q.ndim - 2) + [(0, 0), (0, TW - qW)]
+    T = jnp.pad(S, pad)
+    T = _bit_roll(T, hx[:, None], axis=-1, max_shift=TW - qW)
+
+    cols = cx0[:, None] + jnp.arange(Kb, dtype=cx0.dtype)  # (Wd, Kb)
+    out = jnp.zeros(q.shape[:-2] + (Hd, Wd), dtype=acc_dtype)
+    for a in range(Ka):
+        rows = jnp.take(T, ry0 + a, axis=-2)               # (..., Hd, TW)
+        vals = jnp.take(rows, cols, axis=-1)               # (..., Hd, Wd, Kb)
+        out = out + jnp.einsum(
+            "hwb,...hwb->...hw", weights[:, :, a, :],
+            vals.astype(acc_dtype), preferred_element_type=acc_dtype,
+        )
+    return out
+
+
+def make_sheared_apply(op: EllOperator):
+    """(fn, arrays): jit-ready sheared apply for a built ELL operator."""
+    plan = build_shear_plan(op)
+    arrays = dict(
+        gy=jnp.asarray(plan.gy),
+        hx=jnp.asarray(plan.hx),
+        ry0=jnp.asarray(plan.ry0),
+        cx0=jnp.asarray(plan.cx0),
+        weights=jnp.asarray(plan.weights, dtype=jnp.float32),
+    )
+
+    def fn(q, gy, hx, ry0, cx0, weights):
+        return apply_ell_sheared(
+            q, gy, hx, ry0, cx0, weights, plan.TH, plan.TW
+        )
+
+    return fn, arrays

@@ -135,27 +135,28 @@ def make_fn(impl: str, op, dtype):
 
 
 def bench_rot30(batch: int, iters: int, dtype):
-    """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights."""
+    """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights,
+    evaluated with the shear-aligned apply (the flat XLA gather runs at an
+    honest ~0.04 Gpixel/s — see BENCHMARKS.md)."""
     from aainterp.grids import make_grid_spec
-    from aainterp.ops import apply as apply_ops
+    from aainterp.ops.shear_apply import make_sheared_apply
     from aainterp.ops.weights import ell_operator
 
     H = W = 2048
     spec = make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 30.0)
     op = ell_operator(spec, mode="exact")
+    fn, arrs = make_sheared_apply(op)
     rng = np.random.default_rng(0)
     K = 16
     frames = jnp.asarray(
         rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32), dtype=dtype)
     warm = jnp.asarray(
         rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32), dtype=dtype)
-    base = jnp.asarray(op.base)
-    w = jnp.asarray(op.weights, dtype=jnp.float32)
-    # base/w must be jit ARGUMENTS: closed over they become HLO constants
-    # (282 MB of weights -> HTTP 413 on the compile tunnel)
+    # weights as jit ARGUMENTS: closed over they become HLO constants
+    # (hundreds of MB -> HTTP 413 on the compile tunnel)
+    consts = tuple(arrs.values())
     dt = timed_scan(
-        lambda f, b, ww: apply_ops.apply_ell(f, b, ww).astype(dtype),
-        frames, warm, consts=(base, w),
+        lambda f, *cs: fn(f, *cs).astype(dtype), frames, warm, consts=consts
     )
     gpix = batch * H * W / dt / 1e9
     print(f"# rot30 K={op.window} dst={spec.dst_shape}: {gpix:.2f} Gpixel/s")
