@@ -44,13 +44,21 @@ def apply_separable_banded(
     acc_dtype = y_w.dtype
     ky = y_w.shape[1]
     kx = x_w.shape[1]
-    rows = y_start[:, None] + jnp.arange(ky, dtype=y_start.dtype)  # (Hd, ky)
-    cols = x_start[:, None] + jnp.arange(kx, dtype=x_start.dtype)  # (Wd, kx)
+    # clamp: when a band is wider than the image the trailing indices go
+    # out of range (their weights are 0, but jnp.take's default fill is NaN)
+    rows = jnp.clip(
+        y_start[:, None] + jnp.arange(ky, dtype=y_start.dtype),
+        0, q.shape[-2] - 1,
+    )  # (Hd, ky)
     g = jnp.take(q, rows, axis=-2)                 # (..., Hd, ky, W)
     t = jnp.einsum(
         "hk,...hkw->...hw", y_w, g.astype(acc_dtype),
         preferred_element_type=acc_dtype,
     )
+    cols = jnp.clip(
+        x_start[:, None] + jnp.arange(kx, dtype=x_start.dtype),
+        0, q.shape[-1] - 1,
+    )  # (Wd, kx)
     g2 = jnp.take(t, cols, axis=-1)                # (..., Hd, Wd, kx)
     out = jnp.einsum(
         "wk,...hwk->...hw", x_w, g2, preferred_element_type=acc_dtype
@@ -93,7 +101,9 @@ def apply_ell(
     # tap axis leads: trailing (Hd, Wd) keeps TPU (8,128) tiling dense —
     # a trailing (K, K) would pad each 6x6 tap block to (8,128), a ~28x
     # memory blowup.
-    idx = ry[..., :, None] * qW + rx[..., None, :]  # (Hd, Wd, K, K), in-range
+    ry = jnp.clip(ry, 0, q.shape[-2] - 1)
+    rx = jnp.clip(rx, 0, qW - 1)
+    idx = ry[..., :, None] * qW + rx[..., None, :]  # (Hd, Wd, K, K)
     idx = jnp.moveaxis(idx.reshape(idx.shape[:-2] + (K * K,)), -1, 0)
     w_t = jnp.moveaxis(
         weights.reshape(weights.shape[:-2] + (K * K,)), -1, 0
