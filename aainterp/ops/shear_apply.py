@@ -140,6 +140,47 @@ def _bit_roll(x, shifts, axis, max_shift):
     return x
 
 
+def _two_level_roll(x, shifts_np, shifts_dev, axis, block):
+    """Per-slice roll with coarse static block rolls + fine bit passes.
+
+    The shifts are nondecreasing (shear tables), so each block of ``block``
+    consecutive slices shares a static base shift (its first element) and
+    the residual fits in a few bit passes — roughly halving the roll+select
+    traffic of a pure bit decomposition.
+
+    shifts_np: host numpy copy of the shift table (for the static bases);
+    shifts_dev: the same table on device (for the residual selects).
+    axis: the roll axis (-2 rolls columns down, -1 rolls rows right);
+    blocks are formed along the *other* axis.
+    """
+    other = -1 if axis == -2 else -2
+    n = x.shape[other]
+    bases = []
+    pieces = []
+    for b0 in range(0, n, block):
+        b1 = min(b0 + block, n)
+        s = int(shifts_np[b0:b1].min())  # monotone either way: block min
+        bases.append((b0, b1, s))
+    base_tbl = np.zeros(n, dtype=np.int32)
+    for b0, b1, s in bases:
+        base_tbl[b0:b1] = s
+        sl = [slice(None)] * x.ndim
+        sl[other] = slice(b0, b1)
+        pieces.append(jnp.roll(x[tuple(sl)], s, axis=axis) if s else
+                      x[tuple(sl)])
+    x = jnp.concatenate(pieces, axis=other)
+    residual = shifts_np - base_tbl
+    max_res = int(residual.max()) if residual.size else 0
+    if max_res > 0:
+        res_dev = shifts_dev - jnp.asarray(base_tbl)
+        if axis == -2:
+            res_dev = res_dev[None, :]
+        else:
+            res_dev = res_dev[:, None]
+        x = _bit_roll(x, res_dev, axis=axis, max_shift=max_res)
+    return x
+
+
 def apply_ell_sheared(
     q: jax.Array,
     gy: jax.Array,
@@ -149,8 +190,15 @@ def apply_ell_sheared(
     weights: jax.Array,
     TH: int,
     TW: int,
+    gy_np=None,
+    hx_np=None,
+    block: int = 128,
 ) -> jax.Array:
-    """Device-side sheared apply: (..., qH, qW) -> (..., Hd, Wd)."""
+    """Device-side sheared apply: (..., qH, qW) -> (..., Hd, Wd).
+
+    When host copies of the shift tables are provided (gy_np / hx_np), the
+    shears use the two-level coarse-block + fine-bit roll (about half the
+    roll+select traffic)."""
     qH, qW = q.shape[-2], q.shape[-1]
     Hd, Wd, Ka, Kb = weights.shape
     acc_dtype = weights.dtype
@@ -158,12 +206,18 @@ def apply_ell_sheared(
     # vertical shear: pad rows then roll each column down by gy[col]
     pad = [(0, 0)] * (q.ndim - 2) + [(0, TH - qH), (0, 0)]
     S = jnp.pad(q, pad)
-    S = _bit_roll(S, gy[None, :], axis=-2, max_shift=TH - qH)
+    if gy_np is not None:
+        S = _two_level_roll(S, gy_np, gy, axis=-2, block=block)
+    else:
+        S = _bit_roll(S, gy[None, :], axis=-2, max_shift=TH - qH)
 
     # horizontal shear: pad cols then roll each row right by hx[row]
     pad = [(0, 0)] * (q.ndim - 2) + [(0, 0), (0, TW - qW)]
     T = jnp.pad(S, pad)
-    T = _bit_roll(T, hx[:, None], axis=-1, max_shift=TW - qW)
+    if hx_np is not None:
+        T = _two_level_roll(T, hx_np, hx, axis=-1, block=block)
+    else:
+        T = _bit_roll(T, hx[:, None], axis=-1, max_shift=TW - qW)
 
     cols = cx0[:, None] + jnp.arange(Kb, dtype=cx0.dtype)  # (Wd, Kb)
     out = jnp.zeros(q.shape[:-2] + (Hd, Wd), dtype=acc_dtype)
@@ -190,7 +244,8 @@ def make_sheared_apply(op: EllOperator):
 
     def fn(q, gy, hx, ry0, cx0, weights):
         return apply_ell_sheared(
-            q, gy, hx, ry0, cx0, weights, plan.TH, plan.TW
+            q, gy, hx, ry0, cx0, weights, plan.TH, plan.TW,
+            gy_np=plan.gy, hx_np=plan.hx,
         )
 
     return fn, arrays
