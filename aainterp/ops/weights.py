@@ -53,6 +53,7 @@ class SeparableOperator:
     wy: overlap1d.Band1D  # row-normalised
     wx: overlap1d.Band1D  # row-normalised
     raw_row_sums: Tuple[np.ndarray, np.ndarray]  # pre-normalisation sums (y, x)
+    mode: str = "exact"
 
     def dense(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.wy.dense(), self.wx.dense()
@@ -84,7 +85,8 @@ def separable_operator(spec: GridSpec, mode: str = "exact") -> SeparableOperator
     bx = gen(dstW, qW, spec.dst_side, spec.scale, spec.iso_offset[0])
     by_n, sy = _normalise_band(by)
     bx_n, sx = _normalise_band(bx)
-    return SeparableOperator(spec=spec, wy=by_n, wx=bx_n, raw_row_sums=(sy, sx))
+    return SeparableOperator(spec=spec, wy=by_n, wx=bx_n,
+                             raw_row_sums=(sy, sx), mode=mode)
 
 
 # ----------------------------------------------------------------------
@@ -104,6 +106,7 @@ class EllOperator:
     base: np.ndarray     # (Hd, Wd, 2) int32 — (jy0, jx0)
     weights: np.ndarray  # (Hd, Wd, K, K)
     raw_row_sums: np.ndarray  # (Hd, Wd) pre-normalisation overlap totals
+    mode: str = "exact"
 
     @property
     def window(self) -> int:
@@ -136,6 +139,9 @@ def validate_operator(op) -> dict:
     dict of stats; raises AssertionError on violation.
     """
     L2 = op.spec.dst_side ** 2
+    # compat mode faithfully reproduces the reference's type-2 defect, whose
+    # overcounted areas can exceed the true pixel area (observed up to ~1.2x)
+    slack = 2.0 if getattr(op, "mode", "exact") == "compat" else 1.0 + 1e-9
     if isinstance(op, SeparableOperator):
         stats = {}
         for name, band, sums in (
@@ -148,7 +154,7 @@ def validate_operator(op) -> dict:
             ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
             assert ok.all(), f"{name} rows not normalised"
             assert (sums >= -1e-12).all()
-            assert (sums <= op.spec.dst_side + 1e-9).all()
+            assert (sums <= op.spec.dst_side * slack + 1e-9).all()
             stats[f"{name}_zero_rows"] = int((rs == 0.0).sum())
         return stats
     w = op.weights
@@ -157,7 +163,7 @@ def validate_operator(op) -> dict:
     ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
     assert ok.all(), "ELL rows not normalised"
     assert (op.raw_row_sums >= -1e-12).all()
-    assert (op.raw_row_sums <= L2 * (1 + 1e-9) + 1e-9).all()
+    assert (op.raw_row_sums <= L2 * slack + 1e-9).all()
     qH, qW = op.spec.qrot_shape
     K = op.window
     assert (op.base >= 0).all()
@@ -314,7 +320,8 @@ def ell_operator(
             base[dy0:dy1] = b
             w[dy0:dy1] = w_c
             sums[dy0:dy1] = s_c
-        return EllOperator(spec=spec, base=base, weights=w, raw_row_sums=sums)
+        return EllOperator(spec=spec, base=base, weights=w,
+                           raw_row_sums=sums, mode="compat")
     if prefer_native:
         try:
             from .. import native
@@ -322,7 +329,8 @@ def ell_operator(
             if native.available():
                 base, w, sums = native.ell_weights_native(spec, mode=mode)
                 return EllOperator(
-                    spec=spec, base=base, weights=w, raw_row_sums=sums
+                    spec=spec, base=base, weights=w, raw_row_sums=sums,
+                    mode=mode,
                 )
         except Exception:
             pass  # fall back to numpy
@@ -343,4 +351,5 @@ def ell_operator(
         base[dy0:dy1] = b
         weights[dy0:dy1] = w
         sums[dy0:dy1] = sm
-    return EllOperator(spec=spec, base=base, weights=weights, raw_row_sums=sums)
+    return EllOperator(spec=spec, base=base, weights=weights,
+                       raw_row_sums=sums, mode=mode)
