@@ -69,3 +69,23 @@ def test_fuzz_compat_rotated():
         if abs(ang % 90.0) < 0.5 or abs(ang % 90.0) > 89.5:
             ang += 1.0  # keep a genuine residual rotation
         _check(sr, dr, iso, ang, "compat")
+
+
+def test_fuzz_fast_upscale():
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        sr = float(rng.uniform(1.0, 30.0))
+        dr = float(rng.uniform(1.5, 4.0)) * sr  # upscales (scale 3..7)
+        iso = (float(rng.uniform(0, 20)), float(rng.uniform(0, 20)))
+        ang = float(rng.uniform(0, 360))
+        _check(sr, dr, iso, ang, "fast")
+
+
+def test_fuzz_compat_upscale():
+    rng = np.random.default_rng(4)
+    for _ in range(3):
+        sr = float(rng.uniform(1.0, 30.0))
+        dr = float(rng.uniform(1.5, 3.0)) * sr
+        iso = (float(rng.uniform(0, 20)), float(rng.uniform(0, 20)))
+        ang = float(rng.uniform(1.0, 89.0))
+        _check(sr, dr, iso, ang, "compat")
