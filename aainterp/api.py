@@ -110,8 +110,11 @@ def apply_operator(
         if impl == "pallas":
             from .ops.pallas_apply import apply_separable_pallas
 
+            # the auto route gates on quadrant==0, but a user-forced
+            # impl='pallas' must still honor the quadrant pre-rotation
+            # (Source.cpp:159-172); rot90 by 0 is a no-op
             return apply_separable_pallas(
-                src,
+                apply_ops.quadrant_rotate(src, op.spec.quadrant),
                 jnp.asarray(op.wy.start),
                 jnp.asarray(op.wy.weights, dtype=weight_dtype),
                 jnp.asarray(op.wx.start),
@@ -133,7 +136,7 @@ def apply_operator(
             # re-indexing (ops/shear_apply.py) evaluates the same exact
             # weights with rolls + banded takes
             try:
-                fn, arrs = _sheared_plan(op)
+                fn, arrs = _sheared_plan(op, weight_dtype)
                 return fn(
                     apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
                 )
@@ -151,13 +154,14 @@ def apply_operator(
 _SHEAR_CACHE: dict = {}
 
 
-def _sheared_plan(op):
+def _sheared_plan(op, weight_dtype=jnp.float32):
     from .ops.shear_apply import make_sheared_apply
 
-    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()))
+    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           jnp.dtype(weight_dtype).name)
     hit = _SHEAR_CACHE.get(key)
     if hit is None:
-        fn0, arrs = make_sheared_apply(op)
+        fn0, arrs = make_sheared_apply(op, weight_dtype=weight_dtype)
         jfn = jax.jit(lambda q, a: fn0(q, **a))
         hit = (jfn, arrs)
         _SHEAR_CACHE[key] = hit

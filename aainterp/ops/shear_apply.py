@@ -231,15 +231,19 @@ def apply_ell_sheared(
     return out
 
 
-def make_sheared_apply(op: EllOperator):
-    """(fn, arrays): jit-ready sheared apply for a built ELL operator."""
+def make_sheared_apply(op: EllOperator, weight_dtype=jnp.float32):
+    """(fn, arrays): jit-ready sheared apply for a built ELL operator.
+
+    ``weight_dtype`` sets both the weight storage and accumulation dtype
+    (apply_ell_sheared accumulates in weights.dtype), so f64 requests are
+    honored on backends that support it."""
     plan = build_shear_plan(op)
     arrays = dict(
         gy=jnp.asarray(plan.gy),
         hx=jnp.asarray(plan.hx),
         ry0=jnp.asarray(plan.ry0),
         cx0=jnp.asarray(plan.cx0),
-        weights=jnp.asarray(plan.weights, dtype=jnp.float32),
+        weights=jnp.asarray(plan.weights, dtype=weight_dtype),
     )
 
     def fn(q, gy, hx, ry0, cx0, weights):

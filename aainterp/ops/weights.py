@@ -77,7 +77,15 @@ def separable_operator(spec: GridSpec, mode: str = "exact") -> SeparableOperator
     """Build the separable operator (requires spec.is_axis_aligned)."""
     if not spec.is_axis_aligned:
         raise ValueError("separable operator requires zero residual rotation")
-    gen = overlap1d.overlap_band_1d if mode == "exact" else overlap1d.count_band_1d
+    if mode in ("exact", "compat"):
+        # axis-aligned compat == exact: the reference's type-2 defect only
+        # fires under true rotation (Source.cpp:1055-1062), so compat gets
+        # true 1-D overlaps here, NOT the fast replica-center counting
+        gen = overlap1d.overlap_band_1d
+    elif mode == "fast":
+        gen = overlap1d.count_band_1d
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     qH, qW = spec.qrot_shape
     dstH, dstW = spec.dst_shape
     # offset is identically 0 at zero residual angle (Source.cpp:189-200)
@@ -138,10 +146,27 @@ def validate_operator(op) -> dict:
     empty footprints); raw row sums within [0, dst pixel area].  Returns a
     dict of stats; raises AssertionError on violation.
     """
-    L2 = op.spec.dst_side ** 2
-    # compat mode faithfully reproduces the reference's type-2 defect, whose
-    # overcounted areas can exceed the true pixel area (observed up to ~1.2x)
-    slack = 2.0 if getattr(op, "mode", "exact") == "compat" else 1.0 + 1e-9
+    L = op.spec.dst_side
+    mode = getattr(op, "mode", "exact")
+    # per-axis raw-sum upper bound by weight-gen semantics:
+    #  exact — true overlap length, <= L
+    #  compat — reproduces the reference's type-2 defect, whose overcounted
+    #           areas can exceed the true pixel area (observed up to ~1.2x)
+    #  fast — raw sums are COUNTS of unit-spaced replica centers inside the
+    #         L-side footprint (Source.cpp:899-905), at most floor(L)+1 per
+    #         axis (boundary-inclusive eps test, Source.cpp:837-864)
+    if mode == "fast":
+        bound_1d = math.floor(L + 1e-9) + 1.0
+        # rotated footprint: centers inside the square lie in its bbox of
+        # side L*(|cos|+|sin|)
+        span = L * (abs(op.spec.cos) + abs(op.spec.sin))
+        bound_2d = (math.floor(span + 1e-9) + 1.0) ** 2
+    elif mode == "compat":
+        bound_1d = 2.0 * L
+        bound_2d = 2.0 * L * L
+    else:
+        bound_1d = L * (1.0 + 1e-9)
+        bound_2d = L * L * (1.0 + 1e-9)
     if isinstance(op, SeparableOperator):
         stats = {}
         for name, band, sums in (
@@ -154,7 +179,7 @@ def validate_operator(op) -> dict:
             ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
             assert ok.all(), f"{name} rows not normalised"
             assert (sums >= -1e-12).all()
-            assert (sums <= op.spec.dst_side * slack + 1e-9).all()
+            assert (sums <= bound_1d + 1e-9).all()
             stats[f"{name}_zero_rows"] = int((rs == 0.0).sum())
         return stats
     w = op.weights
@@ -163,7 +188,7 @@ def validate_operator(op) -> dict:
     ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
     assert ok.all(), "ELL rows not normalised"
     assert (op.raw_row_sums >= -1e-12).all()
-    assert (op.raw_row_sums <= L2 * slack + 1e-9).all()
+    assert (op.raw_row_sums <= bound_2d + 1e-9).all()
     qH, qW = op.spec.qrot_shape
     K = op.window
     assert (op.base >= 0).all()

@@ -82,6 +82,14 @@ def sharded_apply_banded(
     qH, Hd = y_band.n_src, y_band.n_dst
     halo = _row_halo(y_band.start, y_band.band, qH, Hd, n_dev)
     sb = qH // n_dev
+    if halo >= sb:
+        # _halo_extend slices x[..., :h, :] from each neighbour: a halo
+        # wider than the per-chip block would silently clip and corrupt
+        # the rebased band indices (mirrors the guard in sharded_apply_ell)
+        raise ValueError(
+            f"halo {halo} >= rows-per-chip {sb}: band too wide for this "
+            "mesh; use fewer row shards or the unsharded apply"
+        )
 
     y_start = jnp.asarray(y_band.start)
     y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)

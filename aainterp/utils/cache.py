@@ -62,7 +62,7 @@ def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> s
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, __spec__=json.dumps(dataclasses.asdict(op.spec)),
-                 __method__=method, **arrays)
+                 __method__=method, __mode__=op.mode, **arrays)
     os.replace(tmp, path)
     return path
 
@@ -75,16 +75,24 @@ def load_operator(
     if not os.path.exists(path):
         return None
     z = np.load(path, allow_pickle=False)
+    # restore the operator's weight-gen mode: validate_operator's slack for
+    # compat overcounts (and the PARITY bookkeeping) key off op.mode, so a
+    # cached compat/fast operator must not reload labeled "exact".  Files
+    # written before __mode__ existed fall back to the request's mode (the
+    # cache key already includes it, so they agree).
+    saved_mode = str(z["__mode__"]) if "__mode__" in z else mode
     if method == "separable":
         qH, qW = spec.qrot_shape
         dstH, dstW = spec.dst_shape
         wy = overlap1d.Band1D(z["wy_start"], z["wy_w"], qH, dstH)
         wx = overlap1d.Band1D(z["wx_start"], z["wx_w"], qW, dstW)
         return weights_ops.SeparableOperator(
-            spec=spec, wy=wy, wx=wx, raw_row_sums=(z["sums_y"], z["sums_x"])
+            spec=spec, wy=wy, wx=wx,
+            raw_row_sums=(z["sums_y"], z["sums_x"]), mode=saved_mode,
         )
     return weights_ops.EllOperator(
-        spec=spec, base=z["base"], weights=z["w"], raw_row_sums=z["sums"]
+        spec=spec, base=z["base"], weights=z["w"], raw_row_sums=z["sums"],
+        mode=saved_mode,
     )
 
 

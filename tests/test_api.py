@@ -123,6 +123,37 @@ def test_fused_fast_mode():
     )
 
 
+def test_forced_pallas_honors_quadrant():
+    """impl='pallas' with quadrant != 0 must pre-rotate like the XLA path
+    (round-1 advisor finding: the auto route gated on quadrant==0 but a
+    forced pallas silently skipped the rot90).  On CPU the pallas call falls
+    back to the banded path; the quadrant handling under test is in
+    api.apply_operator either way."""
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 7.0), 180.0)
+    assert spec.quadrant != 0
+    op = aa.build_operator(spec)
+    ref = aa.apply_operator(op, SRC, impl="xla")
+    got = aa.apply_operator(op, SRC, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sheared_weight_dtype_honored():
+    """weight_dtype must thread into the sheared plan (round-1 advisor
+    finding: non-f32 requests were silently computed in f32).  bf16 is used
+    as the probe dtype: f64 canonicalizes to f32 unless jax_enable_x64 is
+    set, which would make the assertion vacuous."""
+    import jax.numpy as jnp
+    from aainterp.ops.shear_apply import make_sheared_apply
+    from aainterp.ops.weights import ell_operator
+
+    spec = aa.make_grid_spec((24, 24), 1.0, 0.5, (12.0, 12.0), 30.0)
+    op = ell_operator(spec, mode="exact")
+    _, arrs = make_sheared_apply(op, weight_dtype=jnp.bfloat16)
+    assert arrs["weights"].dtype == jnp.bfloat16
+    _, arrs32 = make_sheared_apply(op)
+    assert arrs32["weights"].dtype == jnp.float32
+
+
 def test_operator_sanitizer():
     """The numerical-sanitizer path (SURVEY.md §5): weight-row checks plus
     jax_debug_nans over a full apply."""

@@ -90,6 +90,45 @@ def test_operator_cache_ell(tmp_path):
     np.testing.assert_array_equal(op1.base, op2.base)
 
 
+@pytest.mark.parametrize("mode", ["exact", "fast", "compat"])
+@pytest.mark.parametrize("angle", [0.0, 12.0])
+def test_operator_cache_mode_roundtrip(tmp_path, mode, angle):
+    """save -> load must preserve the operator's weight-gen mode: the
+    sanitizer's compat slack keys off op.mode, so a compat operator that
+    reloads labeled 'exact' would be wrongly rejected (round-1 advisor
+    finding on utils/cache.py)."""
+    from aainterp.ops.weights import validate_operator
+
+    spec = aa.make_grid_spec((16, 16), 1.0, 0.5, (8.0, 8.0), angle)
+    method = "separable" if spec.is_axis_aligned else "ell"
+    op1 = build_operator_cached(spec, mode=mode, method=method,
+                                cache_dir=str(tmp_path))
+    op2 = load_operator(spec, mode, method, cache_dir=str(tmp_path))
+    assert op2 is not None
+    assert op2.mode == op1.mode == mode
+    validate_operator(op2)
+    if method == "separable":
+        np.testing.assert_array_equal(op1.wy.weights, op2.wy.weights)
+    else:
+        np.testing.assert_array_equal(op1.weights, op2.weights)
+
+
+def test_separable_compat_mode_is_exact_not_fast():
+    """Axis-aligned compat == exact true overlaps (the reference's type-2
+    defect only fires under rotation); round 1 silently routed compat to
+    the fast replica-center counting (advisor high finding)."""
+    from aainterp.ops.weights import separable_operator
+
+    spec = aa.make_grid_spec((16, 16), 150.0, 60.0, (0.0, 0.0), 0.0)
+    exact = separable_operator(spec, mode="exact")
+    compat = separable_operator(spec, mode="compat")
+    fast = separable_operator(spec, mode="fast")
+    np.testing.assert_array_equal(compat.wy.weights, exact.wy.weights)
+    assert not np.array_equal(fast.wy.weights, exact.wy.weights)
+    with pytest.raises(ValueError, match="unknown mode"):
+        separable_operator(spec, mode="bogus")
+
+
 def test_cli_compat_flag(tmp_path):
     img = np.random.default_rng(1).uniform(0, 1, (16, 16))
     inp = str(tmp_path / "in.csv")

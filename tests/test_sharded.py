@@ -87,6 +87,27 @@ def test_steep_rotation_halo_guard():
         sharded_apply_ell(frames, op, mesh)
 
 
+def test_banded_halo_guard():
+    """sharded_apply_banded must reject halos wider than the per-chip block
+    instead of silently clipping _halo_extend's neighbour slices (round-1
+    advisor finding on parallel/sharding.py)."""
+    from aainterp.ops.overlap1d import Band1D
+    from aainterp.parallel.sharding import sharded_apply_banded
+
+    n = 32
+    # every dst row reads src rows 0..2: the last chip's halo reaches across
+    # the whole image, far beyond its 4-row block
+    band = Band1D(
+        start=np.zeros(n, np.int32),
+        weights=np.full((n, 3), 1.0 / 3.0, np.float64),
+        n_src=n, n_dst=n,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "rows"))
+    frames = jnp.zeros((1, n, n), jnp.float32)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_apply_banded(frames, band, band, mesh)
+
+
 def test_sharded_regrid_matches_unsharded():
     """BASELINE config 5: lat-lon conservative regrid sharded over 8 chips
     (latitude rows over the mesh, halo via ppermute)."""
