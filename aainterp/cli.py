@@ -23,6 +23,7 @@ import numpy as np
 from . import api
 from .grids import ValidationError
 from .utils import io as iom
+from .utils import log
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,8 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode bug-for-bug under rotation (see PARITY.md)")
     p.add_argument("--output", default=None,
                    help="output path (default: <base>_mod.csv)")
-    p.add_argument("--sig-digits", type=int, default=0,
-                   help="CSV output precision (6 = reference bit-compat)")
+    p.add_argument("--sig-digits", type=int, default=6,
+                   help="CSV output significant digits (default 6 = the "
+                        "reference's stream precision, Source.cpp:1508; "
+                        "0 = full %%.17g)")
+    p.add_argument("--no-banner", action="store_true",
+                   help="suppress the reference's parameter banner")
+    p.add_argument("--verbose", action="store_true",
+                   help="also print dstIsocenter (extra over the reference's "
+                        "stdout)")
     return p
 
 
@@ -70,6 +78,14 @@ def main(argv=None) -> int:
     mode = "exact" if args.mode == 1 else "fast"
     if args.compat and args.mode == 1:
         mode = "compat"
+    if not args.no_banner:
+        # the reference prints this from inside each driver
+        # (Source.cpp:59-75 exact, 588-604 fast)
+        fn_name = ("AreaAverageInterpolation::areaAverageInterpolation"
+                   if args.mode == 1 else
+                   "AreaAverageInterpolation::fastAreaAverageInterpolation")
+        print(log.banner(fn_name, args.src_resolution, args.dst_resolution,
+                         tuple(args.isocenter), args.angle))
     start = time.perf_counter()
     try:
         result = api.area_average_interpolate(
@@ -83,7 +99,11 @@ def main(argv=None) -> int:
         return -1
     elapsed_ms = (time.perf_counter() - start) * 1000.0
     print(f"Calculation time : {elapsed_ms:g} [ms]")
-    print(f"dstIsocenter : {result.dst_isocenter[0]}, {result.dst_isocenter[1]}")
+    if args.verbose:
+        # extra over the reference (it returns dstIsocenter via an out-param
+        # and never prints it, Source.cpp:181-186)
+        print(f"dstIsocenter : {result.dst_isocenter[0]}, "
+              f"{result.dst_isocenter[1]}")
 
     out_path = args.output or iom.default_output_path(args.input)
     iom.csv_write(out_path, dst, sig_digits=args.sig_digits)

@@ -49,13 +49,29 @@ def profile_trace(log_dir: str = "/tmp/aainterp_trace"):
 
 
 def banner(fn_name: str, src_resolution, dst_resolution, src_isocenter,
-           rotation_angle) -> None:
-    """The reference's parameter banner (Source.cpp:59-75), for CLI parity."""
-    print("*" * 58)
-    print(f"* {fn_name:<54} *")
-    print("* Input parameters                                       *")
-    print(f"* srcResolution : {src_resolution:>9.10g}, {src_resolution:>9.10g} [pixel/mm or dpi] *")
-    print(f"* dstResolution : {dst_resolution:>9.10g}, {dst_resolution:>9.10g} [pixel/mm or dpi] *")
-    print(f"* srcIsocenter  : {src_isocenter[0]:>9.10g}, {src_isocenter[1]:>9.10g} [pixels] *")
-    print(f"* rotationAngle : {rotation_angle:>20.10g} [degrees] *")
-    print("*" * 58)
+           rotation_angle) -> str:
+    """The reference's parameter banner, reproduced byte-for-byte.
+
+    The reference prints this from each driver (Source.cpp:59-75 exact,
+    588-604 fast): a 58-char box, values at ``setprecision(10)`` (~ %.10g)
+    with ``setw(9)`` fields, unit labels right-justified by ``setw(20)``.
+    Returns the banner string (callers print it)."""
+    def g(v):
+        return f"{float(v):.10g}"
+
+    dpi = " [pixel/mm or dpi] *"
+    lines = [
+        "*" * 58,
+        f"* {fn_name}".ljust(57) + "*",
+        "* Input parameters".ljust(57) + "*",
+        "*".ljust(57) + "*",
+        f"* srcResolution : {g(src_resolution):>9}, {g(src_resolution):>9}"
+        + dpi.rjust(20),
+        f"* dstResolution : {g(dst_resolution):>9}, {g(dst_resolution):>9}"
+        + dpi.rjust(20),
+        f"* srcIsocenter  : {g(src_isocenter[0]):>9}, {g(src_isocenter[1]):>9}"
+        + " [pixels] *".rjust(20),
+        f"* rotationAngle : {g(rotation_angle):>20}" + " [degrees] *".rjust(20),
+        "*" * 58,
+    ]
+    return "\n".join(lines)

@@ -83,7 +83,7 @@ def _binary_for(config_key: str, source_text: str) -> str:
     return exe
 
 
-def run_oracle(
+def run_oracle_full(
     src: np.ndarray,
     src_resolution: float,
     dst_resolution: float,
@@ -91,12 +91,13 @@ def run_oracle(
     rotation_angle: float,
     mode: int = 1,
     timeout: float = 600.0,
-) -> Tuple[np.ndarray, Tuple[float, float]]:
-    """Run the C++ reference; returns (dst image, dst isocenter (x, y)).
+):
+    """Run the C++ reference; returns (dst, dst_iso, stdout, csv_text).
 
-    Note: the oracle's CSV output uses C++ default stream precision
-    (6 significant digits, Source.cpp:1508) — comparisons must allow
-    ~1e-6 relative quantisation on top of algorithmic tolerance.
+    stdout contains the injected "DSTISO ..." line in addition to the real
+    reference's output (banner / timing / termination message); csv_text is
+    the raw bytes of the reference's output CSV (6-significant-digit stream
+    precision, Source.cpp:1508).
     """
     source_text = _patched_source(
         src_resolution, dst_resolution, src_isocenter, rotation_angle, mode
@@ -117,6 +118,30 @@ def run_oracle(
             )
         out_csv = os.path.join(tmpdir, "input_mod.csv")
         dst = np.loadtxt(out_csv, delimiter=",", ndmin=2)
+        with open(out_csv, "r") as f:
+            csv_text = f.read()
         m = re.search(r"DSTISO (\S+) (\S+)", proc.stdout)
         dst_iso = (float(m.group(1)), float(m.group(2))) if m else (None, None)
+    return dst, dst_iso, proc.stdout, csv_text
+
+
+def run_oracle(
+    src: np.ndarray,
+    src_resolution: float,
+    dst_resolution: float,
+    src_isocenter: Tuple[float, float],
+    rotation_angle: float,
+    mode: int = 1,
+    timeout: float = 600.0,
+) -> Tuple[np.ndarray, Tuple[float, float]]:
+    """Run the C++ reference; returns (dst image, dst isocenter (x, y)).
+
+    Note: the oracle's CSV output uses C++ default stream precision
+    (6 significant digits, Source.cpp:1508) — comparisons must allow
+    ~1e-6 relative quantisation on top of algorithmic tolerance.
+    """
+    dst, dst_iso, _, _ = run_oracle_full(
+        src, src_resolution, dst_resolution, src_isocenter, rotation_angle,
+        mode, timeout,
+    )
     return dst, dst_iso
