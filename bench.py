@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import time
 
@@ -45,42 +46,63 @@ def _roundtrip_cost():
     return best
 
 
-def timed_scan(apply_fn, frames_all, frames_warm, consts=()):
+def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
+               target_s: float = 0.6, max_repeats: int = 400):
     """Honest device-time measurement on this box's remote-execution relay.
 
     Hazards measured here: the relay dedupes repeated identical execute
     requests (a looped 128MB+128MB add "ran" at 14.6 TB/s), async dispatch
     returns before real completion, and every synchronised dispatch pays a
     ~30 ms relay round trip — so host-side per-iteration timing is useless
-    for millisecond kernels.  Instead: ONE dispatch scans the apply over K
-    distinct frame sets on device, chaining a checksum so nothing can be
-    elided, and the single ~30 ms round trip is amortised over K
-    applications.
+    for millisecond kernels.  Instead: ONE dispatch runs the apply R*K
+    times on device (an outer fori_loop of R passes over a lax.scan of K
+    distinct frame sets, chaining a checksum so nothing can be elided or
+    hoisted), and the single ~30 ms round trip is amortised over R*K
+    applications.  R is a *traced* argument, so the calibration probe
+    (R=1) and the measurement (R sized so the round trip is <~5% of the
+    scan) share one executable and differ in input bytes (no relay dedupe,
+    no recompile).
 
     frames_all: (K, B, H, W) distinct data.  Returns seconds per (B,H,W)
     application.
     """
-    def scanned(stack, *cs):
+    K = frames_all.shape[0]
+
+    def scanned(stack, repeats, *cs):
         def body(acc, fr):
             out = apply_fn(fr, *cs)
             return acc + out.ravel()[0].astype(jnp.float32), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), stack)
+        def outer(_, acc):
+            acc2, _ = jax.lax.scan(body, acc, stack)
+            return acc2
+
+        acc = jax.lax.fori_loop(0, repeats, outer, jnp.float32(0.0))
         return acc[None]
 
     jfn = jax.jit(scanned)
     # warm/compile on DIFFERENT data: a second call on identical bytes would
     # be deduped by the relay
-    _ = np.asarray(jfn(frames_warm, *consts))
+    _ = np.asarray(jfn(frames_warm, jnp.int32(1), *consts))
     rt = _roundtrip_cost()
+    # calibration probe (R=1): same executable, different input bytes
     t0 = time.perf_counter()
-    _ = np.asarray(jfn(frames_all, *consts))
-    dt = time.perf_counter() - t0
-    K = frames_all.shape[0]
-    if rt > 0.5 * dt:
-        print(f"# warning: round trip {rt*1e3:.0f} ms dominates the "
-              f"{dt*1e3:.0f} ms scan; raise K for a tighter number")
-    return max(dt - min(rt, 0.9 * dt), 1e-9) / K
+    _ = np.asarray(jfn(frames_all, jnp.int32(1), *consts))
+    dt1 = time.perf_counter() - t0
+    per = max(dt1 - rt, 1e-6)
+    repeats = int(np.clip(math.ceil(max(target_s, 20.0 * rt) / per),
+                          1, max_repeats))
+    if repeats == 1:
+        dt, total = dt1, K
+    else:
+        t0 = time.perf_counter()
+        _ = np.asarray(jfn(frames_all, jnp.int32(repeats), *consts))
+        dt = time.perf_counter() - t0
+        total = repeats * K
+    if rt > 0.2 * dt:
+        print(f"# warning: round trip {rt*1e3:.0f} ms is >20% of the "
+              f"{dt*1e3:.0f} ms scan (R={repeats}); number is loose")
+    return max(dt - min(rt, 0.9 * dt), 1e-9) / total
 
 
 def build_inputs(batch: int, dtype, K: int = 24):
