@@ -130,7 +130,20 @@ def apply_operator(
         )
     if isinstance(op, weights_ops.EllOperator):
         if impl == "auto":
-            impl = "sheared" if jax.devices()[0].platform == "tpu" else "xla"
+            on_tpu = jax.devices()[0].platform == "tpu"
+            big = min(op.spec.dst_shape) >= 256
+            impl = "pallas" if (on_tpu and big) else (
+                "sheared" if on_tpu else "xla")
+        if impl == "pallas":
+            # three-kernel Pallas rotated apply (ops/pallas_shear.py):
+            # VMEM shears + one-hot MXU gathers, ~6x the XLA sheared path
+            try:
+                fn, arrs = _pallas_shear_plan(op, weight_dtype)
+                return fn(
+                    apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
+                )
+            except ValueError:
+                impl = "sheared"  # geometry too small for the tiled kernel
         if impl == "sheared":
             # XLA's general gather is ~100 ms/frame on TPU; the shear-aligned
             # re-indexing (ops/shear_apply.py) evaluates the same exact
@@ -152,6 +165,29 @@ def apply_operator(
 
 
 _SHEAR_CACHE: dict = {}
+
+
+def _pallas_shear_plan(op, weight_dtype=jnp.float32):
+    from .ops.pallas_shear import make_pallas_shear_apply
+
+    key = ("pallas", hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           jnp.dtype(weight_dtype).name)
+    hit = _SHEAR_CACHE.get(key)
+    if hit is None:
+        fn0, arrs = make_pallas_shear_apply(op, weight_dtype=weight_dtype)
+
+        def batched(q, a):
+            lead = q.shape[:-2]
+            if len(lead) > 1:
+                q = q.reshape((-1,) + q.shape[-2:])
+            out = fn0(q, **a)
+            if len(lead) > 1:
+                out = out.reshape(lead + out.shape[-2:])
+            return out
+
+        hit = (jax.jit(batched), arrs)
+        _SHEAR_CACHE[key] = hit
+    return hit
 
 
 def _sheared_plan(op, weight_dtype=jnp.float32):

@@ -17,8 +17,10 @@ kernels keep everything in VMEM.  Design (separable kernel):
      (TY, SX) x (SX, TX) MXU matmul against the per-column-tile densified
      Wx block at 128-aligned dynamic offsets, writing bf16/f32 output.
 
-Measured on v5e: 101 Gpixel/s on the 4K->1080p bf16 x64 flagship (20x the
-BASELINE target), ~6.5x the XLA banded path.  Per-tile HBM traffic is the
+Measured on v5e: 80 Gpixel/s on the 4K->1080p bf16 flagship with the
+round-2 calibrated repeat-scan methodology (16x the BASELINE target;
+56-93 observed across sessions under chip contention), ~5x the XLA
+banded path.  Per-tile HBM traffic is the
 source band + output tile only.  Weights stay fp32 by default (bf16
 weights would cost ~4e-3 relative accuracy; measured no speed benefit —
 see BENCHMARKS.md for this and the other negative results: tight static

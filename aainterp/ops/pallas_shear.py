@@ -1,0 +1,384 @@
+"""Pallas rotated apply: global shear kernels + a tiled one-hot contraction.
+
+Replaces the XLA shear-aligned apply (ops/shear_apply.py) for large rotated
+operators.  That path is exact but HBM-bound (~2 GB of roll + gather
+traffic per 2048x2048 frame -> 1.6 Gpixel/s, the round-1 verdict's top
+perf item).  Three kernels, same exact weights:
+
+  A. vshear — build S[y, x] = q[y - gy[x], x]: one program per (frame,
+     128-column strip); the per-column roll runs as log2 bit passes of
+     static sublane rolls + selects in VMEM.  HBM cost: read q, write S.
+  B. hshear — build T[y, x] = S[y, x - hx[y]]: one program per (frame,
+     row block); per-row roll along lanes, same bit-pass trick.  HBM
+     cost: read S, write T.
+  C. contract — out[dy, dx] = sum_ab w2[dy,dx,a,b] * T[ry0[dy]+a,
+     cx0[dx]+b]: one program per (dst tile, frame), frames innermost so
+     the per-tile weight/selector blocks stay VMEM-resident.  The two
+     monotone gathers (slope ~L/cos, non-integer) become ONE-HOT MATMULS
+     on the MXU — Vb = Tblk @ Csel[b], A = Rsel[a] @ Vb — exact selection
+     (0/1 weights, fp32 accumulation), then VPU-weighted accumulation
+     with the exact fp32 ELL weights.
+
+Correctness is delegated: gy/hx/ry0/cx0/w2 come unchanged from
+shear_apply.build_shear_plan over the polygon-clip ELL operator
+(Source.cpp:411-579 semantics); these kernels only re-route the same
+multiply-adds.  Zero-weight taps may read shear-wrapped zeros/garbage,
+which is finite by construction and multiplied by zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .shear_apply import build_shear_plan
+from .weights import EllOperator
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _rdn(x: int, m: int) -> int:
+    return (x // m) * m
+
+
+# ----------------------------------------------------------------------
+# Kernel A: vertical shear (per-column roll down by gy[x])
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_vshear(F, qH, qWp, THp, nbv, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+
+    def kernel(gy_ref, q_ref, out_ref):
+        # Mosaic rotates are 32-bit only on this backend ("Rotate with
+        # non-32-bit data"): roll in f32 in-register, keep HBM I/O bf16
+        x = jnp.pad(q_ref[0], ((0, THp - qH), (0, 0))).astype(jnp.float32)
+        dg = gy_ref[0]  # (1, 128) int32
+        for k in range(nbv):
+            x = jnp.where(((dg >> k) & 1) == 1,
+                          pltpu.roll(x, 1 << k, axis=0), x)
+        out_ref[0] = x.astype(dtype)
+
+    nc = qWp // 128
+    return pl.pallas_call(
+        kernel,
+        grid=(F, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda f, c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qH, 128), lambda f, c: (f, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, THp, 128), lambda f, c: (f, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, THp, qWp), dtype),
+        interpret=interpret,
+    )
+
+
+# ----------------------------------------------------------------------
+# Kernel B: horizontal shear (per-row roll right by hx[y])
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_hshear(F, THp, qWp, TWp, BLKR, nbh, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+
+    def kernel(hx_ref, s_ref, out_ref):
+        # f32 rolls for the same Mosaic 32-bit-rotate restriction
+        x = jnp.pad(s_ref[0], ((0, 0), (0, TWp - qWp))).astype(jnp.float32)
+        dh = hx_ref[0]  # (BLKR, 1) int32
+        for k in range(nbh):
+            x = jnp.where(((dh >> k) & 1) == 1,
+                          pltpu.roll(x, 1 << k, axis=1), x)
+        out_ref[0] = x.astype(dtype)
+
+    nr = THp // BLKR
+    return pl.pallas_call(
+        kernel,
+        grid=(F, nr),
+        in_specs=[
+            pl.BlockSpec((1, BLKR, 1), lambda f, r: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLKR, qWp), lambda f, r: (f, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLKR, TWp), lambda f, r: (f, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, THp, TWp), dtype),
+        interpret=interpret,
+    )
+
+
+# ----------------------------------------------------------------------
+# Kernel C: tiled contraction with one-hot MXU gathers
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
+                    dtype_name, out_dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def kernel(r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref, out_ref,
+               tblk, sem):
+        t = pl.program_id(0)
+        f = pl.program_id(1)
+        ty = jax.lax.div(t, ntx)
+        r0 = pl.multiple_of(r0_ref[ty], 8)
+        c0 = pl.multiple_of(c0_ref[jax.lax.rem(t, ntx)], 128)
+        dma = pltpu.make_async_copy(
+            t_ref.at[f, pl.ds(r0, SRF), pl.ds(c0, SCF)], tblk, sem)
+        dma.start()
+        dma.wait()
+        acc = jnp.zeros((TYd, TXd), jnp.float32)
+        for b in range(Kb):
+            vb = jnp.dot(tblk[:], csel_ref[0, b],
+                         preferred_element_type=jnp.float32).astype(dtype)
+            for a in range(Ka):
+                sel = jnp.dot(rsel_ref[0, a], vb,
+                              preferred_element_type=jnp.float32)
+                acc = acc + w2_ref[0, a * Kb + b] * sel
+        out_ref[0] = acc.astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty * ntx, F),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # T (HBM)
+            pl.BlockSpec((1, Ka, TYd, SRF),
+                         lambda t, f, *_: (jax.lax.div(t, ntx), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb, SCF, TXd),
+                         lambda t, f, *_: (jax.lax.rem(t, ntx), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ka * Kb, TYd, TXd),
+                         lambda t, f, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TYd, TXd),
+            lambda t, f, *_: (f, jax.lax.div(t, ntx), jax.lax.rem(t, ntx)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SRF, SCF), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    flops = 2 * F * nty * ntx * (Kb * SRF * SCF * TXd
+                                 + Ka * Kb * TYd * SRF * TXd)
+
+    def call(r0, c0, t_arr, rsel, csel, w2t):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (F, nty * TYd, ntx * TXd), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=F * (THp * TWp + nty * TYd * ntx * TXd) * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(r0, c0, t_arr, rsel, csel, w2t)
+
+    return call
+
+
+# ----------------------------------------------------------------------
+# Host planner
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShearKernelPlan:
+    Hd: int
+    Wd: int
+    qH: int
+    qW: int
+    qWp: int
+    THp: int
+    TWp: int
+    BLKR: int
+    TYd: int
+    TXd: int
+    nty: int
+    ntx: int
+    Ka: int
+    Kb: int
+    SRF: int
+    SCF: int
+    nbv: int
+    nbh: int
+    gy_col: np.ndarray   # (1, 1, qWp) int32
+    hx_row: np.ndarray   # (1, THp, 1) int32
+    r0: np.ndarray       # (nty,) int32, 8-aligned T row bases
+    c0: np.ndarray       # (ntx,) int32, 128-aligned T col bases
+    rsel: np.ndarray     # (nty, Ka, TYd, SRF) f32 one-hots
+    csel: np.ndarray     # (ntx, Kb, SCF, TXd) f32 one-hots
+    w2t: np.ndarray      # (nty*ntx, Ka*Kb, TYd, TXd) f32
+
+
+def build_kernel_plan(op: EllOperator, tile_y: int = 128,
+                      tile_x: int = 128, blk_r: int = 256) -> ShearKernelPlan:
+    """Static geometry + tables for the three kernels (host, exact ints).
+
+    Raises ValueError when the geometry doesn't fit (tiny images) —
+    callers fall back to the XLA shear apply.
+    """
+    spec = op.spec
+    qH, qW = spec.qrot_shape
+    Hd, Wd = spec.dst_shape
+    plan = build_shear_plan(op)
+    gy = plan.gy.astype(np.int64)
+    hx = plan.hx.astype(np.int64)
+    ry0 = plan.ry0.astype(np.int64)
+    cx0 = plan.cx0.astype(np.int64)
+    w2 = plan.weights
+    Ka, Kb = w2.shape[2], w2.shape[3]
+    live = w2 != 0.0
+    lv_row = live.any(axis=(1, 2, 3))   # (Hd,)
+    lv_col = live.any(axis=(0, 2, 3))   # (Wd,)
+    if not lv_row.any():
+        raise ValueError("empty operator")
+
+    TYd, TXd = tile_y, tile_x
+    nty, ntx = _rup(Hd, TYd) // TYd, _rup(Wd, TXd) // TXd
+
+    # per-row-tile / per-col-tile T bases and spans
+    r0 = np.zeros(nty, np.int64)
+    c0 = np.zeros(ntx, np.int64)
+    SRF = SCF = 8
+    for ty in range(nty):
+        sl = slice(ty * TYd, min(ty * TYd + TYd, Hd))
+        m = lv_row[sl]
+        if not m.any():
+            continue
+        rr = ry0[sl][m]
+        r0[ty] = _rdn(int(rr.min()), 8)
+        SRF = max(SRF, int(rr.max()) + Ka - int(r0[ty]))
+    for tx in range(ntx):
+        sl = slice(tx * TXd, min(tx * TXd + TXd, Wd))
+        m = lv_col[sl]
+        if not m.any():
+            continue
+        cc = cx0[sl][m]
+        c0[tx] = _rdn(int(cc.min()), 128)
+        SCF = max(SCF, int(cc.max()) + Kb - int(c0[tx]))
+    SRF = _rup(SRF, 8)
+    # the contraction DMA slices T columns at c0: base AND width must be
+    # 128-aligned (Mosaic DMA restriction on this backend)
+    SCF = _rup(SCF, 128)
+
+    qWp = _rup(qW, 128)
+    THp = _rup(max(int(r0.max()) + SRF, qH + int(gy.max()) + 1, blk_r), blk_r)
+    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1), 128)
+    if THp > len(hx):
+        hx = np.concatenate([hx, np.full(THp - len(hx), hx[-1])])
+
+    gy_col = np.zeros((1, 1, qWp), np.int32)
+    gy_col[0, 0, :qW] = gy
+    hx_row = np.zeros((1, THp, 1), np.int32)
+    hx_row[0, :, 0] = hx[:THp]
+    nbv = max(1, int(gy.max()).bit_length())
+    nbh = max(1, int(hx.max()).bit_length())
+
+    # selectors + tiled weights
+    rsel = np.zeros((nty, Ka, TYd, SRF), np.float32)
+    csel = np.zeros((ntx, Kb, SCF, TXd), np.float32)
+    for ty in range(nty):
+        dy0, dy1 = ty * TYd, min(ty * TYd + TYd, Hd)
+        m = lv_row[dy0:dy1]
+        ryl = ry0[dy0:dy1] - r0[ty]
+        for a in range(Ka):
+            ok = m & (ryl + a >= 0) & (ryl + a < SRF)
+            assert (ok | ~(live[dy0:dy1, :, a, :].any(axis=(1, 2)))).all()
+            rsel[ty, a, np.arange(dy1 - dy0)[ok], (ryl + a)[ok]] = 1.0
+    for tx in range(ntx):
+        dx0, dx1 = tx * TXd, min(tx * TXd + TXd, Wd)
+        m = lv_col[dx0:dx1]
+        cxl = cx0[dx0:dx1] - c0[tx]
+        for b in range(Kb):
+            ok = m & (cxl + b >= 0) & (cxl + b < SCF)
+            assert (ok | ~(live[:, dx0:dx1, :, b].any(axis=(0, 2)))).all()
+            csel[tx, b, (cxl + b)[ok], np.arange(dx1 - dx0)[ok]] = 1.0
+
+    w2t = np.zeros((nty * ntx, Ka * Kb, TYd, TXd), np.float32)
+    for ty in range(nty):
+        for tx in range(ntx):
+            dy0, dy1 = ty * TYd, min(ty * TYd + TYd, Hd)
+            dx0, dx1 = tx * TXd, min(tx * TXd + TXd, Wd)
+            nY, nX = dy1 - dy0, dx1 - dx0
+            w2t[ty * ntx + tx, :, :nY, :nX] = np.moveaxis(
+                w2[dy0:dy1, dx0:dx1].reshape(nY, nX, Ka * Kb), -1, 0
+            ).astype(np.float32)
+
+    return ShearKernelPlan(
+        Hd=Hd, Wd=Wd, qH=qH, qW=qW, qWp=qWp, THp=THp, TWp=TWp, BLKR=blk_r,
+        TYd=TYd, TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF, SCF=SCF,
+        nbv=nbv, nbh=nbh, gy_col=gy_col, hx_row=hx_row,
+        r0=r0.astype(np.int32), c0=c0.astype(np.int32),
+        rsel=rsel, csel=csel, w2t=w2t,
+    )
+
+
+def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
+                            tile_x: int = 128, weight_dtype=jnp.float32,
+                            interpret: bool = False):
+    """(fn, arrays): jit-ready Pallas rotated apply for an ELL operator.
+
+    fn(q, **arrays) maps (F, qH, qW) -> (F, Hd, Wd).  Data dtype follows
+    the input (bf16 or f32); selection matmuls run in the input dtype with
+    fp32 accumulation (exact for one-hot weights); the final weighted
+    accumulation uses fp32 weights.
+    """
+    kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
+    arrays = dict(
+        gy_col=jnp.asarray(kp.gy_col),
+        hx_row=jnp.asarray(kp.hx_row),
+        r0=jnp.asarray(kp.r0),
+        c0=jnp.asarray(kp.c0),
+        rsel=jnp.asarray(kp.rsel),
+        csel=jnp.asarray(kp.csel),
+        w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),
+    )
+
+    def fn(q, gy_col, hx_row, r0, c0, rsel, csel, w2t):
+        if q.ndim == 2:
+            return fn(q[None], gy_col, hx_row, r0, c0, rsel, csel, w2t)[0]
+        F, H, W = q.shape
+        assert (H, W) == (kp.qH, kp.qW), (q.shape, kp.qH, kp.qW)
+        dtype = q.dtype
+        if dtype not in (jnp.bfloat16, jnp.float32):
+            dtype = jnp.float32
+            q = q.astype(dtype)
+        if kp.qWp != W:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, kp.qWp - W)))
+        dname = jnp.dtype(dtype).name
+        vshear = _build_vshear(F, kp.qH, kp.qWp, kp.THp, kp.nbv, dname,
+                               interpret)
+        hshear = _build_hshear(F, kp.THp, kp.qWp, kp.TWp, kp.BLKR, kp.nbh,
+                               dname, interpret)
+        contract = _build_contract(
+            F, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
+            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret)
+        s = vshear(gy_col, q)
+        t = hshear(hx_row, s)
+        out = contract(r0, c0, t, rsel.astype(dtype), csel.astype(dtype),
+                       w2t)
+        return out[:, : kp.Hd, : kp.Wd]
+
+    return fn, arrays

@@ -50,8 +50,17 @@ class ShearPlan:
     weights: np.ndarray  # (Hd, Wd, Ka, Kb) re-indexed exact weights
 
 
-def build_shear_plan(op: EllOperator, max_window: int = 24) -> ShearPlan:
-    """Re-index an ELL operator into the sheared layout (host, float64)."""
+def build_shear_plan(op: EllOperator, max_window: int = 24,
+                     f32_tables: bool = False) -> ShearPlan:
+    """Re-index an ELL operator into the sheared layout (host, float64).
+
+    With ``f32_tables=True`` the shift tables are computed as
+    ``floor(x * c + 0.5)`` in strict float32 — bit-reproducible on the TPU
+    VPU, so a Pallas kernel can regenerate gy/hx in-register from an iota
+    instead of loading them (ops/pallas_shear.py).  The plan is valid for
+    ANY integer shift tables (weights are re-indexed through them), so the
+    two variants differ only in which cells land where, never in values.
+    """
     spec = op.spec
     qH, qW = spec.qrot_shape
     Hd, Wd = spec.dst_shape
@@ -63,10 +72,22 @@ def build_shear_plan(op: EllOperator, max_window: int = 24) -> ShearPlan:
     #   Ty ~ jy + jx*tan(theta); horizontal shear must then cancel the
     # dy-dependence of the column index given u ~ dy*L/(s*cos):
     #   hx(u) = -u*sin*cos  (so  jx + hx(Ty) loses its dy term exactly)
-    gy = np.round(np.arange(qW) * tan).astype(np.int64)
+    if f32_tables:
+        t32 = np.float32(tan)
+        gy = np.floor(
+            np.arange(qW, dtype=np.float32) * t32 + np.float32(0.5)
+        ).astype(np.int64)
+    else:
+        gy = np.round(np.arange(qW) * tan).astype(np.int64)
     TH = int(qH + (gy.max() if qW else 0) + 1)
     u = np.arange(TH)
-    hx_raw = -np.round(u * (sn * c)).astype(np.int64)
+    if f32_tables:
+        sc32 = np.float32(sn * c)
+        hx_raw = -np.floor(
+            u.astype(np.float32) * sc32 + np.float32(0.5)
+        ).astype(np.int64)
+    else:
+        hx_raw = -np.round(u * (sn * c)).astype(np.int64)
     hx = hx_raw - hx_raw.min()
     TW = int(qW + hx.max() + 1)
 

@@ -156,10 +156,13 @@ def make_fn(impl: str, op, dtype):
     return jax.jit(fn)
 
 
-def bench_rot30(batch: int, iters: int, dtype):
-    """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights,
-    evaluated with the shear-aligned apply (the flat XLA gather runs at an
-    honest ~0.04 Gpixel/s — see BENCHMARKS.md)."""
+def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
+    """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights.
+
+    Default path: the three-kernel Pallas rotated apply (ops/pallas_shear:
+    VMEM shears + one-hot MXU gathers, 6.0 Gpixel/s honest) with the XLA
+    shear-aligned apply as fallback (1.6 Gpixel/s; the flat XLA gather runs
+    at ~0.04 — see BENCHMARKS.md)."""
     from aainterp.grids import make_grid_spec
     from aainterp.ops.shear_apply import make_sheared_apply
     from aainterp.ops.weights import ell_operator
@@ -167,9 +170,19 @@ def bench_rot30(batch: int, iters: int, dtype):
     H = W = 2048
     spec = make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 30.0)
     op = ell_operator(spec, mode="exact")
-    fn, arrs = make_sheared_apply(op)
+    if impl in ("auto", "pallas"):
+        try:
+            from aainterp.ops.pallas_shear import make_pallas_shear_apply
+
+            fn, arrs = make_pallas_shear_apply(op)
+        except Exception as e:
+            print(f"# pallas shear unavailable ({type(e).__name__}: {e}); "
+                  "falling back to XLA sheared")
+            fn, arrs = make_sheared_apply(op)
+    else:
+        fn, arrs = make_sheared_apply(op)
     rng = np.random.default_rng(0)
-    K = 16
+    K = 8
     frames = jnp.asarray(
         rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32), dtype=dtype)
     warm = jnp.asarray(

@@ -1,0 +1,75 @@
+"""Pallas rotated-apply kernels (ops/pallas_shear.py), interpret mode.
+
+Validates the three-kernel pipeline (vshear, hshear, tiled one-hot
+contraction) against the XLA ELL apply on CPU.  Real-TPU coverage is the
+env-gated smoke test in test_pallas_tpu.py plus bench.py --case rot30.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aainterp as aa
+from aainterp.ops import apply as apply_ops
+from aainterp.ops.weights import ell_operator
+from aainterp.ops.pallas_shear import build_kernel_plan, make_pallas_shear_apply
+
+RNG = np.random.default_rng(7)
+
+
+def _check(H, W, ang, dtype=jnp.float32, batch=2, sr=1.0, dr=0.5):
+    spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
+    op = ell_operator(spec, mode="exact")
+    src = jnp.asarray(
+        RNG.uniform(0, 1, (batch, H, W)).astype(np.float32), dtype=dtype)
+    q = apply_ops.quadrant_rotate(src, spec.quadrant)
+    ref = aa.apply_operator(op, src, impl="xla").astype(dtype)
+    fn, arrs = make_pallas_shear_apply(op, interpret=True)
+    got = fn(q, **arrs)
+    assert got.shape == ref.shape
+    tol = 2e-6 if dtype == jnp.float32 else 0.0  # bf16: bit-exact selection
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol)
+
+
+@pytest.mark.parametrize("ang", [5.0, 30.0, 44.0])
+def test_matches_xla_f32(ang):
+    _check(192, 256, ang)
+
+
+def test_matches_xla_bf16_bitexact():
+    """bf16 pixels: one-hot selection is exact, so the kernel output equals
+    the XLA apply rounded to bf16, bit for bit."""
+    _check(256, 256, 30.0, dtype=jnp.bfloat16)
+
+
+def test_quadrant_angles():
+    for ang in (120.0, 210.0, 300.5):
+        _check(200, 136, ang)
+
+
+def test_single_frame_2d():
+    spec = aa.make_grid_spec((160, 160), 1.0, 0.5, (80.0, 80.0), 15.0)
+    op = ell_operator(spec, mode="exact")
+    src = jnp.asarray(RNG.uniform(0, 1, (160, 160)).astype(np.float32))
+    ref = aa.apply_operator(op, src, impl="xla")
+    fn, arrs = make_pallas_shear_apply(op, interpret=True)
+    got = fn(src, **arrs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_downscale_ratio():
+    # scale-2 prescale geometry (sr == dr at rotation -> dst_side 2)
+    _check(192, 192, 20.0, sr=1.0, dr=1.0)
+
+
+def test_plan_selectors_are_one_hot():
+    spec = aa.make_grid_spec((160, 224), 1.0, 0.5, (112.0, 80.0), 30.0)
+    op = ell_operator(spec, mode="exact")
+    kp = build_kernel_plan(op)
+    # each selector row/col selects at most one entry
+    assert kp.rsel.sum(axis=-1).max() <= 1.0
+    assert kp.csel.sum(axis=-2).max() <= 1.0
+    # every live dst pixel's weights are preserved in the tiled layout
+    assert np.isclose(kp.w2t.sum(), op.weights.sum(), atol=1e-6)
