@@ -88,6 +88,13 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                             interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
+    # TPU f32 matmuls at DEFAULT precision silently truncate operands to
+    # bf16 (~1e-3 error, found by the real-TPU smoke test).  For f32
+    # pixels run HIGHEST (bf16x3) to keep true f32 accuracy; for the bf16
+    # production path keep the cheap single pass (pixel operands are bf16-
+    # exact and the ~0.5-ulp weight truncation vanishes in bf16 output).
+    prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     # strided mode geometry: the caller reshapes the source to
     # (F, H/m, m, W) — free for row-major layouts — so parity j of the
@@ -152,6 +159,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
                 src_buf[:].astype(jnp.float32),
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )  # (TY, W)
         elif y_pass == "vpu":
@@ -190,7 +198,8 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 )
             else:
                 blk = jnp.dot(
-                    seg, wx_ref[c], preferred_element_type=jnp.float32
+                    seg, wx_ref[c], precision=prec,
+                    preferred_element_type=jnp.float32,
                 )
             out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(out_dtype)
 

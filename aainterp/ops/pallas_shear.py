@@ -131,6 +131,11 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                     dtype_name, out_dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     out_dtype = jnp.dtype(out_dtype_name)
+    # TPU f32 matmuls at DEFAULT precision silently truncate operands to
+    # bf16 (~1e-3 error); HIGHEST (bf16x3 passes) restores f32 accuracy.
+    # bf16 operands are exact either way — keep the cheap single pass.
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     def kernel(r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref, out_ref,
                tblk, sem):
@@ -145,10 +150,10 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
         dma.wait()
         acc = jnp.zeros((TYd, TXd), jnp.float32)
         for b in range(Kb):
-            vb = jnp.dot(tblk[:], csel_ref[0, b],
+            vb = jnp.dot(tblk[:], csel_ref[0, b], precision=prec,
                          preferred_element_type=jnp.float32).astype(dtype)
             for a in range(Ka):
-                sel = jnp.dot(rsel_ref[0, a], vb,
+                sel = jnp.dot(rsel_ref[0, a], vb, precision=prec,
                               preferred_element_type=jnp.float32)
                 acc = acc + w2_ref[0, a * Kb + b] * sel
         out_ref[0] = acc.astype(out_dtype)

@@ -135,10 +135,11 @@ def sharded_apply_separable(
     with the same sharding layout.
     """
     if op.spec.quadrant != 0:
-        raise NotImplementedError(
-            "sharded apply currently requires quadrant==0 (rotate on host or "
-            "extend with a sharded rot90)"
-        )
+        # quadrant pre-rotation (Source.cpp:159-172) as a global jnp.rot90:
+        # under jit over the mesh, XLA lowers the transpose+reverse to an
+        # all-to-all over ICI and reshards for the shard_map that follows —
+        # the minimal collective any distributed rot90 needs
+        frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     return sharded_apply_banded(
         frames, op.wy, op.wx, mesh, data_axis=data_axis, row_axis=row_axis
     )
@@ -162,7 +163,8 @@ def sharded_apply_ell(
     qH, qW = op.spec.qrot_shape
     Hd, Wd = op.spec.dst_shape
     if op.spec.quadrant != 0:
-        raise NotImplementedError("sharded ELL apply requires quadrant==0")
+        # see sharded_apply_separable: global rot90, resharded by XLA
+        frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     K = op.window
     assert Hd % n_dev == 0 and qH % n_dev == 0
     db, sb = Hd // n_dev, qH // n_dev

@@ -273,10 +273,19 @@ def main():
         return
     if args.case == "rot30":
         g = bench_rot30(args.batch, args.iters, jnp.dtype(args.dtype))
+        # information-preservation PSNR vs the interpolators the reference
+        # README positions itself against (rotate +30/-30 round trip at a
+        # CI-sized 512 grid; the metric is size-stable)
+        from aainterp.baselines import compare_rotation_roundtrip
+        img = np.random.default_rng(0).uniform(0, 1, (512, 512))
+        img[128:384, 128:384] += 1.0  # structure so PSNR is meaningful
+        psnr = {k: round(v, 2)
+                for k, v in compare_rotation_roundtrip(img, 30.0).items()}
         print(json.dumps({
             "metric": f"gpixel_per_s_2048_rot30_x{args.batch}",
             "value": round(g, 3), "unit": "Gpixel/s",
-            "vs_baseline": round(g / 5.0, 3)}))
+            "vs_baseline": round(g / 5.0, 3),
+            "psnr_roundtrip_db": psnr}))
         return
     if args.case == "regrid":
         g = bench_regrid(args.batch, args.iters)

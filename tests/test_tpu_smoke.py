@@ -1,0 +1,91 @@
+"""Opt-in real-TPU smoke tests (VERDICT r1 item 6).
+
+The CPU suite runs every kernel in interpret mode, but Mosaic-vs-interpret
+divergence is exactly what bit round 1 five times (BENCHMARKS.md "negative
+results": each failure was invisible in interpret mode).  These tests
+compile and run the Pallas kernels on the real chip at tiny shapes so
+kernel regressions surface before the round-end bench.
+
+Run with:  AAINTERP_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+
+Gated off by default: the conftest forces CPU for the suite, so each test
+spawns a subprocess with a clean JAX platform; first compiles go through
+this box's remote-compile tunnel (minutes uncached — the persistent cache
+in .jax_cache/ makes reruns fast).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("AAINTERP_TPU_TESTS", "") != "1",
+    reason="set AAINTERP_TPU_TESTS=1 to run real-TPU smoke tests",
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(code: str, timeout: float = 2400.0) -> str:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    prologue = (
+        "import os, jax\n"
+        f"os.makedirs({os.path.join(REPO, '.jax_cache')!r}, exist_ok=True)\n"
+        "jax.config.update('jax_compilation_cache_dir', "
+        f"{os.path.join(REPO, '.jax_cache')!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        "assert jax.devices()[0].platform == 'tpu', jax.devices()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", prologue + code],
+        capture_output=True, text=True, env=env, timeout=timeout, cwd=REPO,
+    )
+    assert proc.returncode == 0, f"\nstdout:{proc.stdout}\nstderr:{proc.stderr}"
+    return proc.stdout
+
+
+def test_separable_kernel_on_tpu():
+    """4K-flagship kernel at small shape: Mosaic compile + numerics."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+import aainterp as aa
+from aainterp.ops.pallas_apply import apply_separable_pallas
+from aainterp.ops.apply import apply_separable_banded
+from aainterp.ops.weights import separable_operator
+
+spec = aa.make_grid_spec((256, 512), 2.0, 1.0, (0.0, 0.0), 0.0)
+op = separable_operator(spec)
+args = (jnp.asarray(op.wy.start), jnp.asarray(op.wy.weights, jnp.float32),
+        jnp.asarray(op.wx.start), jnp.asarray(op.wx.weights, jnp.float32))
+x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 256, 512)),
+                dtype=jnp.float32)
+got = np.asarray(apply_separable_pallas(x, *args))
+ref = np.asarray(apply_separable_banded(x, *args))
+np.testing.assert_allclose(got, ref, atol=1e-5)
+print('separable TPU smoke OK', got.shape)
+""")
+
+
+def test_rotated_shear_kernels_on_tpu():
+    """Three-kernel rotated apply: Mosaic compile + 1-ulp numerics."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+import aainterp as aa
+from aainterp.ops.weights import ell_operator
+from aainterp.ops.pallas_shear import make_pallas_shear_apply
+
+spec = aa.make_grid_spec((256, 256), 1.0, 0.5, (128.0, 128.0), 30.0)
+op = ell_operator(spec, mode='exact')
+q = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 256, 256)),
+                dtype=jnp.float32)
+fn, arrs = make_pallas_shear_apply(op)
+import jax
+got = np.asarray(jax.jit(lambda q, *c: fn(q, *c))(q, *arrs.values()))
+ref = np.asarray(aa.apply_operator(op, q, impl='xla'))
+np.testing.assert_allclose(got, ref, atol=1e-5)
+print('rotated shear TPU smoke OK', got.shape)
+""")
