@@ -91,16 +91,18 @@ def build_shear_plan(op: EllOperator, max_window: int = 24,
     hx = hx_raw - hx_raw.min()
     TW = int(qW + hx.max() + 1)
 
-    a = np.arange(K)
-    jy = op.base[..., 0:1, None] + a[:, None]          # (Hd, Wd, K, 1)
-    jx = op.base[..., 1:2, None].swapaxes(-1, -2) + a[None, :]  # (Hd, Wd, 1, K)
-    jy = np.broadcast_to(jy, (Hd, Wd, K, K))
-    jx = np.broadcast_to(jx, (Hd, Wd, K, K))
-    jyc = np.clip(jy, 0, qH - 1)
-    jxc = np.clip(jx, 0, qW - 1)
-
-    Ty = jyc + gy[jxc]
-    Tx = jxc + hx[Ty]
+    # int32 working set: (Hd, Wd, K, K) reaches ~70M cells at 2048^2 —
+    # narrow dtypes + no broadcast materialisation keeps this pass in
+    # seconds (was the dominant host cost of the Pallas plan build)
+    a = np.arange(K, dtype=np.int32)
+    gy32 = gy.astype(np.int32)
+    hx32 = hx.astype(np.int32)
+    jyc = np.clip(op.base[..., 0:1, None] + a[:, None], 0, qH - 1)
+    jxc = np.clip(
+        op.base[..., 1:2, None].swapaxes(-1, -2) + a[None, :], 0, qW - 1
+    )
+    Ty = jyc + gy32[jxc]        # (Hd, Wd, K, K) by broadcasting
+    Tx = jxc + hx32[Ty]
 
     # spreads are computed over nonzero-weight cells only (edge windows are
     # clamped into range, and their zero-weight fringe cells would otherwise
@@ -108,7 +110,10 @@ def build_shear_plan(op: EllOperator, max_window: int = 24,
     live = op.weights != 0.0
     if not live.any():
         raise ValueError("empty operator")
-    BIG = 1 << 30
+    iy, ix, ia, ib = np.nonzero(live)
+    Ty_l = Ty[iy, ix, ia, ib]
+    Tx_l = Tx[iy, ix, ia, ib]
+    BIG = np.int32(1 << 30)
     Ty_live = np.where(live, Ty, BIG)
     Tx_live = np.where(live, Tx, BIG)
     ry0 = Ty_live.min(axis=(1, 2, 3))
@@ -125,21 +130,16 @@ def build_shear_plan(op: EllOperator, max_window: int = 24,
     # keep gathers in range
     ry0 = np.clip(ry0, 0, max(TH - Ka, 0)).astype(np.int32)
     cx0 = np.clip(cx0, 0, max(TW - Kb, 0)).astype(np.int32)
-    a2 = np.clip(Ty - ry0[:, None, None, None], 0, Ka - 1)
-    b2 = np.clip(Tx - cx0[None, :, None, None], 0, Kb - 1)
-    # zero-weight cells may be clipped arbitrarily; live cells must fit
-    assert ((Ty - ry0[:, None, None, None])[live] >= 0).all()
-    assert ((Ty - ry0[:, None, None, None])[live] < Ka).all()
-    assert ((Tx - cx0[None, :, None, None])[live] >= 0).all()
-    assert ((Tx - cx0[None, :, None, None])[live] < Kb).all()
+    a2_l = Ty_l - ry0[iy]
+    b2_l = Tx_l - cx0[ix]
+    # zero-weight cells may land anywhere; live cells must fit the window
+    assert a2_l.min() >= 0 and a2_l.max() < Ka
+    assert b2_l.min() >= 0 and b2_l.max() < Kb
 
+    # the shear composition is bijective on cells, so live cells never
+    # collide: plain fancy assignment replaces the (slow) np.add.at
     w2 = np.zeros((Hd, Wd, Ka, Kb), dtype=op.weights.dtype)
-    dyi, dxi = np.meshgrid(np.arange(Hd), np.arange(Wd), indexing="ij")
-    dyi = np.broadcast_to(dyi[..., None, None], a2.shape)
-    dxi = np.broadcast_to(dxi[..., None, None], a2.shape)
-    # the shear composition is bijective on cells, so no collisions among
-    # live cells; add.at is belt-and-braces
-    np.add.at(w2, (dyi, dxi, a2, b2), op.weights)
+    w2[iy, ix, a2_l, b2_l] = op.weights[iy, ix, ia, ib]
 
     return ShearPlan(TH=TH, TW=TW, qH=qH, qW=qW,
                      gy=gy.astype(np.int32), hx=hx.astype(np.int32),

@@ -1,0 +1,66 @@
+"""Run every BASELINE config benchmark and collect one JSON line each.
+
+Thin driver over the repo-root ``bench.py`` (which the round driver runs
+with no arguments for the flagship config).  Usage:
+
+    python benchmarks/run_all.py [--out benchmarks/results.jsonl]
+
+Each case prints its own honest calibrated-scan JSON line (see
+BENCHMARKS.md "Measurement methodology"); this script just sequences them
+on the one real chip and stores the lines.  Expect several minutes: the
+rot30 case builds its operator + kernel plan host-side (~40 s at 2048^2)
+and first-time kernel compiles go through this box's remote tunnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CASES = [
+    ("resize4k", []),            # config 4 shape: flagship 4K->1080p bf16
+    ("rgb1024", []),             # config 2: RGB arbitrary-ratio resize
+    ("rot30", []),               # config 3: 2048^2 rotation 30 deg
+    ("regrid", []),              # config 5: conservative lat-lon regrid
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.jsonl"))
+    ap.add_argument("--cases", nargs="*", default=[c for c, _ in CASES])
+    args = ap.parse_args(argv)
+
+    lines = []
+    for case, extra in CASES:
+        if case not in args.cases:
+            continue
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if case != "resize4k":
+            cmd += ["--case", case]
+        cmd += extra
+        print(f"# running {case}: {' '.join(cmd)}", flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        for ln in proc.stdout.splitlines():
+            print(ln, flush=True)
+            if ln.startswith("{"):
+                rec = json.loads(ln)
+                rec["case"] = case
+                lines.append(rec)
+        if proc.returncode != 0:
+            print(f"# {case} FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
+    with open(args.out, "w") as f:
+        for rec in lines:
+            f.write(json.dumps(rec) + "\n")
+    print(f"# wrote {len(lines)} records to {args.out}")
+    return 0 if len(lines) == len(args.cases) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
