@@ -340,17 +340,59 @@ def build_kernel_plan(op: EllOperator, tile_y: int = 128,
     )
 
 
+_PLAN_FIELDS = ("gy_col", "hx_row", "r0", "c0", "rsel", "csel", "w2t")
+
+
+def build_kernel_plan_cached(op: EllOperator, tile_y: int = 128,
+                             tile_x: int = 128,
+                             cache_dir=None) -> ShearKernelPlan:
+    """build_kernel_plan with a persistent disk cache (geometry-keyed).
+
+    The plan is data-independent like the operator itself (SURVEY.md §5
+    checkpoint/resume story); at 2048^2 it takes ~30 s to build and ~1 s
+    to load.
+    """
+    import dataclasses as _dc
+    import json as _json
+    import os as _os
+
+    from ..utils import cache as _cache
+
+    cache_dir = cache_dir or _cache.DEFAULT_CACHE_DIR
+    key = _cache.spec_key(op.spec, op.mode,
+                          f"pallas_shear_v1_{tile_y}x{tile_x}")
+    path = _os.path.join(cache_dir, f"{key}.npz")
+    if _os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        meta = _json.loads(str(z["__meta__"]))
+        return ShearKernelPlan(**meta, **{f: z[f] for f in _PLAN_FIELDS})
+    kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
+    meta = {f.name: getattr(kp, f.name) for f in _dc.fields(kp)
+            if f.name not in _PLAN_FIELDS}
+    _os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=_json.dumps(meta),
+                 **{n: getattr(kp, n) for n in _PLAN_FIELDS})
+    _os.replace(tmp, path)
+    return kp
+
+
 def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
                             tile_x: int = 128, weight_dtype=jnp.float32,
-                            interpret: bool = False):
+                            interpret: bool = False, cache: bool = False):
     """(fn, arrays): jit-ready Pallas rotated apply for an ELL operator.
 
     fn(q, **arrays) maps (F, qH, qW) -> (F, Hd, Wd).  Data dtype follows
     the input (bf16 or f32); selection matmuls run in the input dtype with
     fp32 accumulation (exact for one-hot weights); the final weighted
-    accumulation uses fp32 weights.
+    accumulation uses fp32 weights.  ``cache=True`` persists the plan on
+    disk keyed by geometry+mode (SURVEY.md §5 checkpoint/resume).
     """
-    kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
+    if cache:
+        kp = build_kernel_plan_cached(op, tile_y=tile_y, tile_x=tile_x)
+    else:
+        kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
     arrays = dict(
         gy_col=jnp.asarray(kp.gy_col),
         hx_row=jnp.asarray(kp.hx_row),

@@ -174,7 +174,7 @@ def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
         try:
             from aainterp.ops.pallas_shear import make_pallas_shear_apply
 
-            fn, arrs = make_pallas_shear_apply(op)
+            fn, arrs = make_pallas_shear_apply(op, cache=True)
         except Exception as e:
             print(f"# pallas shear unavailable ({type(e).__name__}: {e}); "
                   "falling back to XLA sheared")

@@ -64,6 +64,23 @@ def test_downscale_ratio():
     _check(192, 192, 20.0, sr=1.0, dr=1.0)
 
 
+def test_plan_disk_cache_roundtrip(tmp_path):
+    """build_kernel_plan_cached: save -> load reproduces the plan exactly."""
+    from aainterp.ops.pallas_shear import build_kernel_plan_cached
+    import dataclasses
+
+    spec = aa.make_grid_spec((128, 160), 1.0, 0.5, (80.0, 64.0), 30.0)
+    op = ell_operator(spec, mode="exact")
+    kp1 = build_kernel_plan_cached(op, cache_dir=str(tmp_path))
+    kp2 = build_kernel_plan_cached(op, cache_dir=str(tmp_path))  # cache hit
+    for f in dataclasses.fields(kp1):
+        v1, v2 = getattr(kp1, f.name), getattr(kp2, f.name)
+        if isinstance(v1, np.ndarray):
+            np.testing.assert_array_equal(v1, v2)
+        else:
+            assert v1 == v2, f.name
+
+
 def test_plan_selectors_are_one_hot():
     spec = aa.make_grid_spec((160, 224), 1.0, 0.5, (112.0, 80.0), 30.0)
     op = ell_operator(spec, mode="exact")
