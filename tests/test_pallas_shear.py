@@ -64,6 +64,33 @@ def test_downscale_ratio():
     _check(192, 192, 20.0, sr=1.0, dr=1.0)
 
 
+def test_fuzz_random_geometries():
+    """Random shapes/angles/ratios vs the XLA apply (interpret mode)."""
+    rng = np.random.default_rng(123)
+    for _ in range(8):
+        H = int(rng.integers(96, 288))
+        W = int(rng.integers(96, 288))
+        ang = float(rng.uniform(0.5, 359.5))
+        sr = float(rng.uniform(0.5, 4.0))
+        dr = sr / float(rng.uniform(1.2, 3.0))
+        iso = (float(rng.uniform(0, W)), float(rng.uniform(0, H)))
+        spec = aa.make_grid_spec((H, W), sr, dr, iso, ang)
+        if spec.is_axis_aligned:
+            continue
+        op = ell_operator(spec, mode="exact")
+        src = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+        q = apply_ops.quadrant_rotate(src, spec.quadrant)
+        ref = aa.apply_operator(op, src, impl="xla")
+        try:
+            fn, arrs = make_pallas_shear_apply(op, interpret=True)
+        except ValueError:
+            continue  # geometry too small for the tiled kernel: XLA path
+        got = fn(q, **arrs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6,
+            err_msg=f"H={H} W={W} ang={ang} sr={sr} dr={dr} iso={iso}")
+
+
 def test_plan_disk_cache_roundtrip(tmp_path):
     """build_kernel_plan_cached: save -> load reproduces the plan exactly."""
     from aainterp.ops.pallas_shear import build_kernel_plan_cached
