@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "0 = full %%.17g)")
     p.add_argument("--no-banner", action="store_true",
                    help="suppress the reference's parameter banner")
+    p.add_argument("--cache-dir", default=None, metavar="DIR",
+                   help="persist/reuse the geometry-keyed operator on disk "
+                        "(repeat runs skip weight-gen; see utils/cache.py)")
     p.add_argument("--verbose", action="store_true",
                    help="also print dstIsocenter (extra over the reference's "
                         "stdout)")
@@ -88,9 +91,22 @@ def main(argv=None) -> int:
                          tuple(args.isocenter), args.angle))
     start = time.perf_counter()
     try:
+        operator = None
+        if args.cache_dir:
+            from .grids import make_grid_spec
+            from .utils.cache import build_operator_cached
+
+            spec = make_grid_spec(
+                (src.shape[-2], src.shape[-1]), args.src_resolution,
+                args.dst_resolution, tuple(args.isocenter), args.angle,
+            )
+            operator = build_operator_cached(
+                spec, mode=mode, cache_dir=args.cache_dir
+            )
         result = api.area_average_interpolate(
             src, args.src_resolution, args.dst_resolution,
             tuple(args.isocenter), args.angle, mode=mode,
+            operator=operator,
         )
         dst = np.asarray(jax_block(result.dst))
     except ValidationError as e:

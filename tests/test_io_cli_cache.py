@@ -194,6 +194,32 @@ def test_cli_stdout_matches_reference(tmp_path, mode):
         np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=2e-6)
 
 
+def test_cli_cache_dir_flag(tmp_path):
+    """--cache-dir persists the operator and reuses it on the second run."""
+    img = np.random.default_rng(2).uniform(0, 1, (16, 16))
+    inp = str(tmp_path / "in.csv")
+    iom.csv_write(inp, img)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    cache = str(tmp_path / "opcache")
+    cmd = [sys.executable, "-m", "aainterp.cli", inp,
+           "--src-resolution", "2", "--dst-resolution", "1",
+           "--isocenter", "4", "4", "--angle", "0", "--mode", "1",
+           "--cache-dir", cache]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert p1.returncode == 0, p1.stderr
+    files = os.listdir(cache)
+    assert any(f.endswith(".npz") for f in files), files
+    out1 = iom.csv_read(str(tmp_path / "in_mod.csv"))
+    p2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert p2.returncode == 0, p2.stderr
+    out2 = iom.csv_read(str(tmp_path / "in_mod.csv"))
+    np.testing.assert_array_equal(out1, out2)
+
+
 def test_profiler_trace_smoke(tmp_path):
     """jax.profiler trace hook (SURVEY.md §5 tracing) produces a trace dir."""
     from aainterp.utils.log import device_timer, profile_trace
