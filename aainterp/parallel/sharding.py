@@ -46,8 +46,14 @@ def _row_halo(y_start: np.ndarray, band: int, n_src: int, n_dst: int,
     return max(h, 0)
 
 
-def _halo_extend(x, h: int, axis_name: str):
-    """Extend the sharded row axis (-2) by h rows from each ring neighbour.
+def _halo_extend(x, h: int, axis_name: str, n_dev: int):
+    """Extend the sharded row axis (-2) by h rows from ring neighbours.
+
+    Multi-hop: when the halo exceeds the per-chip block (steep rotations,
+    narrow shards), hop k in 1..ceil(h/sb) fetches a (partial on the last
+    hop) block from the chips k positions away on each side, each hop one
+    ``ppermute`` over ICI.  Since band indices are in [0, n_src) the halo
+    is at most (n_dev-1)*sb, so every valid operator is coverable.
 
     Missing neighbours at the edges contribute zeros (ppermute semantics),
     which is correct because the rebased band indices never reach the pad
@@ -55,16 +61,22 @@ def _halo_extend(x, h: int, axis_name: str):
     """
     if h == 0:
         return x
-    n = jax.lax.psum(1, axis_name)
-    # my top h rows -> previous chip's bottom pad
-    from_next = jax.lax.ppermute(
-        x[..., :h, :], axis_name, [(k, k - 1) for k in range(1, n)]
-    )
-    # my bottom h rows -> next chip's top pad
-    from_prev = jax.lax.ppermute(
-        x[..., -h:, :], axis_name, [(k, k + 1) for k in range(n - 1)]
-    )
-    return jnp.concatenate([from_prev, x, from_next], axis=-2)
+    sb = x.shape[-2]
+    hops = -(-h // sb)
+    assert hops <= n_dev - 1, (h, sb, n_dev)
+    parts_prev, parts_next = [], []
+    for k in range(1, hops + 1):
+        hk = min(sb, h - (k - 1) * sb)  # partial block on the last hop
+        # top hk rows of chip i+k -> below my block
+        parts_next.append(jax.lax.ppermute(
+            x[..., :hk, :], axis_name, [(j, j - k) for j in range(k, n_dev)]
+        ))
+        # bottom hk rows of chip i-k -> above my block
+        parts_prev.append(jax.lax.ppermute(
+            x[..., -hk:, :], axis_name,
+            [(j, j + k) for j in range(n_dev - k)]
+        ))
+    return jnp.concatenate(parts_prev[::-1] + [x] + parts_next, axis=-2)
 
 
 def sharded_apply_banded(
@@ -82,14 +94,6 @@ def sharded_apply_banded(
     qH, Hd = y_band.n_src, y_band.n_dst
     halo = _row_halo(y_band.start, y_band.band, qH, Hd, n_dev)
     sb = qH // n_dev
-    if halo >= sb:
-        # _halo_extend slices x[..., :h, :] from each neighbour: a halo
-        # wider than the per-chip block would silently clip and corrupt
-        # the rebased band indices (mirrors the guard in sharded_apply_ell)
-        raise ValueError(
-            f"halo {halo} >= rows-per-chip {sb}: band too wide for this "
-            "mesh; use fewer row shards or the unsharded apply"
-        )
 
     y_start = jnp.asarray(y_band.start)
     y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)
@@ -103,7 +107,7 @@ def sharded_apply_banded(
 
     def local_fn(frames_blk, y_start_blk, y_w_blk, x_start_l, x_w_l):
         i = jax.lax.axis_index(row_axis)
-        ext = _halo_extend(frames_blk, halo, row_axis)
+        ext = _halo_extend(frames_blk, halo, row_axis, n_dev)
         # rebase global row indices into the halo-extended local block
         local_start = y_start_blk - (i * sb - halo)
         return apply_ops.apply_separable_banded(
@@ -155,9 +159,11 @@ def sharded_apply_ell(
 ) -> jax.Array:
     """Row-sharded rotated (ELL) apply with halo exchange.
 
-    The halo is the max diagonal overhang of any chip's window bases — grows
-    with W*sin(angle), so this suits modest rotations or tall meshes; the
-    dense fallback for extreme angles is an unsharded apply.
+    The halo is the max diagonal overhang of any chip's window bases — it
+    grows with W*sin(angle); steep rotations spill past the nearest
+    neighbour and are served by the multi-hop exchange in ``_halo_extend``
+    (hop k trades one more ppermute for sb more halo rows, degrading
+    gracefully toward an all-gather as the angle approaches 90 deg).
     """
     n_dev = mesh.shape[row_axis]
     qH, qW = op.spec.qrot_shape
@@ -175,11 +181,6 @@ def sharded_apply_ell(
         halo = max(halo, i * sb - int(blk.min()),
                    int(blk.max()) + K - (i + 1) * sb)
     halo = max(halo, 0)
-    if halo >= sb:
-        raise ValueError(
-            f"halo {halo} >= rows-per-chip {sb}: rotation too steep for this "
-            "mesh; use fewer row shards or the unsharded apply"
-        )
 
     base = jnp.asarray(op.base)
     w = jnp.asarray(op.weights, dtype=jnp.float32)
@@ -189,7 +190,7 @@ def sharded_apply_ell(
 
     def local_fn(frames_blk, base_blk, w_blk):
         i = jax.lax.axis_index(row_axis)
-        ext = _halo_extend(frames_blk, halo, row_axis)
+        ext = _halo_extend(frames_blk, halo, row_axis, n_dev)
         rebased = base_blk.at[..., 0].add(-(i * sb - halo))
         return apply_ops.apply_ell(ext, rebased, w_blk)
 

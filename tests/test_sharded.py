@@ -74,17 +74,22 @@ def test_sharded_ell_rotated_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_steep_rotation_halo_guard():
+def test_steep_rotation_multi_hop_halo():
     # 45 deg on a wide 32x512 image: Hd=192, qH=32 (both divide 8); the
-    # diagonal halo exceeds the 4-row shards and must be rejected
+    # diagonal halo spans several 4-row shards, exercising the multi-hop
+    # ring exchange (round-1 guard replaced in round 2, ROADMAP item 4)
     H, W = 32, 512
     spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 45.0)
     assert spec.dst_shape[0] % 8 == 0 and spec.qrot_shape[0] % 8 == 0
     op = ell_operator(spec, mode="exact")
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "rows"))
-    frames = jnp.zeros((1, H, W), jnp.float32)
-    with pytest.raises(ValueError, match="halo"):
-        sharded_apply_ell(frames, op, mesh)
+    frames = jnp.asarray(RNG.uniform(0, 1, (1, H, W)).astype(np.float32))
+    fdev = jax.device_put(
+        frames, NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = jax.jit(lambda f: sharded_apply_ell(f, op, mesh))(fdev)
+    ref = aa.apply_operator(op, frames)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_sharded_quadrant_rotations():
@@ -119,25 +124,32 @@ def test_sharded_quadrant_rotations():
                                atol=1e-5)
 
 
-def test_banded_halo_guard():
-    """sharded_apply_banded must reject halos wider than the per-chip block
-    instead of silently clipping _halo_extend's neighbour slices (round-1
-    advisor finding on parallel/sharding.py)."""
+def test_banded_extreme_halo_full_ring():
+    """Worst-case halo: every dst row reads src rows 0..2, so the last chip
+    needs rows 7 hops away — the maximal (n_dev-1)-hop exchange.  Round 1
+    rejected this; the multi-hop _halo_extend must now compute it exactly."""
+    from aainterp.ops.apply import apply_separable_banded
     from aainterp.ops.overlap1d import Band1D
     from aainterp.parallel.sharding import sharded_apply_banded
 
     n = 32
-    # every dst row reads src rows 0..2: the last chip's halo reaches across
-    # the whole image, far beyond its 4-row block
     band = Band1D(
         start=np.zeros(n, np.int32),
         weights=np.full((n, 3), 1.0 / 3.0, np.float64),
         n_src=n, n_dst=n,
     )
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("data", "rows"))
-    frames = jnp.zeros((1, n, n), jnp.float32)
-    with pytest.raises(ValueError, match="halo"):
-        sharded_apply_banded(frames, band, band, mesh)
+    frames = jnp.asarray(RNG.uniform(0, 1, (1, n, n)).astype(np.float32))
+    fdev = jax.device_put(
+        frames, NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = jax.jit(lambda f: sharded_apply_banded(f, band, band, mesh))(fdev)
+    ref = apply_separable_banded(
+        frames, jnp.asarray(band.start),
+        jnp.asarray(band.weights, jnp.float32),
+        jnp.asarray(band.start), jnp.asarray(band.weights, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_sharded_regrid_matches_unsharded():
