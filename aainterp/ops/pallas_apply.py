@@ -85,7 +85,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                             ky, wy_width, out_dtype_name, in_dtype_name,
                             y_pass="mxu", stride_m=0, x_bases=None,
                             c0_static=-1, buf_rows=0, bf16_x=False,
-                            interpret=False):
+                            double_buffer=True, interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
     # TPU f32 matmuls at DEFAULT precision silently truncate operands to
@@ -105,6 +105,12 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     PPAD = 8  # zeroed pad rows per parity buffer (residue + structural)
     if y_pass == "strided":
         rows_per_par = buf_rows
+    # cross-grid-step double buffering of the band DMA (mxu path): grid
+    # steps run sequentially per core and scratch/semaphores persist, so
+    # step t issues step t+1's band fetch before waiting on its own —
+    # overlapping the HBM read with the y/x matmuls
+    db = bool(double_buffer) and y_pass == "mxu"
+    NSLOT = 2 if db else 1
 
     def kernel(row_base_ref, col_base_ref, row_off_ref, yw_flat_ref,
                src_ref, wy_ref, wx_ref, out_ref, src_buf, tmp_buf, sem):
@@ -144,6 +150,28 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 rows = src_buf[j, q: q + TY, :]
                 acc = acc + wy_ref[0, :, k:k + 1] * rows.astype(jnp.float32)
             tmp_buf[:] = acc
+        elif db:
+            def band_dma(step, slot_i):
+                tr = jax.lax.rem(step, nty)
+                fr = jax.lax.div(step, nty)
+                return pltpu.make_async_copy(
+                    src_ref.at[fr, pl.ds(
+                        pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                    src_buf.at[slot_i],
+                    sem.at[slot_i],
+                )
+
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t == 0)
+            def _():
+                band_dma(t, slot).start()
+
+            @pl.when(t + 1 < F * nty)
+            def _():
+                band_dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+            band_dma(t, slot).wait()
         else:
             dma = pltpu.make_async_copy(
                 src_ref.at[frame, pl.ds(
@@ -156,9 +184,10 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
 
         if y_pass == "mxu":
             # dense banded block on the MXU: simple but SY/ky x wasted FLOPs
+            band = src_buf[slot] if db else src_buf[:]
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
-                src_buf[:].astype(jnp.float32),
+                band.astype(jnp.float32),
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )  # (TY, W)
@@ -222,9 +251,10 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         ),
         scratch_shapes=[
             (pltpu.VMEM((m, buf_rows, W), in_dtype) if y_pass == "strided"
+             else pltpu.VMEM((NSLOT, SY, W), in_dtype) if db
              else pltpu.VMEM((SY, W), in_dtype)),
             pltpu.VMEM((TY, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((max(m, 1),)),
+            pltpu.SemaphoreType.DMA((max(m, NSLOT),)),
         ],
     )
 
@@ -259,6 +289,7 @@ def apply_separable_pallas(
     y_pass: str = "auto",
     x_static: bool = False,
     bf16_x: bool = False,
+    double_buffer: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
@@ -270,7 +301,8 @@ def apply_separable_pallas(
     if frames.ndim == 2:
         return apply_separable_pallas(
             frames[None], y_start, y_w, x_start, x_w,
-            tile_y=tile_y, tile_x=tile_x, y_pass=y_pass, interpret=interpret,
+            tile_y=tile_y, tile_x=tile_x, y_pass=y_pass,
+            double_buffer=double_buffer, interpret=interpret,
         )[0]
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
@@ -294,7 +326,8 @@ def apply_separable_pallas(
     # callers would otherwise redo ~ms of numpy per frame batch)
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
-        F, H, W, TY, TX, y_pass, x_static, bf16_x, str(frames.dtype),
+        F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer,
+        str(frames.dtype),
     )
     cached = _PREP_CACHE.get(prep_key)
     if cached is not None:
@@ -439,7 +472,7 @@ def apply_separable_pallas(
         build_args=(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
                     jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
                     y_pass, stride_m, x_bases, c0_static, buf_rows,
-                    bf16_x),
+                    bf16_x, double_buffer),
         row_base=jnp.asarray(row_base),
         col_base=jnp.asarray(col_base),
         row_off=jnp.asarray(row_off),

@@ -141,16 +141,34 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                tblk, sem):
         t = pl.program_id(0)
         f = pl.program_id(1)
-        ty = jax.lax.div(t, ntx)
-        r0 = pl.multiple_of(r0_ref[ty], 8)
-        c0 = pl.multiple_of(c0_ref[jax.lax.rem(t, ntx)], 128)
-        dma = pltpu.make_async_copy(
-            t_ref.at[f, pl.ds(r0, SRF), pl.ds(c0, SCF)], tblk, sem)
-        dma.start()
-        dma.wait()
+
+        # cross-grid-step double buffering: frames iterate innermost, so
+        # step (t, f) prefetches step (t, f+1)'s (or (t+1, 0)'s) T block
+        # while the one-hot contraction of the current block runs
+        def tblk_dma(tt, ff, slot_i):
+            r0 = pl.multiple_of(r0_ref[jax.lax.div(tt, ntx)], 8)
+            c0 = pl.multiple_of(c0_ref[jax.lax.rem(tt, ntx)], 128)
+            return pltpu.make_async_copy(
+                t_ref.at[ff, pl.ds(r0, SRF), pl.ds(c0, SCF)],
+                tblk.at[slot_i], sem.at[slot_i])
+
+        s = t * F + f
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s == 0)
+        def _():
+            tblk_dma(t, f, slot).start()
+
+        @pl.when(s + 1 < nty * ntx * F)
+        def _():
+            tblk_dma(jax.lax.div(s + 1, F), jax.lax.rem(s + 1, F),
+                     jax.lax.rem(s + 1, 2)).start()
+
+        tblk_dma(t, f, slot).wait()
+        blk = tblk[slot]
         acc = jnp.zeros((TYd, TXd), jnp.float32)
         for b in range(Kb):
-            vb = jnp.dot(tblk[:], csel_ref[0, b], precision=prec,
+            vb = jnp.dot(blk, csel_ref[0, b], precision=prec,
                          preferred_element_type=jnp.float32).astype(dtype)
             for a in range(Ka):
                 sel = jnp.dot(rsel_ref[0, a], vb, precision=prec,
@@ -179,8 +197,8 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((SRF, SCF), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, SRF, SCF), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     flops = 2 * F * nty * ntx * (Kb * SRF * SCF * TXd
