@@ -56,6 +56,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         + [c_i32p, c_f64p, c_f64p]
     )
     lib.aai_ell_weights.restype = None
+    c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.aai_compat_cell_areas.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_f64p, c_f64p, c_i64p, c_i64p, ctypes.c_int, c_f64p,
+    ]
+    lib.aai_compat_cell_areas.restype = None
     lib.aai_csv_read.argtypes = [
         ctypes.c_char_p, c_f64p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -97,6 +103,30 @@ def ell_weights_native(spec, mode: str = "exact", normalise: bool = True,
         base, w, sums,
     )
     return base, w, sums
+
+
+def compat_cell_areas_native(qvx, qvy, mx0, my0, Km: int, modH: int,
+                             modW: int, n_threads: int = 0) -> np.ndarray:
+    """Native counterpart of the compat per-cell state machine.
+
+    qvx/qvy: (..., 4) reference-constructed dst quad corners; mx0/my0:
+    (...,) clamped mod-window bases.  Returns areas (..., Km, Km), zero
+    outside [0, modW-1] x [0, modH-1].  Bit-exact vs ops/compat.py
+    (tests/test_native.py) — the C++ build disables fp contraction.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    shape = np.asarray(mx0).shape
+    n_pix = int(np.prod(shape)) if shape else 1
+    qvx = np.ascontiguousarray(np.asarray(qvx, np.float64).reshape(n_pix, 4))
+    qvy = np.ascontiguousarray(np.asarray(qvy, np.float64).reshape(n_pix, 4))
+    mx0 = np.ascontiguousarray(np.asarray(mx0, np.int64).reshape(n_pix))
+    my0 = np.ascontiguousarray(np.asarray(my0, np.int64).reshape(n_pix))
+    areas = np.empty((n_pix, Km, Km), dtype=np.float64)
+    lib.aai_compat_cell_areas(n_pix, Km, modH, modW, qvx, qvy, mx0, my0,
+                              int(n_threads), areas)
+    return areas.reshape(shape + (Km, Km))
 
 
 def csv_read_native(path: str, cap_rows: int = 32768,

@@ -524,6 +524,7 @@ def compat_ell_weights(
     spec: GridSpec,
     dy_slice: Optional[Tuple[int, int]] = None,
     normalise: bool = True,
+    prefer_native: bool = True,
 ):
     """Reference-compatible exact weights, collapsed to original-cell ELL.
 
@@ -568,16 +569,31 @@ def compat_ell_weights(
     mx = np.broadcast_to(mx, (R, Wd, Km, Km))
     my = np.broadcast_to(my, (R, Wd, Km, Km))
 
-    cell_x0 = mx - 0.5
-    cell_y0 = my - 0.5
-    st = compat_cell_state(
-        np.broadcast_to(qvx[..., None, None, :], (R, Wd, Km, Km, 4)),
-        np.broadcast_to(qvy[..., None, None, :], (R, Wd, Km, Km, 4)),
-        cell_x0.astype(np.float64), cell_y0.astype(np.float64),
-    )
-    areas = compat_get_area(st)
-    in_range = (mx >= 0) & (mx <= modW - 1) & (my >= 0) & (my <= modH - 1)
-    areas = np.where(in_range, areas, 0.0)
+    areas = None
+    if prefer_native:
+        # multithreaded C++ state machine (native/aainterp_native.cpp),
+        # bit-exact vs the numpy path below (-ffp-contract=off build;
+        # validated in tests/test_native.py) and ~100x faster
+        try:
+            from .. import native
+
+            if native.available():
+                areas = native.compat_cell_areas_native(
+                    qvx, qvy, mx0, my0, Km, modH, modW)
+        except Exception:
+            areas = None  # fall back to numpy
+    if areas is None:
+        cell_x0 = mx - 0.5
+        cell_y0 = my - 0.5
+        st = compat_cell_state(
+            np.broadcast_to(qvx[..., None, None, :], (R, Wd, Km, Km, 4)),
+            np.broadcast_to(qvy[..., None, None, :], (R, Wd, Km, Km, 4)),
+            cell_x0.astype(np.float64), cell_y0.astype(np.float64),
+        )
+        areas = compat_get_area(st)
+        in_range = ((mx >= 0) & (mx <= modW - 1)
+                    & (my >= 0) & (my <= modH - 1))
+        areas = np.where(in_range, areas, 0.0)
 
     # collapse replica (mod) cells into original cells.  The original-cell
     # window must cover the ENTIRE mod search window (at image edges the

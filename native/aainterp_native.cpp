@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <thread>
 #include <vector>
@@ -172,6 +173,372 @@ void aai_ell_weights(
         if (y0 < y1) threads.emplace_back(worker, y0, y1);
     }
     for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------
+// Reference-compatibility (bug-for-bug) cell areas.
+//
+// Scalar transcription of aainterp/ops/compat.py (itself a faithful
+// replica of Source.cpp:327-1431): 16 segment-intersection tests with
+// DBL_EPSILON conventions, the tangent-contact edge filter, sort +
+// tangency dedup rules, infinite-ray center inclusion, strict vertex-in,
+// and the full type 0-9 getArea dispatch including the type-2 mixed-pair
+// defect.  Operation order matches the numpy module expression-for-
+// expression; the build uses -ffp-contract=off so doubles agree bit for
+// bit (validated by tests/test_native.py::test_compat_areas_bitexact).
+// ---------------------------------------------------------------------
+
+namespace compat {
+
+constexpr double kEps = 2.220446049250313e-16;  // DBL_EPSILON
+const double kInf = std::numeric_limits<double>::infinity();
+
+struct Seg { int typ; double r, s; };
+
+// getIntersectionType (Source.cpp:986-1034) exactly as compat.py
+inline Seg seg_intersection(double p1x, double p1y, double p2x, double p2y,
+                            double q1x, double q1y, double q2x, double q2y) {
+    const double den = (p2x - p1x) * (q2y - q1y) - (p2y - p1y) * (q2x - q1x);
+    const double rn = (q1x - p1x) * (q2y - q1y) - (q1y - p1y) * (q2x - q1x);
+    const double sn = (p2y - p1y) * (q1x - p1x) - (p2x - p1x) * (q1y - p1y);
+    const bool par = std::fabs(den) <= kEps;
+    const bool overlap = par && std::fabs(rn) <= kEps && std::fabs(sn) <= kEps;
+    const double safe = par ? 1.0 : den;
+    const double r = rn / safe;
+    const double s = sn / safe;
+    const bool in01 = (-kEps <= r) && (r <= 1.0 + kEps)
+                      && (-kEps <= s) && (s <= 1.0 + kEps);
+    const bool endpoint = std::fabs(r) <= kEps || std::fabs(r - 1.0) <= kEps
+                          || std::fabs(s) <= kEps || std::fabs(s - 1.0) <= kEps;
+    int typ;
+    if (overlap) typ = 2;
+    else if (par) typ = 1;
+    else if (in01 && endpoint) typ = 4;
+    else if (in01) typ = 3;
+    else typ = 5;
+    return {typ, r, s};
+}
+
+struct SideList {
+    double v[4];
+    bool valid[4];
+    double sorted[4];
+    int count;
+};
+
+inline void sort_by_value(double* v, bool* valid) {
+    // 4-element sort ascending by value, carrying valid (values are
+    // finite where valid, +inf otherwise, so ordering matches numpy)
+    for (int i = 1; i < 4; ++i) {
+        double tv = v[i]; bool tb = valid[i];
+        int j = i - 1;
+        while (j >= 0 && v[j] > tv) {
+            v[j + 1] = v[j]; valid[j + 1] = valid[j]; --j;
+        }
+        v[j + 1] = tv; valid[j + 1] = tb;
+    }
+}
+
+// One mod cell vs one dst quad: PixelState + getArea (compat.py
+// compat_cell_state + compat_get_area, scalarised).
+double cell_area(const double qvx[4], const double qvy[4],
+                 double x0, double y0) {
+    const double x1 = x0 + 1.0, y1 = y0 + 1.0;
+    static const int edges[4][2] = {{0, 1}, {2, 3}, {0, 2}, {1, 3}};
+    // sides i=0..3 -> xa (top), ya (left), yb (right), xb (bottom)
+    const double sq[4][4] = {
+        {x0, y0, x1, y0},
+        {x0, y0, x0, y1},
+        {x1, y0, x1, y1},
+        {x0, y1, x1, y1},
+    };
+
+    double s_vals[4][4];
+    int types[4][4];
+    for (int e = 0; e < 4; ++e) {
+        const double p1x = qvx[edges[e][0]], p1y = qvy[edges[e][0]];
+        const double p2x = qvx[edges[e][1]], p2y = qvy[edges[e][1]];
+        for (int i = 0; i < 4; ++i) {
+            Seg g = seg_intersection(p1x, p1y, p2x, p2y,
+                                     sq[i][0], sq[i][1], sq[i][2], sq[i][3]);
+            types[e][i] = g.typ;
+            s_vals[e][i] = g.s;
+        }
+    }
+
+    // tangent-contact edge filter (Source.cpp:327-342)
+    bool skip_edge[4];
+    for (int e = 0; e < 4; ++e) {
+        int c4 = 0, c3 = 0;
+        for (int i = 0; i < 4; ++i) {
+            c4 += types[e][i] == 4;
+            c3 += types[e][i] == 3;
+        }
+        skip_edge[e] = (c4 == 1) && (c3 == 0);
+    }
+
+    // side lists keyed xa, ya, yb, xb (slot per edge), sorted
+    SideList L[4];
+    for (int i = 0; i < 4; ++i) {
+        for (int e = 0; e < 4; ++e) {
+            bool emit = (types[e][i] == 3 || types[e][i] == 4)
+                        && !skip_edge[e];
+            L[i].v[e] = emit ? s_vals[e][i] : kInf;
+            L[i].valid[e] = emit;
+        }
+        sort_by_value(L[i].v, L[i].valid);
+    }
+    SideList& xa = L[0];
+    SideList& ya = L[1];
+    SideList& yb = L[2];
+    SideList& xb = L[3];
+
+    // dedup rules 1 & 2 (Source.cpp:498-564)
+    auto exists_le = [](const SideList& s) {
+        for (int e = 0; e < 4; ++e)
+            if (s.valid[e] && s.v[e] <= kEps) return true;
+        return false;
+    };
+    auto exists_ge = [](const SideList& s) {
+        for (int e = 0; e < 4; ++e)
+            if (s.valid[e] && 1.0 - s.v[e] <= kEps) return true;
+        return false;
+    };
+    const bool xa_le = exists_le(xa), xb_le = exists_le(xb);
+    const bool xa_ge = exists_ge(xa), xb_ge = exists_ge(xb);
+    for (int e = 0; e < 4; ++e) {
+        const double v = ya.v[e];
+        if (v <= kEps) { if (!xa_le) ya.valid[e] = false; }
+        else if (1.0 - v <= kEps) { if (!xb_le) ya.valid[e] = false; }
+    }
+    for (int e = 0; e < 4; ++e) {
+        const double v = yb.v[e];
+        if (v <= kEps) { if (!xa_ge) yb.valid[e] = false; }
+        else if (1.0 - v <= kEps) { if (!xb_ge) yb.valid[e] = false; }
+    }
+    for (SideList* s : {&xa, &xb})
+        for (int e = 0; e < 4; ++e) {
+            const double v = s->v[e];
+            if (!(v > kEps && 1.0 - v > kEps)) s->valid[e] = false;
+        }
+
+    // compact: invalid -> inf, sort, count
+    for (SideList* s : {&xa, &ya, &yb, &xb}) {
+        s->count = 0;
+        for (int e = 0; e < 4; ++e) {
+            s->sorted[e] = s->valid[e] ? s->v[e] : kInf;
+            s->count += s->valid[e];
+        }
+        std::sort(s->sorted, s->sorted + 4);
+    }
+
+    // center inclusion: infinite axis ray cast, cycle v0,v1,v3,v2
+    static const int cyc[4] = {0, 1, 3, 2};
+    const double cx = (x0 + x1) / 2.0, cy = (y0 + y1) / 2.0;
+    static const double rays[4][2] = {
+        {0.0, -100.0}, {0.0, 100.0}, {-100.0, 0.0}, {100.0, 0.0}};
+    bool center_in = true;
+    for (int rr = 0; rr < 4; ++rr) {
+        bool crossed = false;
+        for (int k = 0; k < 4; ++k) {
+            const int a = cyc[k], b = cyc[(k + 1) % 4];
+            Seg g = seg_intersection(cx, cy, cx + rays[rr][0],
+                                     cy + rays[rr][1],
+                                     qvx[a], qvy[a], qvx[b], qvy[b]);
+            if (g.typ >= 3 && -kEps < g.r && -kEps < g.s
+                && g.s < 1.0 + kEps)
+                crossed = true;
+        }
+        center_in = center_in && crossed;
+    }
+
+    // vertex-in-cell: strict with eps, LAST vertex wins
+    bool ver = false;
+    double vx = -1.0, vy = -1.0;
+    for (int i = 0; i < 4; ++i) {
+        const double px = qvx[i], py = qvy[i];
+        if (x0 + kEps < px && px < x1 - kEps
+            && y0 + kEps < py && py < y1 - kEps) {
+            ver = true;
+            vx = px - x0;
+            vy = py - y0;
+        }
+    }
+
+    // ---- getArea dispatch (Source.cpp:1035-1431) ----
+    const int nxa = xa.count, nxb = xb.count, nya = ya.count, nyb = yb.count;
+    const int xc = nxa + nxb, yc = nya + nyb;
+    auto first = [](const SideList& s, int cnt) {
+        return cnt > 0 ? (std::isfinite(s.sorted[0]) ? s.sorted[0] : 0.0)
+                       : 0.0;
+    };
+    const double xa0 = first(xa, nxa), xa1 = nxa > 1 ? xa.sorted[1] : 0.0;
+    const double xb0 = first(xb, nxb), xb1 = nxb > 1 ? xb.sorted[1] : 0.0;
+    const double ya0 = first(ya, nya), ya1 = nya > 1 ? ya.sorted[1] : 0.0;
+    const double yb0 = first(yb, nyb), yb1 = nyb > 1 ? yb.sorted[1] : 0.0;
+
+    const double fallback = center_in ? 1.0 : 0.0;
+
+    if (ver) {
+        const bool any_two = nxa == 2 || nxb == 2 || nya == 2 || nyb == 2;
+        const bool x20_or_02 = ((xc == 2) && (yc == 0))
+                               || ((xc == 0) && (yc == 2));
+        if (x20_or_02 && any_two) {
+            // type 7: map order xa < xb < ya < yb, LAST with 2 wins
+            double base7 = 0.0, height7 = 0.0;
+            if (nxa == 2) { base7 = std::fabs(xa0 - xa1); height7 = vy; }
+            if (nxb == 2) { base7 = std::fabs(xb0 - xb1); height7 = 1.0 - vy; }
+            if (nya == 2) { base7 = std::fabs(ya0 - ya1); height7 = vx; }
+            if (nyb == 2) { base7 = std::fabs(yb0 - yb1); height7 = 1.0 - vx; }
+            return 0.5 * base7 * height7;
+        }
+        if (x20_or_02) {
+            // type 9: pentagon, 4 subcases
+            if (nxa == 1 && nxb == 1) {
+                if (std::fmax(xa0, xb0) <= vx)
+                    return 0.5 * xa0 * vy + 0.5 * vx + 0.5 * xb0 * (1.0 - vy);
+                return 0.5 * (1.0 - xa0) * vy + 0.5 * (1.0 - vx)
+                       + 0.5 * (1.0 - xb0) * (1.0 - vy);
+            }
+            if (std::fmax(ya0, yb0) <= vy)
+                return 0.5 * ya0 * vx + 0.5 * vy + 0.5 * yb0 * (1.0 - vx);
+            return 0.5 * (1.0 - ya0) * vx + 0.5 * (1.0 - vy)
+                   + 0.5 * (1.0 - yb0) * (1.0 - vx);
+        }
+        if (xc == 1 && yc == 1) {
+            // type 8: quadrangle with dst vertex
+            if (nxa == 1 && nya == 1) return 0.5 * xa0 * vy + 0.5 * ya0 * vx;
+            if (nxa == 1 && nyb == 1)
+                return 0.5 * (1.0 - xa0) * vy + 0.5 * yb0 * (1.0 - vx);
+            if (nxb == 1 && nya == 1)
+                return 0.5 * xb0 * (1.0 - vy) + 0.5 * (1.0 - ya0) * vx;
+            return 0.5 * (1.0 - xb0) * (1.0 - vy)
+                   + 0.5 * (1.0 - yb0) * (1.0 - vx);
+        }
+        return fallback;
+    }
+
+    if (xc == 0 && yc == 0) return center_in ? 1.0 : 0.0;
+    if (xc == 1 && yc == 1) {
+        // type 2 / type 4, faithfully including the mixed-pair defect
+        const double t2x = nxa != 0 ? xa0 : 1.0 - xb0;
+        const double t2y = nya != 0 ? ya0 : 1.0 - yb0;
+        const double type2 = 0.5 * t2x * t2y;
+        return center_in ? 1.0 - type2 : type2;
+    }
+    if ((xc == 2 && yc == 0) || (xc == 0 && yc == 2)) {
+        // type 3: trapezoid with center disambiguation
+        const bool has_x = nxa != 0 && nxb != 0;
+        const bool has_y = nya != 0 && nyb != 0;
+        if (has_x || has_y) {
+            const double s1 = has_x ? xa0 : ya0;
+            const double s2 = has_x ? xb0 : yb0;
+            const double trap = 0.5 * (s1 + s2);
+            return center_in ? std::fmax(trap, 1.0 - trap)
+                             : std::fmin(trap, 1.0 - trap);
+        }
+        return center_in ? 1.0 : 0.0;
+    }
+    if ((xc == 3 && yc == 1) || (xc == 1 && yc == 3)) {
+        // type 5: 1 - (trapezoid + triangle), 8 subcases
+        double sb, lb, ba, he;
+        if (xc == 1 && yc == 3) {
+            if (nxa == 0 && nya == 1) {
+                sb = ya0; lb = std::fmin(yb0, yb1);
+                ba = 1.0 - xb0; he = 1.0 - std::fmax(yb0, yb1);
+            } else if (nxa == 0) {
+                sb = std::fmin(ya0, ya1); lb = yb0;
+                ba = xb0; he = 1.0 - std::fmax(ya0, ya1);
+            } else if (nya == 1) {
+                sb = 1.0 - ya0; lb = 1.0 - std::fmax(yb0, yb1);
+                ba = 1.0 - xa0; he = std::fmin(yb0, yb1);
+            } else {
+                sb = 1.0 - std::fmax(ya0, ya1); lb = 1.0 - yb0;
+                ba = xa0; he = std::fmin(ya0, ya1);
+            }
+        } else {
+            if (nya == 0 && nxa == 1) {
+                sb = xa0; lb = std::fmin(xb0, xb1);
+                ba = 1.0 - std::fmax(xb0, xb1); he = 1.0 - yb0;
+            } else if (nya == 0) {
+                sb = xb0; lb = std::fmin(xa0, xa1);
+                ba = 1.0 - std::fmax(xa0, xa1); he = yb0;
+            } else if (nxa == 1) {
+                sb = 1.0 - xa0; lb = 1.0 - std::fmax(xb0, xb1);
+                ba = std::fmin(xb0, xb1); he = 1.0 - ya0;
+            } else {
+                sb = 1.0 - xb0; lb = 1.0 - std::fmax(xa0, xa1);
+                ba = std::fmin(xa0, xa1); he = ya0;
+            }
+        }
+        return 1.0 - 0.5 * (sb + lb) - 0.5 * ba * he;
+    }
+    if (xc == 2 && yc == 2) {
+        // type 6: hexagon = 1 - 2 corner triangles
+        double t6 = 0.0;
+        if (nxa == 2)
+            t6 = 0.5 * std::fmin(xa0, xa1) * ya0
+                 + 0.5 * (1.0 - std::fmax(xa0, xa1)) * yb0;
+        else if (nxb == 2)
+            t6 = 0.5 * std::fmin(xb0, xb1) * (1.0 - ya0)
+                 + 0.5 * (1.0 - std::fmax(xb0, xb1)) * (1.0 - yb0);
+        else if (nya == 2)
+            t6 = 0.5 * xa0 * std::fmin(ya0, ya1)
+                 + 0.5 * xb0 * (1.0 - std::fmax(ya0, ya1));
+        else if (nyb == 2)
+            t6 = 0.5 * (1.0 - xa0) * std::fmin(yb0, yb1)
+                 + 0.5 * (1.0 - xb0) * (1.0 - std::fmax(yb0, yb1));
+        return 1.0 - t6;
+    }
+    if (xc == 0 && yc == 1) return center_in ? 1.0 : 0.0;
+    return fallback;
+}
+
+}  // namespace compat
+
+// Per-cell compat areas over a pixel range.  qvx/qvy: (n_pix, 4) dst quad
+// vertices (reference corner construction, done host-side in numpy to
+// preserve its exact fp order); mx0/my0: (n_pix,) clamped window bases.
+// areas out: (n_pix, Km, Km); cells outside [0, modW-1]x[0, modH-1] are 0.
+void aai_compat_cell_areas(
+    int64_t n_pix, int Km, int modH, int modW,
+    const double* qvx, const double* qvy,
+    const int64_t* mx0, const int64_t* my0,
+    int n_threads, double* areas) {
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t pix = lo; pix < hi; ++pix) {
+            const double* vx = qvx + pix * 4;
+            const double* vy = qvy + pix * 4;
+            const int64_t bx = mx0[pix], by = my0[pix];
+            double* out = areas + pix * Km * Km;
+            for (int iy = 0; iy < Km; ++iy) {
+                const int64_t my = by + iy;
+                const bool y_ok = my >= 0 && my <= modH - 1;
+                for (int ix = 0; ix < Km; ++ix) {
+                    const int64_t mx = bx + ix;
+                    double a = 0.0;
+                    if (y_ok && mx >= 0 && mx <= modW - 1)
+                        a = compat::cell_area(vx, vy, (double)mx - 0.5,
+                                              (double)my - 0.5);
+                    out[iy * Km + ix] = a;
+                }
+            }
+        }
+    };
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    nt = std::max(1, (int)std::min<int64_t>(nt, n_pix));
+    if (nt == 1) {
+        worker(0, n_pix);
+    } else {
+        std::vector<std::thread> threads;
+        const int64_t chunk = (n_pix + nt - 1) / nt;
+        for (int t = 0; t < nt; ++t) {
+            const int64_t lo = t * chunk, hi = std::min(n_pix, lo + chunk);
+            if (lo < hi) threads.emplace_back(worker, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
 }
 
 // Buffered CSV image reader.  Returns 0 on success; caller passes a buffer

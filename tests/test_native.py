@@ -62,3 +62,19 @@ def test_native_csv_skips_bad_tokens(tmp_path):
         f.write("1.0,abc,2.0\n3.0,4.0,5.0\n")
     img = native.csv_read_native(p)
     np.testing.assert_allclose(img, [[1.0, 2.0, 0.0], [3.0, 4.0, 5.0]])
+
+
+def test_compat_areas_bitexact_vs_numpy():
+    """The C++ compat state machine (aai_compat_cell_areas) must agree BIT
+    FOR BIT with the numpy replica at rotated geometries — DBL_EPSILON
+    tangency classifications leave no tolerance budget (the build uses
+    -ffp-contract=off so doubles match expression-for-expression)."""
+    from aainterp.ops.compat import compat_ell_weights
+
+    for H, W, ang in ((96, 96, 30.0), (64, 80, 17.3), (72, 64, 93.5)):
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2.0, H / 2.0), ang)
+        b1, w1, s1 = compat_ell_weights(spec, prefer_native=False)
+        b2, w2, s2 = compat_ell_weights(spec, prefer_native=True)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(s1, s2)
