@@ -45,8 +45,13 @@ def spec_key(spec: GridSpec, mode: str, method: str) -> str:
 
 
 def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> str:
+    """Persist as a directory of raw .npy files so loads can mmap.
+
+    npz members cannot be memory-mapped (zip container), so large ELL
+    weight tables (hundreds of MB at 2048^2) would be read eagerly; the
+    directory layout lets ``load_operator`` hand back lazily-paged views
+    (ROADMAP round-2 item: cache mmap)."""
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
-    os.makedirs(cache_dir, exist_ok=True)
     if isinstance(op, weights_ops.SeparableOperator):
         method = "separable"
         arrays = dict(
@@ -58,29 +63,48 @@ def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> s
         method = "ell"
         arrays = dict(base=op.base, w=op.weights, sums=op.raw_row_sums)
     key = spec_key(op.spec, mode, method)
-    path = os.path.join(cache_dir, f"{key}.npz")
+    path = os.path.join(cache_dir, f"{key}.op")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, __spec__=json.dumps(dataclasses.asdict(op.spec)),
-                 __method__=method, __mode__=op.mode, **arrays)
+    os.makedirs(tmp, exist_ok=True)
+    meta = dict(spec=dataclasses.asdict(op.spec), method=method,
+                mode=op.mode, arrays=sorted(arrays))
+    for name, arr in arrays.items():
+        np.save(os.path.join(tmp, f"{name}.npy"), np.asarray(arr))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
     os.replace(tmp, path)
     return path
 
 
 def load_operator(
-    spec: GridSpec, mode: str, method: str, cache_dir: Optional[str] = None
+    spec: GridSpec, mode: str, method: str, cache_dir: Optional[str] = None,
+    mmap: bool = True,
 ) -> Optional[Operator]:
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
-    path = os.path.join(cache_dir, f"{spec_key(spec, mode, method)}.npz")
-    if not os.path.exists(path):
+    key = spec_key(spec, mode, method)
+    dpath = os.path.join(cache_dir, f"{key}.op")
+    npz_path = os.path.join(cache_dir, f"{key}.npz")
+    if os.path.isdir(dpath):
+        with open(os.path.join(dpath, "meta.json")) as f:
+            meta = json.load(f)
+        mm = "r" if mmap else None
+        z = {name: np.load(os.path.join(dpath, f"{name}.npy"), mmap_mode=mm)
+             for name in meta["arrays"]}
+        saved_mode = meta.get("mode", mode)
+    elif os.path.exists(npz_path):
+        # legacy single-file caches from round 1 stay readable (no mmap)
+        z = np.load(npz_path, allow_pickle=False)
+        saved_mode = str(z["__mode__"]) if "__mode__" in z else mode
+    else:
         return None
-    z = np.load(path, allow_pickle=False)
-    # restore the operator's weight-gen mode: validate_operator's slack for
-    # compat overcounts (and the PARITY bookkeeping) key off op.mode, so a
-    # cached compat/fast operator must not reload labeled "exact".  Files
-    # written before __mode__ existed fall back to the request's mode (the
-    # cache key already includes it, so they agree).
-    saved_mode = str(z["__mode__"]) if "__mode__" in z else mode
+    # the operator's weight-gen mode is restored from the file:
+    # validate_operator's slack for compat overcounts (and the PARITY
+    # bookkeeping) key off op.mode, so a cached compat/fast operator must
+    # not reload labeled "exact".
     if method == "separable":
         qH, qW = spec.qrot_shape
         dstH, dstW = spec.dst_shape

@@ -76,7 +76,7 @@ def test_operator_cache_roundtrip(tmp_path):
     spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
     op1 = build_operator_cached(spec, cache_dir=str(tmp_path))
     key = spec_key(spec, "exact", "separable")
-    assert os.path.exists(tmp_path / f"{key}.npz")
+    assert os.path.isdir(tmp_path / f"{key}.op")
     op2 = load_operator(spec, "exact", "separable", cache_dir=str(tmp_path))
     np.testing.assert_array_equal(op1.wy.weights, op2.wy.weights)
     np.testing.assert_array_equal(op1.wx.start, op2.wx.start)
@@ -211,7 +211,7 @@ def test_cli_cache_dir_flag(tmp_path):
                         timeout=600)
     assert p1.returncode == 0, p1.stderr
     files = os.listdir(cache)
-    assert any(f.endswith(".npz") for f in files), files
+    assert any(f.endswith(".op") for f in files), files
     out1 = iom.csv_read(str(tmp_path / "in_mod.csv"))
     p2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
                         timeout=600)
