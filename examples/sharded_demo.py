@@ -1,0 +1,88 @@
+"""Multi-chip spatial sharding demo (runs on a virtual 8-device CPU mesh).
+
+Run:  python examples/sharded_demo.py
+
+Shows the scale-out story (SURVEY.md §5): image rows sharded over a
+device mesh, each chip computing its destination row band from its own
+source band plus a ring-exchanged halo (multi-hop for steep rotations),
+and the sharded conservative lat-lon regrid.  On a real TPU pod slice the
+same code runs unchanged — the mesh axes map onto ICI neighbours.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax                      # noqa: E402
+import jax.numpy as jnp         # noqa: E402
+import numpy as np              # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # this box force-sets a TPU plugin
+
+import aainterp as aa           # noqa: E402
+from aainterp.ops.weights import ell_operator, separable_operator  # noqa: E402
+from aainterp.parallel.sharding import (   # noqa: E402
+    sharded_apply_ell, sharded_apply_separable,
+)
+from aainterp.regrid import (   # noqa: E402
+    LatLonGrid, conservative_regrid, conservative_regrid_sharded,
+)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "rows"))
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    # 1. Separable 2x downscale, batch over 'data', rows over 'rows'
+    H, W, B = 256, 128, 4
+    frames = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    fdev = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+    out = jax.jit(lambda f: sharded_apply_separable(f, op, mesh))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    print(f"separable: {frames.shape} -> {out.shape}, "
+          f"max|sharded - unsharded| = "
+          f"{float(jnp.abs(out - ref).max()):.2e}, "
+          f"out sharding {out.sharding.spec}")
+
+    # 2. Rotated ELL apply with a multi-hop ring halo (45 deg is steep
+    #    enough that the halo spans several row shards)
+    H2, W2 = 32, 512
+    spec_r = aa.make_grid_spec((H2, W2), 1.0, 0.5, (W2 / 2, H2 / 2), 45.0)
+    op_r = ell_operator(spec_r, mode="exact")
+    img = rng.uniform(0, 1, (1, H2, W2)).astype(np.float32)
+    mesh_r = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8),
+                  ("data", "rows"))
+    idev = jax.device_put(
+        jnp.asarray(img), NamedSharding(mesh_r, P("data", "rows", None)))
+    out_r = jax.jit(lambda f: sharded_apply_ell(f, op_r, mesh_r))(idev)
+    ref_r = aa.apply_operator(op_r, jnp.asarray(img))
+    print(f"rotated 45deg over 8 row shards: max err "
+          f"{float(jnp.abs(out_r - ref_r).max()):.2e}")
+
+    # 3. Conservative lat-lon regrid, latitude rows over the mesh
+    src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
+    fields = rng.uniform(200, 300, (2, 96, 72)).astype(np.float32)
+    fdev = jax.device_put(
+        jnp.asarray(fields), NamedSharding(mesh, P("data", "rows", None)))
+    out_g = jax.jit(
+        lambda f: conservative_regrid_sharded(f, src, dst, mesh))(fdev)
+    ref_g = conservative_regrid(fields, src, dst)
+    print(f"regrid: {fields.shape} -> {out_g.shape}, max err "
+          f"{float(jnp.abs(out_g - jnp.asarray(ref_g)).max()):.2e}")
+
+
+if __name__ == "__main__":
+    main()
