@@ -171,3 +171,36 @@ def test_sharded_regrid_matches_unsharded():
     )(fdev)
     ref = conservative_regrid(fields, src, dst)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_ell_fuzz_angles():
+    """Random angles/shapes: row-sharded ELL apply (multi-hop halo) must
+    match the unsharded apply whenever the row counts divide the mesh."""
+    from aainterp.ops.weights import ell_operator as ell
+
+    rng = np.random.default_rng(99)
+    mesh = _mesh(2, 4)
+    checked = 0
+    for _ in range(40):
+        if checked >= 5:
+            break
+        H = int(rng.integers(12, 40)) * 8
+        W = int(rng.integers(8, 24)) * 8
+        ang = float(rng.uniform(1.0, 359.0))
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), ang)
+        if spec.is_axis_aligned:
+            continue
+        if spec.dst_shape[0] % 4 or spec.qrot_shape[0] % 4:
+            continue
+        op = ell(spec, mode="exact")
+        frames = rng.uniform(0, 1, (2, H, W)).astype(np.float32)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None))
+        )
+        out = jax.jit(lambda f, op=op: sharded_apply_ell(f, op, mesh))(fdev)
+        ref = aa.apply_operator(op, jnp.asarray(frames))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5,
+            err_msg=f"H={H} W={W} ang={ang}")
+        checked += 1
+    assert checked >= 3
