@@ -60,6 +60,12 @@ def build_operator(
     raise ValueError(f"unknown method {method!r}")
 
 
+@functools.partial(jax.jit, static_argnames=("quadrant", "my", "mx", "acc"))
+def _apply_box_jit(src, quadrant, my, mx, acc):
+    q = apply_ops.quadrant_rotate(src, quadrant)
+    return apply_ops.apply_box_mean(q, my, mx, acc_dtype=acc)
+
+
 @functools.partial(jax.jit, static_argnames=("quadrant",))
 def _apply_separable_jit(src, quadrant, y_start, y_w, x_start, x_w):
     q = apply_ops.quadrant_rotate(src, quadrant)
@@ -98,10 +104,25 @@ def apply_operator(
 ) -> jax.Array:
     """Apply a prebuilt operator to (..., H, W) image(s) on device.
 
-    impl: 'auto' routes large separable applies on TPU to the Pallas kernel
-    (ops/pallas_apply.py, ~3x the XLA banded path); 'xla' / 'pallas' force.
+    impl: 'auto' routes exact uniform integer-ratio operators (e.g. the
+    flagship 2x downscale) to the reshape-mean box path — the memory-bound
+    speed-of-light formulation — and other large separable applies on TPU
+    to the Pallas kernel (ops/pallas_apply.py, ~3x the XLA banded path);
+    'box' / 'xla' / 'pallas' force.
     """
     if isinstance(op, weights_ops.SeparableOperator):
+        if impl in ("auto", "box"):
+            qH, qW = op.spec.qrot_shape
+            box = apply_ops.uniform_box_params(
+                op.wy.start, op.wy.weights, op.wx.start, op.wx.weights,
+                qH, qW)
+            if impl == "box" and box is None:
+                raise ValueError(
+                    "operator is not a uniform integer box filter")
+            if box is not None:
+                return _apply_box_jit(
+                    src, op.spec.quadrant, box[0], box[1],
+                    jnp.dtype(weight_dtype))
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = src.shape[-2] >= 512 and src.shape[-1] >= 512

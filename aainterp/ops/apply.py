@@ -66,6 +66,71 @@ def apply_separable_banded(
     return out
 
 
+def uniform_box_params(y_start, y_w, x_start, x_w, H: int, W: int):
+    """(my, mx) if the banded separable operator is an exact uniform integer
+    box filter; None otherwise.
+
+    Integer-ratio downscales (e.g. the flagship 4K->1080p at ratio 2,
+    srcResolution/dstResolution semantics of Source.cpp:173-180) produce
+    bands of constant stride m whose m live taps all carry weight 1/m: the
+    area-average reduces to an m x m box mean, for which reshape + mean is
+    the memory-bound speed-of-light formulation (no MXU work, no gathers,
+    no band DMA choreography).  Detection is exact: strides must equal m
+    with zero offset, H == m * Hd, all live taps bit-identical, and
+    m * w0 == 1 within one rounding of 1/m.
+    """
+    params = []
+    for start, w, n in ((y_start, y_w, H), (x_start, x_w, W)):
+        s = np.asarray(start).astype(np.int64)
+        wt = np.asarray(w)
+        nd, k = wt.shape
+        if nd == 0:
+            return None
+        live = wt != 0.0
+        m = int(live[0].sum())
+        if m < 1 or (live.sum(axis=1) != m).any():
+            return None
+        # live taps must be one contiguous run (boundary rows store a
+        # clamped `start` with the weights shifted into trailing columns)
+        first = live.argmax(axis=1)
+        run = (first[:, None] <= np.arange(k)) & (np.arange(k)
+                                                  < first[:, None] + m)
+        if (live != run).any():
+            return None
+        w0 = wt[0, first[0]]
+        if (np.where(run, wt, w0) != w0).any():
+            return None
+        if abs(m * float(w0) - 1.0) > 4e-7:  # one f32 rounding of 1/m
+            return None
+        eff = s + first  # effective first source row of each dst cell
+        if n != m * nd or (eff != m * np.arange(nd)).any():
+            return None
+        params.append(m)
+    return tuple(params)
+
+
+def apply_box_mean(q: jax.Array, my: int, mx: int,
+                   acc_dtype=jnp.float32) -> jax.Array:
+    """Exact uniform integer-ratio area average: reshape + accumulated mean.
+
+    Equivalent (to accumulation rounding) to apply_separable_banded with the
+    stride-m uniform bands that uniform_box_params detects, but touches each
+    source pixel exactly once with zero weight traffic: read H*W + write
+    Hd*Wd, the HBM-bandwidth floor for this operator.
+
+    Implementation note (TPU): strided slices, NOT a reshape to
+    (..., Hd, my, Wd, mx) — a trailing size-m axis pads to 128 lanes in the
+    tiled layout (m=2 would be a 64x copy blowup; observed as a 50 GB
+    allocation at the flagship shape).
+    """
+    acc = None
+    for i in range(my):
+        for j in range(mx):
+            part = q[..., i::my, j::mx].astype(acc_dtype)
+            acc = part if acc is None else acc + part
+    return acc * jnp.asarray(1.0 / (my * mx), acc_dtype)
+
+
 def apply_separable_dense(
     q: jax.Array, wy: jax.Array, wx: jax.Array
 ) -> jax.Array:

@@ -1,0 +1,110 @@
+"""Box-reduce path: exact uniform integer-ratio resize as reshape + mean.
+
+Covers detection (ops.apply.uniform_box_params), numerical equivalence with
+the banded apply, and API routing (impl='box'/'auto').
+
+Geometry note: the reference's dst grid (Source.cpp:181-200 isocenter split
++ corner offset) places dst-cell edges on src-cell edges only when the
+forward-mapped isocenter has fractional part (m-1)/(2m) per axis — i.e.
+src_isocenter = ((m-1)/2, (m-1)/2) for an integer ratio m.  The default
+iso=(0, 0) ratio-2 grid (the bench flagship) is offset by half a src cell
+and is a 3-tap stride-2 stencil, NOT a box; detection must reject it.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aainterp.api import apply_operator, build_operator
+from aainterp.grids import make_grid_spec
+from aainterp.ops import apply as apply_ops
+
+
+def _op(shape, m, angle=0.0, iso=None, mode="exact"):
+    """Integer m-x downscale (srcRes=m, dstRes=1), edge-aligned by default."""
+    if iso is None:
+        iso = ((m - 1) / 2.0,) * 2
+    spec = make_grid_spec(shape, float(m), 1.0, iso, angle)
+    return build_operator(spec, mode=mode)
+
+
+def _params(op):
+    qH, qW = op.spec.qrot_shape
+    return apply_ops.uniform_box_params(
+        op.wy.start, op.wy.weights, op.wx.start, op.wx.weights, qH, qW)
+
+
+def test_detects_aligned_integer_ratios():
+    assert _params(_op((24, 48), 2)) == (2, 2)
+    assert _params(_op((24, 48), 3)) == (3, 3)
+    assert _params(_op((24, 48), 6)) == (6, 6)
+    assert _params(_op((16, 16), 1, iso=(0.0, 0.0))) == (1, 1)
+
+
+def test_rejects_offset_grid():
+    # the flagship geometry: integer ratio but iso=(0,0) offsets the dst
+    # grid by half a src cell -> 3-tap stencil, not a box
+    assert _params(_op((24, 48), 2, iso=(0.0, 0.0))) is None
+
+
+def test_rejects_non_integer_ratio_and_upscale():
+    spec = make_grid_spec((20, 20), 150.0, 60.0, (0.0, 0.0), 0.0)  # ratio 2.5
+    assert _params(build_operator(spec)) is None
+    spec = make_grid_spec((12, 12), 1.0, 2.0, (0.0, 0.0), 0.0)  # 2x upscale
+    assert _params(build_operator(spec)) is None
+
+
+def test_box_mean_matches_banded():
+    op = _op((30, 42), 3)
+    assert _params(op) == (3, 3)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(0, 1, (2, 30, 42)).astype(np.float32))
+    ref = apply_operator(op, src, impl="xla")
+    got = apply_operator(op, src, impl="box")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_auto_routes_to_box():
+    op = _op((16, 16), 2)
+    src = jnp.asarray(np.arange(256, dtype=np.float32).reshape(16, 16))
+    ref = apply_operator(op, src, impl="xla")
+    got = apply_operator(op, src, impl="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_box_forced_on_non_box_raises():
+    spec = make_grid_spec((20, 20), 150.0, 60.0, (0.0, 0.0), 0.0)
+    op = build_operator(spec)
+    src = jnp.zeros((20, 20), jnp.float32)
+    with pytest.raises(ValueError):
+        apply_operator(op, src, impl="box")
+
+
+def test_box_quadrant_rotation():
+    # 180-degree rotation -> quadrant 2, residual angle 0: still separable
+    op = _op((16, 24), 2, angle=180.0, iso=(8.0, 8.0))
+    assert op.spec.quadrant == 2
+    if _params(op) is None:
+        pytest.skip("quadrant geometry not edge-aligned at this isocenter")
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.uniform(0, 1, (16, 24)).astype(np.float32))
+    ref = apply_operator(op, src, impl="xla")
+    got = apply_operator(op, src, impl="box")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_box_mean_f64_accumulation():
+    op = _op((24, 24), 2)
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.uniform(0, 1, (24, 24)).astype(np.float32))
+    # without jax_enable_x64 both paths degrade to f32 — the contract is
+    # only that box honors weight_dtype the same way the banded path does
+    out = apply_operator(op, src, impl="box", weight_dtype=jnp.float64)
+    ref = apply_operator(op, src, impl="xla", weight_dtype=jnp.float64)
+    assert out.dtype == ref.dtype
+    tol = 1e-12 if out.dtype == jnp.float64 else 1e-6
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=tol)
