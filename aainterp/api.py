@@ -123,6 +123,10 @@ def apply_operator(
                 return _apply_box_jit(
                     src, op.spec.quadrant, box[0], box[1],
                     jnp.dtype(weight_dtype))
+        if impl == "stencil":
+            # interior-constant strided-stencil apply (ops/apply.py):
+            # pure XLA, ties the Pallas kernel at the flagship shape
+            return _stencil_plan_fn(op, jnp.dtype(weight_dtype))(src)
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = src.shape[-2] >= 512 and src.shape[-1] >= 512
@@ -183,6 +187,46 @@ def apply_operator(
             jnp.asarray(op.weights, dtype=weight_dtype),
         )
     raise TypeError(f"unknown operator type {type(op)!r}")
+
+
+_STENCIL_CACHE: dict = {}
+
+
+def _stencil_plan_fn(op, weight_dtype):
+    """jit-ready strided-stencil apply for a separable operator (cached).
+
+    Raises ValueError when either axis band is not an interior-constant
+    constant-stride stencil (ops.apply.axis_stencil_plan returns None).
+    """
+    key = (hash(op.wy.weights.tobytes()), hash(op.wx.weights.tobytes()),
+           hash(np.asarray(op.wy.start).tobytes()),
+           hash(np.asarray(op.wx.start).tobytes()),
+           op.spec.quadrant, jnp.dtype(weight_dtype).name)
+    hit = _STENCIL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    qH, qW = op.spec.qrot_shape
+    py = apply_ops.axis_stencil_plan(op.wy.start, op.wy.weights, qH)
+    px = apply_ops.axis_stencil_plan(op.wx.start, op.wx.weights, qW)
+    if py is None or px is None:
+        raise ValueError(
+            "operator bands are not interior-constant stencils "
+            f"(y plan: {py is not None}, x plan: {px is not None})")
+    ys = jnp.asarray(op.wy.start)
+    yw = jnp.asarray(op.wy.weights, dtype=weight_dtype)
+    xs = jnp.asarray(op.wx.start)
+    xw = jnp.asarray(op.wx.weights, dtype=weight_dtype)
+    quad = op.spec.quadrant
+    acc = jnp.dtype(weight_dtype)
+
+    @jax.jit
+    def fn(src):
+        q = apply_ops.quadrant_rotate(src, quad)
+        return apply_ops.apply_separable_stencil(
+            q, py, px, ys, yw, xs, xw, acc_dtype=acc)
+
+    _STENCIL_CACHE[key] = fn
+    return fn
 
 
 _SHEAR_CACHE: dict = {}

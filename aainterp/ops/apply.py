@@ -118,17 +118,145 @@ def apply_box_mean(q: jax.Array, my: int, mx: int,
     source pixel exactly once with zero weight traffic: read H*W + write
     Hd*Wd, the HBM-bandwidth floor for this operator.
 
-    Implementation note (TPU): strided slices, NOT a reshape to
-    (..., Hd, my, Wd, mx) — a trailing size-m axis pads to 128 lanes in the
-    tiled layout (m=2 would be a 64x copy blowup; observed as a 50 GB
-    allocation at the flagship shape).
+    Implementation notes (TPU layout, both verified at the flagship shape):
+    a reshape to (..., Hd, my, Wd, mx) pads the trailing size-m axis to 128
+    lanes (a 50 GB layout copy), and strided lane slices of bf16 inputs pay
+    sub-tile relayout gathers per slice (0.4 Gpixel/s).  reduce_window on
+    the f32-converted input is the layout-friendly formulation XLA lowers
+    to a fused strided reduction.
     """
+    nb = q.ndim - 2
+    t = jax.lax.reduce_window(
+        q.astype(acc_dtype),
+        jnp.zeros((), acc_dtype),
+        jax.lax.add,
+        window_dimensions=(1,) * nb + (my, mx),
+        window_strides=(1,) * nb + (my, mx),
+        padding="VALID",
+    )
+    return t * jnp.asarray(1.0 / (my * mx), acc_dtype)
+
+
+def axis_stencil_plan(start, w, n: int):
+    """Per-axis plan for the interior-constant strided-stencil apply.
+
+    Many practical geometries (every integer-ratio downscale, e.g. the
+    flagship iso=(0,0) ratio-2 grid) produce bands whose effective starts
+    advance by a constant stride m with one constant interior tap vector
+    w_star, deviating only at the first/last few rows.  Re-anchoring taps
+    at a_i = m*i + c turns the interior contraction into len(w_star)
+    strided slices + fused multiply-adds — no gather, no band
+    densification.  Measured at the flagship shape this XLA-only path ties
+    the Pallas MXU kernel (104.5 vs 105.9 Gpixel/s; both at this box's
+    ~265 GB/s effective-HBM wall).
+
+    Returns dict(m, c, w_star, i0, i1) — interior rows [i0, i1) use
+    w_star; rows outside are evaluated by the banded gather — or None if
+    the band is not an interior-constant constant-stride stencil.
+    """
+    s = np.asarray(start).astype(np.int64)
+    wt = np.asarray(w)
+    nd, k = wt.shape
+    if nd < 16:
+        return None
+    live = wt != 0.0
+    if not live.any(axis=1).all():
+        return None
+    first = live.argmax(axis=1)
+    width = live.sum(axis=1)
+    run = (first[:, None] <= np.arange(k)) & (
+        np.arange(k) < (first + width)[:, None])
+    if (live != run).any():
+        return None  # non-contiguous live taps
+    eff = s + first  # effective first source index per dst cell
+    m = int(np.median(np.diff(eff)))
+    if m < 1 or m > 16:
+        return None
+    ci = eff - m * np.arange(nd)
+    c = int(ci.min())
+    kp = int((ci - c + width).max())
+    if kp > k + 2 * m:
+        return None  # starts not constant-stride (e.g. alternating 2,3)
+    w2 = np.zeros((nd, kp), wt.dtype)
+    for j in range(k):
+        msk = live[:, j]
+        if not msk.any():
+            continue
+        w2[np.nonzero(msk)[0], (ci - c + j - first)[msk]] = wt[msk, j]
+    w_star = w2[nd // 2]
+    inter = (w2 == w_star).all(axis=1)
+    i0 = nd // 2
+    while i0 > 0 and inter[i0 - 1]:
+        i0 -= 1
+    i1 = nd // 2 + 1
+    while i1 < nd and inter[i1]:
+        i1 += 1
+    js = np.nonzero(w_star)[0]
+    if js.size == 0:
+        return None
+    while i0 < i1 and m * i0 + c + int(js[0]) < 0:
+        i0 += 1
+    while i1 > i0 and m * (i1 - 1) + c + int(js[-1]) > n - 1:
+        i1 -= 1
+    if (i1 - i0) < nd // 2 or (i0 + nd - i1) > 32:
+        return None
+    return dict(m=m, c=c, w_star=w_star, i0=i0, i1=i1)
+
+
+def _banded_rows(q, axis, start, w, r0, r1, acc_dtype):
+    """Banded gather-contraction restricted to dst rows [r0, r1) on axis."""
+    k = w.shape[1]
+    idx = jnp.clip(
+        jnp.asarray(start)[r0:r1, None] + jnp.arange(k), 0,
+        q.shape[axis] - 1)
+    g = jnp.take(q, idx, axis=axis).astype(acc_dtype)
+    wj = jnp.asarray(np.asarray(w)[r0:r1], acc_dtype)
+    if axis == q.ndim - 2:
+        return jnp.einsum("bk,...bkw->...bw", wj, g,
+                          preferred_element_type=acc_dtype)
+    return jnp.einsum("bk,...bk->...b", wj, g,
+                      preferred_element_type=acc_dtype)
+
+
+def _apply_axis_stencil(q, axis, plan, start, w, acc_dtype):
+    axis = q.ndim + axis if axis < 0 else axis
+    m, c, i0, i1 = plan["m"], plan["c"], plan["i0"], plan["i1"]
+    w_star = np.asarray(plan["w_star"], dtype=np.float64)
+    nd = int(np.asarray(w).shape[0])
+    n_int = i1 - i0
     acc = None
-    for i in range(my):
-        for j in range(mx):
-            part = q[..., i::my, j::mx].astype(acc_dtype)
-            acc = part if acc is None else acc + part
-    return acc * jnp.asarray(1.0 / (my * mx), acc_dtype)
+    for j, wj in enumerate(w_star):
+        if wj == 0.0:
+            continue
+        lo = m * i0 + c + j
+        sl = jax.lax.slice_in_dim(q, lo, lo + m * (n_int - 1) + 1,
+                                  stride=m, axis=axis)
+        part = sl.astype(acc_dtype) * jnp.asarray(wj, acc_dtype)
+        acc = part if acc is None else acc + part
+    pieces = []
+    if i0 > 0:
+        pieces.append(_banded_rows(q, axis, start, w, 0, i0, acc_dtype))
+    pieces.append(acc)
+    if i1 < nd:
+        pieces.append(_banded_rows(q, axis, start, w, i1, nd, acc_dtype))
+    return jnp.concatenate(pieces, axis=axis) if len(pieces) > 1 else acc
+
+
+def apply_separable_stencil(
+    q: jax.Array,
+    y_plan, x_plan,
+    y_start, y_w, x_start, x_w,
+    acc_dtype=jnp.float32,
+) -> jax.Array:
+    """Strided-stencil separable apply: (..., H, W) -> (..., Hd, Wd).
+
+    Equivalent to apply_separable_banded (1-ulp accumulation-order
+    differences) for operators whose axis plans exist
+    (``axis_stencil_plan``).  Pure XLA — the fast path on backends without
+    Pallas/Mosaic support, and within 1.5% of the Pallas kernel on TPU.
+    """
+    t = _apply_axis_stencil(q, -2, y_plan, y_start, y_w, acc_dtype)
+    return _apply_axis_stencil(t, -1, x_plan, x_start, x_w, acc_dtype)
 
 
 def apply_separable_dense(

@@ -151,6 +151,19 @@ def make_fn(impl: str, op, dtype):
             return apply_separable_pallas(
                 frames, y_start, y_w, x_start, x_w
             ).astype(dtype)
+    elif impl == "stencil":
+        # pure-XLA strided-stencil path: ties the Pallas kernel at this
+        # shape (both sit at the box's ~265 GB/s effective-HBM wall)
+        from aainterp.ops.apply import apply_separable_stencil, axis_stencil_plan
+
+        py = axis_stencil_plan(op.wy.start, op.wy.weights, 2160)
+        px = axis_stencil_plan(op.wx.start, op.wx.weights, 3840)
+        assert py is not None and px is not None
+
+        def fn(frames):
+            return apply_separable_stencil(
+                frames, py, px, y_start, y_w, x_start, x_w
+            ).astype(dtype)
     else:
         raise ValueError(impl)
     return jax.jit(fn)
@@ -255,7 +268,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per scan step (the scan runs ~24 steps per dispatch)")
     ap.add_argument("--impl", default="auto",
-                    choices=("auto", "banded", "dense", "pallas"))
+                    choices=("auto", "banded", "dense", "pallas", "stencil"))
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--all", action="store_true",
