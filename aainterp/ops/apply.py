@@ -118,23 +118,24 @@ def apply_box_mean(q: jax.Array, my: int, mx: int,
     source pixel exactly once with zero weight traffic: read H*W + write
     Hd*Wd, the HBM-bandwidth floor for this operator.
 
-    Implementation notes (TPU layout, both verified at the flagship shape):
+    Implementation notes (TPU layout, all measured at the flagship shape):
     a reshape to (..., Hd, my, Wd, mx) pads the trailing size-m axis to 128
-    lanes (a 50 GB layout copy), and strided lane slices of bf16 inputs pay
-    sub-tile relayout gathers per slice (0.4 Gpixel/s).  reduce_window on
-    the f32-converted input is the layout-friendly formulation XLA lowers
-    to a fused strided reduction.
+    lanes (a 50 GB layout copy); single-pass strided slices over BOTH dims
+    slice the lane dim of the bf16 input and pay sub-tile relayout gathers
+    (0.4 Gpixel/s); lax.reduce_window lowers to a slow scalar window scan
+    (50.7 Gpixel/s).  The fast form mirrors the stencil apply: sublane
+    strided slices on the input dtype (fine for bf16), accumulate to
+    acc_dtype, THEN lane strided slices on the converted intermediate.
     """
-    nb = q.ndim - 2
-    t = jax.lax.reduce_window(
-        q.astype(acc_dtype),
-        jnp.zeros((), acc_dtype),
-        jax.lax.add,
-        window_dimensions=(1,) * nb + (my, mx),
-        window_strides=(1,) * nb + (my, mx),
-        padding="VALID",
-    )
-    return t * jnp.asarray(1.0 / (my * mx), acc_dtype)
+    t = None
+    for i in range(my):
+        part = q[..., i::my, :].astype(acc_dtype)
+        t = part if t is None else t + part
+    o = None
+    for j in range(mx):
+        part = t[..., j::mx]
+        o = part if o is None else o + part
+    return o * jnp.asarray(1.0 / (my * mx), acc_dtype)
 
 
 def axis_stencil_plan(start, w, n: int):

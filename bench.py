@@ -47,7 +47,8 @@ def _roundtrip_cost():
 
 
 def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
-               target_s: float = 0.6, max_repeats: int = 400):
+               target_s: float = 0.6, max_repeats: int = 400,
+               checksum: str = "first"):
     """Honest device-time measurement on this box's remote-execution relay.
 
     Hazards measured here: the relay dedupes repeated identical execute
@@ -65,13 +66,24 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
 
     frames_all: (K, B, H, W) distinct data.  Returns seconds per (B,H,W)
     application.
+
+    checksum: "first" carries out[0] only — sufficient for opaque Pallas
+    kernels (XLA cannot see inside them).  "full" carries a fused sum of
+    the whole output — REQUIRED for pure-XLA elementwise formulations,
+    which XLA will otherwise dead-code-eliminate down to the one element
+    the checksum reads (observed: a looped bf16 copy "ran" at 284 TB/s
+    under the scalar checksum).
     """
     K = frames_all.shape[0]
 
     def scanned(stack, repeats, *cs):
         def body(acc, fr):
             out = apply_fn(fr, *cs)
-            return acc + out.ravel()[0].astype(jnp.float32), None
+            if checksum == "full":
+                c = jnp.sum(out.astype(jnp.float32))
+            else:
+                c = out.ravel()[0].astype(jnp.float32)
+            return acc + c, None
 
         def outer(_, acc):
             acc2, _ = jax.lax.scan(body, acc, stack)
@@ -316,7 +328,8 @@ def main():
     def run(impl):
         try:
             fn = make_fn(impl, op, dtype)
-            dt = timed_scan(fn, frames, warm)
+            dt = timed_scan(fn, frames, warm,
+                            checksum="first" if impl == "pallas" else "full")
             return in_pixels / dt / 1e9
         except Exception as e:  # pragma: no cover
             print(f"# impl {impl} failed: {type(e).__name__}: {e}")
