@@ -104,34 +104,46 @@ def apply_operator(
 ) -> jax.Array:
     """Apply a prebuilt operator to (..., H, W) image(s) on device.
 
-    impl: 'auto' routes exact uniform integer-ratio operators (e.g. the
-    flagship 2x downscale) to the reshape-mean box path — the memory-bound
-    speed-of-light formulation — and other large separable applies on TPU
-    to the Pallas kernel (ops/pallas_apply.py, ~3x the XLA banded path);
-    'box' / 'xla' / 'pallas' force.
+    impl: 'auto' routes large separable applies on TPU to the Pallas
+    kernel (ops/pallas_apply.py — 264.9 Gpixel/s at the flagship shape,
+    the HBM-traffic speed of light there); off the Pallas route, exact
+    uniform integer-ratio operators use the strided box mean.  'box' /
+    'stencil' / 'xla' / 'pallas' force a path (box and stencil are pure
+    XLA and differentiable; on v5e XLA lowers their strided slices slowly
+    once outputs materialise — portability, not TPU peak).
     """
     if isinstance(op, weights_ops.SeparableOperator):
-        if impl in ("auto", "box"):
+        def _box_params():
             qH, qW = op.spec.qrot_shape
-            box = apply_ops.uniform_box_params(
+            return apply_ops.uniform_box_params(
                 op.wy.start, op.wy.weights, op.wx.start, op.wx.weights,
                 qH, qW)
-            if impl == "box" and box is None:
+
+        if impl == "box":
+            box = _box_params()
+            if box is None:
                 raise ValueError(
                     "operator is not a uniform integer box filter")
-            if box is not None:
-                return _apply_box_jit(
-                    src, op.spec.quadrant, box[0], box[1],
-                    jnp.dtype(weight_dtype))
+            return _apply_box_jit(
+                src, op.spec.quadrant, box[0], box[1],
+                jnp.dtype(weight_dtype))
         if impl == "stencil":
             # interior-constant strided-stencil apply (ops/apply.py):
-            # pure XLA, ties the Pallas kernel at the flagship shape
+            # pure XLA + differentiable (portability, not TPU peak)
             return _stencil_plan_fn(op, jnp.dtype(weight_dtype))(src)
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = src.shape[-2] >= 512 and src.shape[-1] >= 512
             impl = "pallas" if (on_tpu and big and src.ndim in (2, 3)
                                 and op.spec.quadrant == 0) else "xla"
+            if impl == "xla":
+                # off the Pallas route the box mean beats the banded
+                # gather when the operator is an exact uniform box
+                box = _box_params()
+                if box is not None:
+                    return _apply_box_jit(
+                        src, op.spec.quadrant, box[0], box[1],
+                        jnp.dtype(weight_dtype))
         if impl == "pallas":
             from .ops.pallas_apply import apply_separable_pallas
 

@@ -147,9 +147,14 @@ def axis_stencil_plan(start, w, n: int):
     w_star, deviating only at the first/last few rows.  Re-anchoring taps
     at a_i = m*i + c turns the interior contraction into len(w_star)
     strided slices + fused multiply-adds — no gather, no band
-    densification.  Measured at the flagship shape this XLA-only path ties
-    the Pallas MXU kernel (104.5 vs 105.9 Gpixel/s; both at this box's
-    ~265 GB/s effective-HBM wall).
+    densification.  Honest flagship-shape numbers (harness with
+    materialisation barriers, 2026-08-17): 5.0 Gpixel/s — XLA lowers the
+    strided-slice FMA chain poorly on v5e once outputs are actually
+    materialised (the earlier "ties the Pallas kernel" reading was an
+    artifact of the scan harness's per-step slice copy dominating both
+    paths).  Value of this path: a portable, differentiable, pure-XLA
+    formulation ~3x the banded gather, not TPU peak (the Pallas kernel
+    measures 264.9 Gpixel/s on the same harness).
 
     Returns dict(m, c, w_star, i0, i1) — interior rows [i0, i1) use
     w_star; rows outside are evaluated by the banded gather — or None if
@@ -253,8 +258,9 @@ def apply_separable_stencil(
 
     Equivalent to apply_separable_banded (1-ulp accumulation-order
     differences) for operators whose axis plans exist
-    (``axis_stencil_plan``).  Pure XLA — the fast path on backends without
-    Pallas/Mosaic support, and within 1.5% of the Pallas kernel on TPU.
+    (``axis_stencil_plan``).  Pure XLA and differentiable; see
+    axis_stencil_plan for honest v5e numbers (slow there — portability
+    and autodiff are the point, not TPU peak).
     """
     t = _apply_axis_stencil(q, -2, y_plan, y_start, y_w, acc_dtype)
     return _apply_axis_stencil(t, -1, x_plan, x_start, x_w, acc_dtype)

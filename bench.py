@@ -47,68 +47,82 @@ def _roundtrip_cost():
 
 
 def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
-               target_s: float = 0.6, max_repeats: int = 400,
-               checksum: str = "first"):
+               target_s: float = 1.5, max_repeats: int = 2000,
+               checksum: str = "first", max_k: int = 8):
     """Honest device-time measurement on this box's remote-execution relay.
 
-    Hazards measured here: the relay dedupes repeated identical execute
-    requests (a looped 128MB+128MB add "ran" at 14.6 TB/s), async dispatch
-    returns before real completion, and every synchronised dispatch pays a
-    ~30 ms relay round trip — so host-side per-iteration timing is useless
-    for millisecond kernels.  Instead: ONE dispatch runs the apply R*K
-    times on device (an outer fori_loop of R passes over a lax.scan of K
-    distinct frame sets, chaining a checksum so nothing can be elided or
-    hoisted), and the single ~30 ms round trip is amortised over R*K
-    applications.  R is a *traced* argument, so the calibration probe
-    (R=1) and the measurement (R sized so the round trip is <~5% of the
-    scan) share one executable and differ in input bytes (no relay dedupe,
-    no recompile).
+    Hazards, each verified with falsifiable probes (2026-08-16/17):
 
-    frames_all: (K, B, H, W) distinct data.  Returns seconds per (B,H,W)
-    application.
+    1. The relay DEDUPES repeated identical execute requests (same
+       executable + same input bytes): a looped 128MB+128MB add "ran" at
+       14.6 TB/s.  -> warm-up and measurement use different data; the
+       repeat count R is a *traced* argument so probe and measurement
+       share one executable but differ in input bytes.
+    2. Async dispatch + block_until_ready can return before real
+       completion, and every synchronised dispatch pays a ~30 ms round
+       trip.  -> ONE dispatch runs the apply R*K times on device and the
+       inline-measured round trip is subtracted once.
+    3. XLA DCE/hoisting inside the repeat loop: a scalar checksum lets
+       elementwise work be sliced away (a bf16 copy "ran" at 284 TB/s); a
+       fused full-output sum never writes the output (1.4 TB/s) AND can
+       shatter the producer fusion (the stencil path measured 21x slower);
+       a loop body not tied to the carry is hoisted out of the fori_loop
+       entirely ("34 TB/s", R-independent).  -> each input is tied to the
+       loop carry via lax.optimization_barrier (identity, no copy) so the
+       body cannot be hoisted, and checksum="barrier" additionally forces
+       the output to materialise as a real consumer would.
+    4. Scanning over a stacked (K, B, H, W) array materialises a full
+       (B, H, W) slice copy per step (Pallas operands need dense buffers):
+       at the flagship shape that is 132 MB extra read+write per apply —
+       it depressed every round-1/2 number ~2.5x (pallas measured 105.9
+       with the scan harness vs 264.9 unrolled, the latter matching the
+       20.7 MB/frame HBM traffic model).  -> the K frame sets are passed
+       as K SEPARATE jit arguments and the body iterates over them.
 
-    checksum: "first" carries out[0] only — sufficient for opaque Pallas
-    kernels (XLA cannot see inside them).  "full" carries a fused sum of
-    the whole output — REQUIRED for pure-XLA elementwise formulations,
-    which XLA will otherwise dead-code-eliminate down to the one element
-    the checksum reads (observed: a looped bf16 copy "ran" at 284 TB/s
-    under the scalar checksum).
+    frames_all: (K, B, H, W) distinct data (only the first max_k sets are
+    used — variety exists to defeat relay dedupe across calls, not within
+    a dispatch).  Returns seconds per (B, H, W) application.
+
+    checksum: "first" carries out[0] (enough for opaque Pallas kernels —
+    XLA cannot slice into them); "barrier" for any pure-XLA formulation.
     """
-    K = frames_all.shape[0]
+    K = min(int(frames_all.shape[0]), max_k)
+    fr_list = [frames_all[k] for k in range(K)]
+    warm_list = [frames_warm[k] for k in range(K)]
+    for a in fr_list + warm_list:
+        a.block_until_ready()
 
-    def scanned(stack, repeats, *cs):
-        def body(acc, fr):
-            out = apply_fn(fr, *cs)
-            if checksum == "full":
-                c = jnp.sum(out.astype(jnp.float32))
-            else:
-                c = out.ravel()[0].astype(jnp.float32)
-            return acc + c, None
+    def run(repeats, *args):
+        cs, fr = args[:len(consts)], args[len(consts):]
 
         def outer(_, acc):
-            acc2, _ = jax.lax.scan(body, acc, stack)
-            return acc2
+            for f in fr:
+                f_b, acc = jax.lax.optimization_barrier((f, acc))
+                out = apply_fn(f_b, *cs)
+                if checksum == "barrier":
+                    out = jax.lax.optimization_barrier(out)
+                acc = acc + out.ravel()[0].astype(jnp.float32)
+            return acc
 
-        acc = jax.lax.fori_loop(0, repeats, outer, jnp.float32(0.0))
-        return acc[None]
+        return jax.lax.fori_loop(0, repeats, outer, jnp.float32(0.0))[None]
 
-    jfn = jax.jit(scanned)
-    # warm/compile on DIFFERENT data: a second call on identical bytes would
-    # be deduped by the relay
-    _ = np.asarray(jfn(frames_warm, jnp.int32(1), *consts))
+    jfn = jax.jit(run)
+    # warm/compile on DIFFERENT data: a second call on identical bytes
+    # would be deduped by the relay
+    _ = np.asarray(jfn(jnp.int32(1), *consts, *warm_list))
     rt = _roundtrip_cost()
     # calibration probe (R=1): same executable, different input bytes
     t0 = time.perf_counter()
-    _ = np.asarray(jfn(frames_all, jnp.int32(1), *consts))
+    _ = np.asarray(jfn(jnp.int32(1), *consts, *fr_list))
     dt1 = time.perf_counter() - t0
     per = max(dt1 - rt, 1e-6)
-    repeats = int(np.clip(math.ceil(max(target_s, 20.0 * rt) / per),
+    repeats = int(np.clip(math.ceil(max(target_s, 30.0 * rt) / per),
                           1, max_repeats))
     if repeats == 1:
         dt, total = dt1, K
     else:
         t0 = time.perf_counter()
-        _ = np.asarray(jfn(frames_all, jnp.int32(repeats), *consts))
+        _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
         dt = time.perf_counter() - t0
         total = repeats * K
     if rt > 0.2 * dt:
@@ -164,8 +178,8 @@ def make_fn(impl: str, op, dtype):
                 frames, y_start, y_w, x_start, x_w
             ).astype(dtype)
     elif impl == "stencil":
-        # pure-XLA strided-stencil path: ties the Pallas kernel at this
-        # shape (both sit at the box's ~265 GB/s effective-HBM wall)
+        # pure-XLA strided-stencil path (portable + differentiable; slow
+        # on v5e once outputs materialise — see ops/apply.py)
         from aainterp.ops.apply import apply_separable_stencil, axis_stencil_plan
 
         py = axis_stencil_plan(op.wy.start, op.wy.weights, 2160)
@@ -329,7 +343,8 @@ def main():
         try:
             fn = make_fn(impl, op, dtype)
             dt = timed_scan(fn, frames, warm,
-                            checksum="first" if impl == "pallas" else "full")
+                            checksum="first" if impl == "pallas"
+                            else "barrier")
             return in_pixels / dt / 1e9
         except Exception as e:  # pragma: no cover
             print(f"# impl {impl} failed: {type(e).__name__}: {e}")
