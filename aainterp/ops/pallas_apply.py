@@ -336,9 +336,14 @@ def apply_separable_pallas(
     row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
     col_base, wx_blocks_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
     if SY > H or SX > W or W % 128 != 0:
-        # tiny image / huge band / unaligned width (the HBM band DMA slices
-        # the full last dim, which Mosaic requires 128-aligned): fall back
-        # to the XLA banded path
+        # off the 1-D kernel's envelope: full-width row bands need
+        # W % 128 == 0 (the HBM band DMA slices the full last dim) and a
+        # band that fits VMEM at full width.  Try the 2-D banded-tile
+        # kernel (per-tile (SY, SX) block DMAs) before the XLA fallback.
+        out = apply_separable_pallas_2d(
+            frames, y_start, y_w, x_start, x_w, interpret=interpret)
+        if out is not None:
+            return out
         from .apply import apply_separable_banded
 
         return apply_separable_banded(frames, y_start, y_w, x_start, x_w)
@@ -490,6 +495,252 @@ def apply_separable_pallas(
 
 
 _PREP_CACHE: dict = {}
+
+
+# ----------------------------------------------------------------------
+# 2-D banded tile kernel: per-(frame, row-tile, col-tile) band blocks
+# ----------------------------------------------------------------------
+
+
+def _banded_blocks_2d(start: np.ndarray, weights: np.ndarray, n: int,
+                      tile: int, align: int):
+    """Per-tile (base, span) with ALIGNED bases clamped inside [0, n).
+
+    Unlike _densify_row_band, the span is recomputed after the base is
+    floored to `align`, so bases stay aligned even when n - span is not —
+    the requirement for 2-D block DMAs (row offset 8-aligned, col offset
+    and width 128-aligned; same contract the pallas_shear contract kernel
+    relies on).  Returns (base (nt,), blocks (nt, tile, span), span) or
+    None when a span cannot fit inside n.
+    """
+    n_dst, band = weights.shape
+    nt = _round_up(n_dst, tile) // tile
+    lo = np.zeros(nt, dtype=np.int64)
+    hi = np.zeros(nt, dtype=np.int64)
+    for t in range(nt):
+        rows = slice(t * tile, min((t + 1) * tile, n_dst))
+        lo[t] = (int(start[rows].min()) // align) * align
+        hi[t] = int(start[rows].max()) + band
+    span = _round_up(int((hi - lo).max()), align)
+    if span > n:
+        return None
+    max_base = ((n - span) // align) * align
+    base = np.clip(lo, 0, max_base)
+    span = _round_up(int((hi - base).max()), align)
+    if span > n or (base + span > n).any():
+        return None
+    blocks = np.zeros((nt, tile, span), dtype=np.float32)
+    for t in range(nt):
+        for r in range(tile):
+            i = t * tile + r
+            if i >= n_dst:
+                continue
+            off = int(start[i]) - int(base[t])
+            if off < 0 or off + band > span:
+                return None
+            blocks[t, r, off: off + band] = weights[i]
+    return base.astype(np.int32), blocks, span
+
+
+@functools.lru_cache(maxsize=32)
+def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
+                               out_dtype_name, in_dtype_name, interpret):
+    out_dtype = jnp.dtype(out_dtype_name)
+    in_dtype = jnp.dtype(in_dtype_name)
+    prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    npr = nty * ntx  # programs per frame
+
+    def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
+               out_ref, band_buf, sem):
+        t = pl.program_id(0)
+
+        def band_dma(step, slot_i):
+            fr = jax.lax.div(step, npr)
+            r = jax.lax.rem(step, npr)
+            ty = jax.lax.div(r, ntx)
+            tx = jax.lax.rem(r, ntx)
+            return pltpu.make_async_copy(
+                src_ref.at[fr,
+                           pl.ds(pl.multiple_of(row_base_ref[ty], 8), SY),
+                           pl.ds(pl.multiple_of(col_base_ref[tx], 128),
+                                 SX)],
+                band_buf.at[slot_i],
+                sem.at[slot_i],
+            )
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            band_dma(t, slot).start()
+
+        @pl.when(t + 1 < F * npr)
+        def _():
+            band_dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+        band_dma(t, slot).wait()
+        band = band_buf[slot]
+        tmp = jnp.dot(
+            wy_ref[0], band.astype(jnp.float32),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (TY, SX)
+        out_ref[0] = jnp.dot(
+            tmp, wx_ref[0], precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(F * npr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # src (HBM)
+            pl.BlockSpec(
+                (1, TY, SY),
+                lambda t, *_: (
+                    jax.lax.div(jax.lax.rem(t, npr), ntx), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                           # wy blocks
+            pl.BlockSpec(
+                (1, SX, TX),
+                lambda t, *_: (jax.lax.rem(t, ntx), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                           # wx blocks
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, TX),
+            lambda t, *_: (
+                jax.lax.div(t, npr),
+                jax.lax.div(jax.lax.rem(t, npr), ntx),
+                jax.lax.rem(t, ntx),
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SY, SX), in_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops = 2 * F * (nty * ntx) * (TY * SY * SX + TY * SX * TX)
+
+    def call(row_base, col_base, src, wy_blocks, wx_blocks):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (F, nty * TY, ntx * TX), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=F * (H * W * 2 + Hd * Wd * 2),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(row_base, col_base, src, wy_blocks, wx_blocks)
+
+    return call
+
+
+def apply_separable_pallas_2d(
+    frames: jax.Array,
+    y_start: jax.Array,
+    y_w: jax.Array,
+    x_start: jax.Array,
+    x_w: jax.Array,
+    *,
+    vmem_budget: int = 12 * 1024 * 1024,
+    interpret: bool = False,
+):
+    """2-D banded-tile Pallas apply: (F, H, W) -> (F, Hd, Wd) or None.
+
+    The 1-D kernel (apply_separable_pallas) fetches full-width row bands,
+    which requires W % 128 == 0 and a band that fits VMEM at full width —
+    wide-band operators (e.g. the 10x lat-lon regrid: 1296-row bands x
+    3600 f32 columns = 37 MB of scratch) and odd widths fall off it.
+    This variant fetches an (SY, SX) band BLOCK per (frame, dst row tile,
+    dst col tile) — row base 8-aligned, col base/width 128-aligned (the
+    same DMA contract the pallas_shear contract kernel uses) — and runs
+    both banded contractions per block on the MXU.  Tile sizes are chosen
+    to fit the double-buffered block in `vmem_budget`.
+
+    Returns None when no tile configuration fits (caller falls back).
+    """
+    if frames.ndim == 2:
+        out = apply_separable_pallas_2d(
+            frames[None], y_start, y_w, x_start, x_w,
+            vmem_budget=vmem_budget, interpret=interpret)
+        return None if out is None else out[0]
+    F, H, W = frames.shape
+    Hd = int(y_w.shape[0])
+    Wd = int(x_w.shape[0])
+    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+        frames = frames.astype(jnp.float32)
+    in_dtype = frames.dtype
+    isize = 2 if in_dtype == jnp.bfloat16 else 4
+
+    ys = np.asarray(y_start)
+    yw = np.asarray(y_w, dtype=np.float32)
+    xs = np.asarray(x_start)
+    xw = np.asarray(x_w, dtype=np.float32)
+
+    # plan against (8, 128)-aligned padded source dims: aligned block
+    # bases clamped inside an unaligned W would otherwise force the last
+    # tile's span past the array (zero pad, zero weights there)
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+
+    prep_key = (
+        hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
+        F, H, W, str(in_dtype), vmem_budget, "2d",
+    )
+    cached = _PREP_CACHE.get(prep_key)
+    if cached is not None:
+        if cached == "reject":
+            return None
+        if (Hp, Wp) != (H, W):
+            frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        call = _build_separable_kernel_2d(*cached["build_args"], interpret)
+        out = call(cached["row_base"], cached["col_base"], frames,
+                   cached["wy"], cached["wx"])
+        return out[:, :Hd, :Wd]
+
+    plan = None
+    # TX is pinned to 128: the out BlockSpec's last dim must be divisible
+    # by 128 (or equal the full array dim); TY only needs 8-divisibility
+    for TY, TX in ((128, 128), (64, 128), (32, 128), (16, 128), (8, 128)):
+        by = _banded_blocks_2d(ys, yw, Hp, TY, align=8)
+        bx = _banded_blocks_2d(xs, xw, Wp, TX, align=128)
+        if by is None or bx is None:
+            continue
+        row_base, wy_blocks, SY = by
+        col_base, wx_blocks_t, SX = bx
+        vmem = (2 * SY * SX * isize           # band double buffer
+                + TY * SY * 4 + SX * TX * 4   # weight blocks
+                + TY * TX * 4 + TY * SX * 4)  # out + y-pass temporary
+        if vmem > vmem_budget:
+            continue
+        plan = (TY, TX, row_base, wy_blocks, SY, col_base,
+                np.ascontiguousarray(np.swapaxes(wx_blocks_t, 1, 2)), SX)
+        break
+    if plan is None:
+        _PREP_CACHE[prep_key] = "reject"
+        return None
+    TY, TX, row_base, wy_blocks, SY, col_base, wx_blocks, SX = plan
+    nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
+    build_args = (F, Hp, Wp, Hd, Wd, TY, TX, SY, SX, nty, ntx,
+                  jnp.dtype(in_dtype).name, jnp.dtype(in_dtype).name)
+    cached = dict(
+        build_args=build_args,
+        row_base=jnp.asarray(row_base),
+        col_base=jnp.asarray(col_base),
+        wy=jnp.asarray(wy_blocks),
+        wx=jnp.asarray(wx_blocks),
+    )
+    _PREP_CACHE[prep_key] = cached
+    if (Hp, Wp) != (H, W):
+        frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    call = _build_separable_kernel_2d(*build_args, interpret)
+    out = call(cached["row_base"], cached["col_base"], frames,
+               cached["wy"], cached["wx"])
+    return out[:, :Hd, :Wd]
 
 
 def _finish_separable_pallas(frames, plan, interpret):

@@ -62,3 +62,51 @@ def test_pallas_small_image_fallback():
     ref = apply_separable_banded(frames, ys, yw, xs, xw)
     got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# 2-D banded-tile kernel (apply_separable_pallas_2d)
+# ----------------------------------------------------------------------
+
+from aainterp.ops.pallas_apply import apply_separable_pallas_2d
+
+
+@pytest.mark.parametrize("H,W,sr,dr", [
+    (360, 600, 10.0, 1.0),    # 10x downscale, W % 128 != 0 (regrid shape)
+    (256, 500, 2.0, 1.0),     # odd width, narrow band
+    (200, 384, 150.0, 60.0),  # non-integer ratio, H % 8 != 0
+])
+def test_pallas_2d_matches_banded_f32(H, W, sr, dr):
+    spec = aa.make_grid_spec((H, W), sr, dr, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(RNG.uniform(0, 1, (2, H, W)).astype(np.float32))
+    ref = apply_separable_banded(frames, ys, yw, xs, xw)
+    got = apply_separable_pallas_2d(frames, ys, yw, xs, xw, interpret=True)
+    assert got is not None, "2-D kernel rejected a feasible geometry"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_2d_regrid_bands():
+    # the actual config-5 operator: sin-lat y bands + uniform lon x bands
+    from aainterp.regrid import LatLonGrid, conservative_regrid_operator
+
+    src, dst = LatLonGrid(360, 720), LatLonGrid(36, 72)
+    by, bx = conservative_regrid_operator(src, dst)
+    ys = jnp.asarray(by.start); yw = jnp.asarray(by.weights, jnp.float32)
+    xs = jnp.asarray(bx.start); xw = jnp.asarray(bx.weights, jnp.float32)
+    fields = jnp.asarray(RNG.uniform(250, 300, (2, 360, 720)).astype(np.float32))
+    ref = apply_separable_banded(fields, ys, yw, xs, xw)
+    got = apply_separable_pallas_2d(fields, ys, yw, xs, xw, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-3)
+
+
+def test_pallas_1d_falls_back_to_2d_on_odd_width():
+    # apply_separable_pallas routes W % 128 != 0 to the 2-D kernel
+    spec = aa.make_grid_spec((128, 250), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(RNG.uniform(0, 1, (128, 250)).astype(np.float32))
+    ref = apply_separable_banded(frames, ys, yw, xs, xw)
+    got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -89,3 +89,27 @@ ref = np.asarray(aa.apply_operator(op, q, impl='xla'))
 np.testing.assert_allclose(got, ref, atol=1e-5)
 print('rotated shear TPU smoke OK', got.shape)
 """)
+
+
+def test_separable_2d_kernel_on_tpu():
+    """2-D banded-tile kernel: Mosaic compile + numerics at a regrid-like
+    shape (wide band, W % 128 != 0) that the 1-D kernel cannot serve."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+from aainterp.ops.apply import apply_separable_banded
+from aainterp.ops.pallas_apply import apply_separable_pallas_2d
+from aainterp.regrid import LatLonGrid, conservative_regrid_operator
+
+src, dst = LatLonGrid(360, 720), LatLonGrid(36, 72)
+by, bx = conservative_regrid_operator(src, dst)
+args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
+        jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
+x = jnp.asarray(np.random.default_rng(0).uniform(250, 300, (2, 360, 720)),
+                dtype=jnp.float32)
+got = apply_separable_pallas_2d(x, *args)
+assert got is not None
+got = np.asarray(got)
+ref = np.asarray(apply_separable_banded(x, *args))
+np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-3)
+print('2-D banded tile TPU smoke OK', got.shape)
+""")
