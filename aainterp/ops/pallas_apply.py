@@ -17,10 +17,11 @@ kernels keep everything in VMEM.  Design (separable kernel):
      (TY, SX) x (SX, TX) MXU matmul against the per-column-tile densified
      Wx block at 128-aligned dynamic offsets, writing bf16/f32 output.
 
-Measured on v5e: 80 Gpixel/s on the 4K->1080p bf16 flagship with the
-round-2 calibrated repeat-scan methodology (16x the BASELINE target;
-56-93 observed across sessions under chip contention), ~5x the XLA
-banded path.  Per-tile HBM traffic is the
+Measured on v5e: 311 Gpixel/s on the 4K->1080p bf16 flagship (62x the
+BASELINE target) with the honest unrolled-args harness — 94% of the
+328 Gpixel/s HBM-traffic physical bound; earlier recorded "80-106" was
+the old scan harness's per-step slice-copy tax, not the kernel (see
+BENCHMARKS.md methodology).  Per-tile HBM traffic is the
 source band + output tile only.  Weights stay fp32 by default (bf16
 weights would cost ~4e-3 relative accuracy; measured no speed benefit —
 see BENCHMARKS.md for this and the other negative results: tight static
@@ -664,6 +665,8 @@ def apply_separable_pallas_2d(
 
     Returns None when no tile configuration fits (caller falls back).
     """
+    if not interpret and jax.devices()[0].platform != "tpu":
+        return None  # compiled Pallas is TPU-only; interpret covers CPU
     if frames.ndim == 2:
         out = apply_separable_pallas_2d(
             frames[None], y_start, y_w, x_start, x_w,

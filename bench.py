@@ -111,24 +111,29 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
     # would be deduped by the relay
     _ = np.asarray(jfn(jnp.int32(1), *consts, *warm_list))
     rt = _roundtrip_cost()
-    # calibration probe (R=1): same executable, different input bytes
+    # differential calibration: the R=1 dispatch carries cold-start costs
+    # (first-touch allocation etc. — observed 15x steady state on the
+    # rgb1024 config) so a single probe mis-sizes R.  Timing R=1 and R=5
+    # and differencing cancels every per-dispatch fixed cost; the same
+    # subtraction extracts the final number, so the round trip and cold
+    # effects never enter the result.
     t0 = time.perf_counter()
     _ = np.asarray(jfn(jnp.int32(1), *consts, *fr_list))
     dt1 = time.perf_counter() - t0
-    per = max(dt1 - rt, 1e-6)
-    repeats = int(np.clip(math.ceil(max(target_s, 30.0 * rt) / per),
-                          1, max_repeats))
-    if repeats == 1:
-        dt, total = dt1, K
-    else:
-        t0 = time.perf_counter()
-        _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
-        dt = time.perf_counter() - t0
-        total = repeats * K
-    if rt > 0.2 * dt:
-        print(f"# warning: round trip {rt*1e3:.0f} ms is >20% of the "
-              f"{dt*1e3:.0f} ms scan (R={repeats}); number is loose")
-    return max(dt - min(rt, 0.9 * dt), 1e-9) / total
+    t0 = time.perf_counter()
+    _ = np.asarray(jfn(jnp.int32(5), *consts, *fr_list))
+    dt5 = time.perf_counter() - t0
+    per_app = max((dt5 - dt1) / (4 * K), 1e-7)
+    repeats = int(np.clip(math.ceil(max(target_s, 30.0 * rt)
+                                    / (per_app * K)), 6, max_repeats))
+    t0 = time.perf_counter()
+    _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
+    dt = time.perf_counter() - t0
+    span = dt - dt1
+    if span < 5.0 * rt:
+        print(f"# warning: differential span {span*1e3:.0f} ms is <5x the "
+              f"{rt*1e3:.0f} ms round trip (R={repeats}); number is loose")
+    return max(span, 1e-9) / ((repeats - 1) * K)
 
 
 def build_inputs(batch: int, dtype, K: int = 24):
