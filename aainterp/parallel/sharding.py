@@ -124,6 +124,156 @@ def sharded_apply_banded(
     return fn(frames, y_start, y_w, x_start, x_w)
 
 
+def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
+                         tile_y: int = 128, tile_x: int = 128):
+    """Host-side per-chip kernel plan for the row-sharded Pallas apply.
+
+    Each chip's local y band (rebased into its halo-extended source block
+    of Hloc = sb + 2*halo rows) is densified into per-row-tile blocks with
+    ONE uniform span SY across chips/tiles, so a single SPMD kernel serves
+    every shard; the x plan is chip-independent.  Returns None when the
+    geometry is off the 1-D kernel's envelope (W % 128 != 0, span > Hloc).
+    """
+    from ..ops.pallas_apply import _densify_row_band, _round_up
+
+    qH, Hd = y_band.n_src, y_band.n_dst
+    W, Wd = x_band.n_src, x_band.n_dst
+    if W % 128 != 0:
+        return None
+    db, sb = Hd // n_dev, qH // n_dev
+    Hloc = sb + 2 * halo
+    TY = min(tile_y, db)
+    if db % TY != 0:
+        for cand in range(TY - TY % 8, 7, -8):
+            if db % cand == 0:
+                TY = cand
+                break
+        else:
+            return None
+    nty = db // TY
+    ys = np.asarray(y_band.start).astype(np.int64)
+    yw = np.asarray(y_band.weights, dtype=np.float32)
+    band = yw.shape[1]
+
+    # local (rebased) starts per chip; uniform SY across all (chip, tile)
+    lo = np.zeros((n_dev, nty), np.int64)
+    hi = np.zeros((n_dev, nty), np.int64)
+    for i in range(n_dev):
+        loc = ys[i * db: (i + 1) * db] - (i * sb - halo)
+        if loc.min() < 0 or loc.max() + band > Hloc:
+            return None  # halo bound violated (shouldn't happen)
+        for t in range(nty):
+            rows = loc[t * TY: (t + 1) * TY]
+            lo[i, t] = (int(rows.min()) // 8) * 8
+            hi[i, t] = int(rows.max()) + band
+    SY = _round_up(int((hi - lo).max()), 8)
+    if SY > Hloc:
+        return None
+    max_base = ((Hloc - SY) // 8) * 8
+    base = np.clip(lo, 0, max_base)
+    SY = _round_up(int((hi - base).max()), 8)
+    if SY > Hloc or (base + SY > Hloc).any():
+        return None
+    wy_blocks = np.zeros((n_dev, nty, TY, SY), np.float32)
+    for i in range(n_dev):
+        loc = ys[i * db: (i + 1) * db] - (i * sb - halo)
+        for t in range(nty):
+            for r in range(TY):
+                off = int(loc[t * TY + r]) - int(base[i, t])
+                wy_blocks[i, t, r, off: off + band] = yw[i * db + t * TY + r]
+
+    xs = np.asarray(x_band.start)
+    xw = np.asarray(x_band.weights, dtype=np.float32)
+    TX = tile_x
+    col_base, wx_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
+    if SX > W:
+        return None
+    wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
+    return dict(TY=TY, TX=TX, SY=SY, SX=SX, nty=nty,
+                ntx=wx_blocks.shape[0], Hloc=Hloc, db=db, sb=sb, band=band,
+                row_base=base.astype(np.int32), wy_blocks=wy_blocks,
+                col_base=col_base.astype(np.int32), wx_blocks=wx_blocks)
+
+
+def sharded_apply_banded_pallas(
+    frames: jax.Array,
+    y_band,
+    x_band,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-sharded apply with the Pallas MXU kernel per shard.
+
+    Same collective structure as sharded_apply_banded (ring-halo exchange
+    over ICI, then a chip-local apply), but the local contraction runs the
+    1-D Pallas kernel (311 vs ~15 Gpixel/s single-chip) on each chip's
+    halo-extended block.  Per-chip band plans ride as row-sharded kernel
+    inputs.  Raises ValueError off the kernel envelope — callers fall back
+    to sharded_apply_banded.
+    """
+    from ..ops.pallas_apply import _build_separable_kernel
+
+    n_dev = mesh.shape[row_axis]
+    qH, Hd = y_band.n_src, y_band.n_dst
+    Wd = x_band.n_dst
+    halo = _row_halo(y_band.start, y_band.band, qH, Hd, n_dev)
+    plan = _sharded_pallas_plan(y_band, x_band, n_dev, halo)
+    if plan is None:
+        raise ValueError("geometry off the sharded Pallas kernel envelope")
+
+    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+        frames = frames.astype(jnp.float32)
+    lead = frames.ndim - 2
+    assert lead in (0, 1)
+    Bloc = 1
+    if lead:
+        n_data = mesh.shape[data_axis] if data_axis else 1
+        Bloc = frames.shape[0] // n_data
+    TY, TX, SY, SX = plan["TY"], plan["TX"], plan["SY"], plan["SX"]
+    nty, ntx, db, sb = plan["nty"], plan["ntx"], plan["db"], plan["sb"]
+    Hloc, W = plan["Hloc"], x_band.n_src
+    dname = jnp.dtype(frames.dtype).name
+    n_rows = nty * TY
+    ky = plan["band"]
+
+    call = _build_separable_kernel(
+        Bloc, Hloc, W, db, Wd, TY, TX, SY, SX, nty, ntx, ky, SY,
+        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret)
+
+    row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
+    yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
+    row_base = jnp.asarray(plan["row_base"])      # (n_dev, nty)
+    wy_blocks = jnp.asarray(plan["wy_blocks"])    # (n_dev, nty, TY, SY)
+    col_base = jnp.asarray(plan["col_base"])
+    wx_blocks = jnp.asarray(plan["wx_blocks"])
+
+    batch_spec = (P(data_axis),) if data_axis else (P(),)
+    row_only = P(*(batch_spec[0] + (row_axis, None)))
+
+    def local_fn(frames_blk, rb, wyb, cb, ro, ywf, wxb):
+        ext = _halo_extend(frames_blk, halo, row_axis, n_dev)
+        squeeze = frames_blk.ndim == 2
+        if squeeze:
+            ext = ext[None]
+        out = call(rb[0], cb, ro, ywf, ext, wyb[0], wxb)
+        out = out[:, :db, :Wd]
+        return out[0] if squeeze else out
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(row_only, P(row_axis, None), P(row_axis, None, None, None),
+                  P(None), P(None), P(None), P(None, None, None)),
+        out_specs=row_only,
+        check_rep=False,
+    )
+    return fn(frames, row_base, wy_blocks, col_base, row_off, yw_flat,
+              wx_blocks)
+
+
 def sharded_apply_separable(
     frames: jax.Array,
     op: weights_ops.SeparableOperator,
@@ -131,12 +281,18 @@ def sharded_apply_separable(
     *,
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
+    impl: str = "auto",
+    interpret: bool = False,
 ) -> jax.Array:
     """Apply a separable operator with dst/src rows sharded over ``row_axis``
     and leading batch dims over ``data_axis``.
 
     frames: (B, H, W) (or (H, W) with data_axis=None).  Returns (B, Hd, Wd)
     with the same sharding layout.
+
+    impl: 'auto' uses the per-shard Pallas MXU kernel on TPU (falling back
+    to the XLA banded local apply off its envelope); 'pallas' / 'banded'
+    force.
     """
     if op.spec.quadrant != 0:
         # quadrant pre-rotation (Source.cpp:159-172) as a global jnp.rot90:
@@ -144,6 +300,16 @@ def sharded_apply_separable(
         # all-to-all over ICI and reshards for the shard_map that follows —
         # the minimal collective any distributed rot90 needs
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "banded")
+    if impl == "pallas":
+        try:
+            return sharded_apply_banded_pallas(
+                frames, op.wy, op.wx, mesh, data_axis=data_axis,
+                row_axis=row_axis, interpret=interpret)
+        except ValueError:
+            pass  # off the kernel envelope: XLA banded local apply
     return sharded_apply_banded(
         frames, op.wy, op.wx, mesh, data_axis=data_axis, row_axis=row_axis
     )
