@@ -134,3 +134,26 @@ def build_operator_cached(
         op = build_operator(spec, mode=mode, method=method)
         save_operator(op, mode, cache_dir)
     return op
+
+
+def prefetch_operator(op: Operator) -> dict:
+    """Start async host->device transfers of an operator's apply arrays.
+
+    jax.device_put returns immediately and transfers in the background, so
+    calling this right after ``load_operator`` overlaps the (mmap-paged)
+    weight upload with whatever compilation or I/O follows — the
+    "async prefetch into device memory" leg of the SURVEY.md §5
+    checkpoint/resume story.  Returns the dict of device arrays;
+    ``apply_operator`` consumes jnp.asarray(...) of the same buffers, so
+    the transfer is reused via JAX's device-put cache.
+    """
+    import jax
+
+    if isinstance(op, weights_ops.SeparableOperator):
+        arrays = {
+            "y_start": op.wy.start, "y_w": op.wy.weights,
+            "x_start": op.wx.start, "x_w": op.wx.weights,
+        }
+    else:
+        arrays = {"base": op.base, "weights": op.weights}
+    return {k: jax.device_put(np.asarray(v)) for k, v in arrays.items()}

@@ -234,3 +234,23 @@ def test_profiler_trace_smoke(tmp_path):
     with device_timer("apply", holder):
         r.dst.block_until_ready()
     assert holder["apply"] >= 0.0
+
+
+def test_prefetch_operator_separable_and_ell(tmp_path):
+    import jax.numpy as jnp
+    from aainterp.utils.cache import prefetch_operator
+    from aainterp.api import build_operator
+    from aainterp.grids import make_grid_spec
+
+    op = build_operator(make_grid_spec((16, 16), 2.0, 1.0, (0.0, 0.0), 0.0))
+    arrs = prefetch_operator(op)
+    assert set(arrs) == {"y_start", "y_w", "x_start", "x_w"}
+    # device_put downcasts f64 host weights to f32 without jax_enable_x64
+    np.testing.assert_array_equal(
+        np.asarray(arrs["y_w"]),
+        np.asarray(op.wy.weights, dtype=np.asarray(arrs["y_w"]).dtype))
+    op_r = build_operator(
+        make_grid_spec((16, 16), 1.0, 0.5, (8.0, 8.0), 30.0))
+    arrs_r = prefetch_operator(op_r)
+    assert set(arrs_r) == {"base", "weights"}
+    assert jnp.asarray(arrs_r["weights"]).shape == op_r.weights.shape
