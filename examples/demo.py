@@ -15,6 +15,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# honor JAX_PLATFORMS even on machines whose sitecustomize force-sets the
+# platform list after env parsing (this box pins "axon,cpu")
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import aainterp as aa  # noqa: E402
 from aainterp.baselines import compare_downscale, compare_rotation_roundtrip
 from aainterp.regrid import (
