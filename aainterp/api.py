@@ -173,7 +173,7 @@ def apply_operator(
                 "sheared" if on_tpu else "xla")
         if impl == "pallas":
             # three-kernel Pallas rotated apply (ops/pallas_shear.py):
-            # VMEM shears + one-hot MXU gathers, ~6x the XLA sheared path
+            # VMEM shears + one-hot MXU gathers, ~4-5x the XLA sheared path
             try:
                 fn, arrs = _pallas_shear_plan(op, weight_dtype)
                 return fn(
