@@ -105,8 +105,8 @@ def apply_operator(
     """Apply a prebuilt operator to (..., H, W) image(s) on device.
 
     impl: 'auto' routes large separable applies on TPU to the Pallas
-    kernel (ops/pallas_apply.py — 264.9 Gpixel/s at the flagship shape,
-    the HBM-traffic speed of light there); off the Pallas route, exact
+    kernel (ops/pallas_apply.py — 311 Gpixel/s at the flagship shape,
+    94% of the HBM-traffic physical bound); off the Pallas route, exact
     uniform integer-ratio operators use the strided box mean.  'box' /
     'stencil' / 'xla' / 'pallas' force a path (box and stencil are pure
     XLA and differentiable; on v5e XLA lowers their strided slices slowly

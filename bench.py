@@ -126,6 +126,10 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
     per_app = max((dt5 - dt1) / (4 * K), 1e-7)
     repeats = int(np.clip(math.ceil(max(target_s, 30.0 * rt)
                                     / (per_app * K)), 6, max_repeats))
+    # wall-clock guard: if timing noise collapsed dt5 - dt1, per_app
+    # underestimates and repeats explodes; bound the final dispatch to
+    # ~120 s using the directly-measured whole-dispatch time dt5/5 per R
+    repeats = min(repeats, max(6, int(120.0 / max(dt5 / 5.0, 1e-3))))
     t0 = time.perf_counter()
     _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
     dt = time.perf_counter() - t0
