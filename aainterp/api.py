@@ -251,7 +251,10 @@ def _pallas_shear_plan(op, weight_dtype=jnp.float32):
            jnp.dtype(weight_dtype).name)
     hit = _SHEAR_CACHE.get(key)
     if hit is None:
-        fn0, arrs = make_pallas_shear_apply(op, weight_dtype=weight_dtype)
+        # cache=True: the 2048^2 kernel plan takes ~30 s to build vs ~1 s
+        # to load; production serving should not repay that per process
+        fn0, arrs = make_pallas_shear_apply(op, weight_dtype=weight_dtype,
+                                            cache=True)
 
         def batched(q, a):
             lead = q.shape[:-2]

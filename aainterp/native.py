@@ -47,6 +47,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         _load_failed = True
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale .so from an earlier round missing newer symbols (the
+        # library is a gitignored build artifact): rebuild once and retry;
+        # on any failure fall back to the pure-numpy paths as promised.
+        # dlclose first — dlopen caches by path, so reloading the rebuilt
+        # file needs the stale image evicted.
+        try:
+            import _ctypes
+
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            pass
+        if not _try_build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+        except (OSError, AttributeError):
+            _load_failed = True
+            return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     c_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.aai_ell_weights.argtypes = (
@@ -71,8 +103,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, c_f64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.aai_csv_write.restype = ctypes.c_int
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

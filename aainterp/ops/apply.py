@@ -70,14 +70,16 @@ def uniform_box_params(y_start, y_w, x_start, x_w, H: int, W: int):
     """(my, mx) if the banded separable operator is an exact uniform integer
     box filter; None otherwise.
 
-    Integer-ratio downscales (e.g. the flagship 4K->1080p at ratio 2,
-    srcResolution/dstResolution semantics of Source.cpp:173-180) produce
-    bands of constant stride m whose m live taps all carry weight 1/m: the
-    area-average reduces to an m x m box mean, for which reshape + mean is
-    the memory-bound speed-of-light formulation (no MXU work, no gathers,
-    no band DMA choreography).  Detection is exact: strides must equal m
-    with zero offset, H == m * Hd, all live taps bit-identical, and
-    m * w0 == 1 within one rounding of 1/m.
+    Integer-ratio downscales whose dst-cell edges land on src-cell edges
+    produce bands of constant stride m whose m live taps all carry weight
+    1/m: the area-average reduces to an m x m box mean with no MXU work,
+    no gathers, no band DMA choreography.  Edge alignment requires the
+    forward-mapped isocenter fraction (m-1)/(2m) per axis, i.e.
+    src_isocenter = ((m-1)/2, (m-1)/2) — NOTE the flagship iso=(0,0)
+    ratio-2 grid is offset half a src cell (3-tap [1/4, 1/2, 1/4]
+    stencil) and is correctly rejected here.  Detection is exact: strides
+    must equal m with zero anchor offset, H == m * Hd, all live taps
+    bit-identical, and m * w0 == 1 within one rounding of 1/m.
     """
     params = []
     for start, w, n in ((y_start, y_w, H), (x_start, x_w, W)):

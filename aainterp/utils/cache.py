@@ -136,24 +136,35 @@ def build_operator_cached(
     return op
 
 
-def prefetch_operator(op: Operator) -> dict:
-    """Start async host->device transfers of an operator's apply arrays.
+def prefetch_operator(op: Operator) -> Operator:
+    """Copy of ``op`` with its apply arrays uploaded to device, async.
 
-    jax.device_put returns immediately and transfers in the background, so
-    calling this right after ``load_operator`` overlaps the (mmap-paged)
-    weight upload with whatever compilation or I/O follows — the
-    "async prefetch into device memory" leg of the SURVEY.md §5
-    checkpoint/resume story.  Returns the dict of device arrays;
-    ``apply_operator`` consumes jnp.asarray(...) of the same buffers, so
-    the transfer is reused via JAX's device-put cache.
+    jax.device_put returns immediately (the transfer proceeds in the
+    background), and ``apply_operator``'s jnp.asarray(...) on an
+    already-device-resident array is a no-op — so calling this right
+    after ``load_operator`` overlaps the (mmap-paged) weight upload with
+    whatever compilation or I/O follows AND the transfer is genuinely
+    reused by the apply.  Host-side planning (box/stencil detection,
+    Pallas band densification) pulls small copies back with np.asarray
+    as needed.  Note: without jax_enable_x64 the f64 host weights land
+    on device as f32 — the dtype every apply path uses by default.
+
+    The "async prefetch into device memory" leg of the SURVEY.md §5
+    checkpoint/resume story.
     """
+    import dataclasses as _dc
+
     import jax
 
+    def _put(a):
+        return jax.device_put(np.asarray(a))
+
     if isinstance(op, weights_ops.SeparableOperator):
-        arrays = {
-            "y_start": op.wy.start, "y_w": op.wy.weights,
-            "x_start": op.wx.start, "x_w": op.wx.weights,
-        }
-    else:
-        arrays = {"base": op.base, "weights": op.weights}
-    return {k: jax.device_put(np.asarray(v)) for k, v in arrays.items()}
+        return _dc.replace(
+            op,
+            wy=_dc.replace(op.wy, start=_put(op.wy.start),
+                           weights=_put(op.wy.weights)),
+            wx=_dc.replace(op.wx, start=_put(op.wx.start),
+                           weights=_put(op.wx.weights)),
+        )
+    return _dc.replace(op, base=_put(op.base), weights=_put(op.weights))

@@ -48,7 +48,7 @@ def _roundtrip_cost():
 
 def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
                target_s: float = 1.5, max_repeats: int = 2000,
-               checksum: str = "first", max_k: int = 8):
+               checksum: str = "barrier", max_k: int = 8):
     """Honest device-time measurement on this box's remote-execution relay.
 
     Hazards, each verified with falsifiable probes (2026-08-16/17):
@@ -83,8 +83,12 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
     used — variety exists to defeat relay dedupe across calls, not within
     a dispatch).  Returns seconds per (B, H, W) application.
 
-    checksum: "first" carries out[0] (enough for opaque Pallas kernels —
-    XLA cannot slice into them); "barrier" for any pure-XLA formulation.
+    checksum: "barrier" (default) wraps the output in
+    lax.optimization_barrier before the scalar carry — free for Pallas
+    kernels (their outputs are materialised anyway) and REQUIRED for any
+    pure-XLA path, including the silent fallbacks a case can take.
+    "first" carries out[0] bare (only safe when the measured fn is known
+    opaque).
     """
     K = min(int(frames_all.shape[0]), max_k)
     fr_list = [frames_all[k] for k in range(K)]
@@ -125,19 +129,23 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
     dt5 = time.perf_counter() - t0
     per_app = max((dt5 - dt1) / (4 * K), 1e-7)
     repeats = int(np.clip(math.ceil(max(target_s, 30.0 * rt)
-                                    / (per_app * K)), 6, max_repeats))
+                                    / (per_app * K)) + 5, 15, max_repeats))
     # wall-clock guard: if timing noise collapsed dt5 - dt1, per_app
     # underestimates and repeats explodes; bound the final dispatch to
     # ~120 s using the directly-measured whole-dispatch time dt5/5 per R
-    repeats = min(repeats, max(6, int(120.0 / max(dt5 / 5.0, 1e-3))))
+    repeats = min(repeats, max(15, int(120.0 / max(dt5 / 5.0, 1e-3))))
     t0 = time.perf_counter()
     _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
     dt = time.perf_counter() - t0
-    span = dt - dt1
+    # extract against dt5, not dt1: the R=1 dispatch carries one-time
+    # cold costs (first-touch of the fr buffers) that live in dt1 only;
+    # differencing against it would subtract them from real work time
+    # and over-report throughput.  dt and dt5 are both warm.
+    span = dt - dt5
     if span < 5.0 * rt:
         print(f"# warning: differential span {span*1e3:.0f} ms is <5x the "
               f"{rt*1e3:.0f} ms round trip (R={repeats}); number is loose")
-    return max(span, 1e-9) / ((repeats - 1) * K)
+    return max(span, 1e-9) / ((repeats - 5) * K)
 
 
 def build_inputs(batch: int, dtype, K: int = 24):
@@ -320,7 +328,8 @@ def main():
             "vs_baseline": round(g / 5.0, 3)}))
         return
     if args.case == "rot30":
-        g = bench_rot30(args.batch, args.iters, jnp.dtype(args.dtype))
+        g = bench_rot30(args.batch, args.iters, jnp.dtype(args.dtype),
+                        impl=args.impl)
         # information-preservation PSNR vs the interpolators the reference
         # README positions itself against (rotate +30/-30 round trip at a
         # CI-sized 512 grid; the metric is size-stable)
@@ -351,9 +360,7 @@ def main():
     def run(impl):
         try:
             fn = make_fn(impl, op, dtype)
-            dt = timed_scan(fn, frames, warm,
-                            checksum="first" if impl == "pallas"
-                            else "barrier")
+            dt = timed_scan(fn, frames, warm)
             return in_pixels / dt / 1e9
         except Exception as e:  # pragma: no cover
             print(f"# impl {impl} failed: {type(e).__name__}: {e}")

@@ -237,20 +237,30 @@ def test_profiler_trace_smoke(tmp_path):
 
 
 def test_prefetch_operator_separable_and_ell(tmp_path):
+    import jax
     import jax.numpy as jnp
     from aainterp.utils.cache import prefetch_operator
-    from aainterp.api import build_operator
+    from aainterp.api import apply_operator, build_operator
     from aainterp.grids import make_grid_spec
 
     op = build_operator(make_grid_spec((16, 16), 2.0, 1.0, (0.0, 0.0), 0.0))
-    arrs = prefetch_operator(op)
-    assert set(arrs) == {"y_start", "y_w", "x_start", "x_w"}
+    pre = prefetch_operator(op)
+    assert isinstance(pre.wy.weights, jax.Array)
     # device_put downcasts f64 host weights to f32 without jax_enable_x64
     np.testing.assert_array_equal(
-        np.asarray(arrs["y_w"]),
-        np.asarray(op.wy.weights, dtype=np.asarray(arrs["y_w"]).dtype))
+        np.asarray(pre.wy.weights),
+        np.asarray(op.wy.weights, dtype=np.asarray(pre.wy.weights).dtype))
+    # the prefetched operator applies identically
+    src = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (16, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(apply_operator(pre, src, impl="xla")),
+        np.asarray(apply_operator(op, src, impl="xla")), atol=1e-6)
+
     op_r = build_operator(
         make_grid_spec((16, 16), 1.0, 0.5, (8.0, 8.0), 30.0))
-    arrs_r = prefetch_operator(op_r)
-    assert set(arrs_r) == {"base", "weights"}
-    assert jnp.asarray(arrs_r["weights"]).shape == op_r.weights.shape
+    pre_r = prefetch_operator(op_r)
+    assert isinstance(pre_r.weights, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(apply_operator(pre_r, src, impl="xla")),
+        np.asarray(apply_operator(op_r, src, impl="xla")), atol=1e-6)
