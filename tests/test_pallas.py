@@ -26,6 +26,7 @@ def _bands(spec):
     (256, 512, 2.0, 1.0),          # integer 2x downscale
     (512, 768, 150.0, 60.0),       # non-integer ratio
     (384, 640, 4.0, 1.0),          # 4x downscale (wider band)
+    (128, 256, 1.0, 2.0),          # 2x upscale
 ])
 def test_pallas_matches_banded_f32(H, W, sr, dr, y_pass):
     spec = aa.make_grid_spec((H, W), sr, dr, (0.0, 0.0), 0.0)
@@ -75,6 +76,8 @@ from aainterp.ops.pallas_apply import apply_separable_pallas_2d
     (360, 600, 10.0, 1.0),    # 10x downscale, W % 128 != 0 (regrid shape)
     (256, 500, 2.0, 1.0),     # odd width, narrow band
     (200, 384, 150.0, 60.0),  # non-integer ratio, H % 8 != 0
+    (128, 256, 1.0, 2.0),     # 2x upscale
+    (96, 250, 1.0, 3.5),      # non-integer upscale, odd width
 ])
 def test_pallas_2d_matches_banded_f32(H, W, sr, dr):
     spec = aa.make_grid_spec((H, W), sr, dr, (0.0, 0.0), 0.0)
