@@ -580,8 +580,17 @@ def compat_ell_weights(
             if native.available():
                 areas = native.compat_cell_areas_native(
                     qvx, qvy, mx0, my0, Km, modH, modW)
-        except Exception:
-            areas = None  # fall back to numpy
+        except (OSError, AttributeError, TypeError, ValueError) as e:
+            # correctness is covered by the numpy replica below, but a
+            # silent fallback hides real native-path defects (bad binding,
+            # shape drift) behind a ~100x slowdown — make it observable
+            import warnings
+
+            warnings.warn(
+                "native compat weight-gen failed "
+                f"({type(e).__name__}: {e}); using the numpy replica",
+                RuntimeWarning)
+            areas = None
     if areas is None:
         cell_x0 = mx - 0.5
         cell_y0 = my - 0.5

@@ -42,6 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.lru import LruDict
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -491,11 +493,13 @@ def apply_separable_pallas(
         in_dtype=frames.dtype,
         reshape_m=stride_m if y_pass == "strided" else 0,
     )
-    _PREP_CACHE[prep_key] = plan
+    _PREP_CACHE.put(prep_key, plan)
     return _finish_separable_pallas(frames, plan, interpret)
 
 
-_PREP_CACHE: dict = {}
+# bounded: each plan holds densified f32 band blocks (tens of MB at 4K);
+# a many-geometry server must not grow this without bound (VERDICT r2 #7)
+_PREP_CACHE = LruDict(16)
 
 
 # ----------------------------------------------------------------------
@@ -724,7 +728,7 @@ def apply_separable_pallas_2d(
                 np.ascontiguousarray(np.swapaxes(wx_blocks_t, 1, 2)), SX)
         break
     if plan is None:
-        _PREP_CACHE[prep_key] = "reject"
+        _PREP_CACHE.put(prep_key, "reject")
         return None
     TY, TX, row_base, wy_blocks, SY, col_base, wx_blocks, SX = plan
     nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
@@ -737,7 +741,7 @@ def apply_separable_pallas_2d(
         wy=jnp.asarray(wy_blocks),
         wx=jnp.asarray(wx_blocks),
     )
-    _PREP_CACHE[prep_key] = cached
+    _PREP_CACHE.put(prep_key, cached)
     if (Hp, Wp) != (H, W):
         frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
     call = _build_separable_kernel_2d(*build_args, interpret)

@@ -139,12 +139,24 @@ class EllOperator:
         return W
 
 
+class OperatorValidationError(ValueError):
+    """A built/loaded operator failed the numerical sanitizer."""
+
+
+def _check(cond, msg) -> None:
+    # not `assert`: must survive python -O (production serving)
+    if not cond:
+        raise OperatorValidationError(msg)
+
+
 def validate_operator(op) -> dict:
     """Numerical sanitizer for a built operator (SURVEY.md §5).
 
     Checks: finite weights; normalised rows sum to 1 (or exactly 0 for
     empty footprints); raw row sums within [0, dst pixel area].  Returns a
-    dict of stats; raises AssertionError on violation.
+    dict of stats; raises OperatorValidationError on violation.  Wired
+    into ``api.build_operator`` and the disk-cache load path so weight-gen
+    regressions and corrupted cache entries fail loudly (VERDICT r2 §4).
     """
     L = op.spec.dst_side
     mode = getattr(op, "mode", "exact")
@@ -174,26 +186,30 @@ def validate_operator(op) -> dict:
             ("x", op.wx, op.raw_row_sums[1]),
         ):
             w = band.weights
-            assert np.isfinite(w).all(), f"non-finite {name} weights"
+            _check(np.isfinite(w).all(), f"non-finite {name} weights")
             rs = w.sum(axis=1)
             ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
-            assert ok.all(), f"{name} rows not normalised"
-            assert (sums >= -1e-12).all()
-            assert (sums <= bound_1d + 1e-9).all()
+            _check(ok.all(), f"{name} rows not normalised")
+            _check((sums >= -1e-12).all(), f"negative {name} raw sums")
+            _check((sums <= bound_1d + 1e-9).all(),
+                   f"{name} raw sums exceed the {mode} bound {bound_1d}")
             stats[f"{name}_zero_rows"] = int((rs == 0.0).sum())
         return stats
     w = op.weights
-    assert np.isfinite(w).all(), "non-finite ELL weights"
+    _check(np.isfinite(w).all(), "non-finite ELL weights")
     rs = w.sum(axis=(-1, -2))
     ok = np.isclose(rs, 1.0, atol=1e-9) | (rs == 0.0)
-    assert ok.all(), "ELL rows not normalised"
-    assert (op.raw_row_sums >= -1e-12).all()
-    assert (op.raw_row_sums <= bound_2d + 1e-9).all()
+    _check(ok.all(), "ELL rows not normalised")
+    _check((op.raw_row_sums >= -1e-12).all(), "negative ELL raw sums")
+    _check((op.raw_row_sums <= bound_2d + 1e-9).all(),
+           f"ELL raw sums exceed the {mode} bound {bound_2d}")
     qH, qW = op.spec.qrot_shape
     K = op.window
-    assert (op.base >= 0).all()
-    assert (op.base[..., 0] + K <= max(qH, K)).all()
-    assert (op.base[..., 1] + K <= max(qW, K)).all()
+    _check((op.base >= 0).all(), "negative ELL window base")
+    _check((op.base[..., 0] + K <= max(qH, K)).all(),
+           "ELL window base exceeds rotated rows")
+    _check((op.base[..., 1] + K <= max(qW, K)).all(),
+           "ELL window base exceeds rotated cols")
     return {"zero_rows": int((rs == 0.0).sum())}
 
 

@@ -63,7 +63,15 @@ def _halo_extend(x, h: int, axis_name: str, n_dev: int):
         return x
     sb = x.shape[-2]
     hops = -(-h // sb)
-    assert hops <= n_dev - 1, (h, sb, n_dev)
+    if hops > n_dev - 1:
+        # can trigger for clamped bands (e.g. compat operators with
+        # Kc > qH) whose windows reach past the full ring; a bare assert
+        # here would be stripped under -O and silently zero the halo
+        raise ValueError(
+            f"halo of {h} rows needs {hops} ring hops but only "
+            f"{n_dev - 1} neighbours exist (per-chip block {sb} rows); "
+            "use fewer row shards for this operator"
+        )
     parts_prev, parts_next = [], []
     for k in range(1, hops + 1):
         hk = min(sb, h - (k - 1) * sb)  # partial block on the last hop
@@ -166,14 +174,12 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
             rows = loc[t * TY: (t + 1) * TY]
             lo[i, t] = (int(rows.min()) // 8) * 8
             hi[i, t] = int(rows.max()) + band
-    SY = _round_up(int((hi - lo).max()), 8)
-    if SY > Hloc:
-        return None
-    max_base = ((Hloc - SY) // 8) * 8
-    base = np.clip(lo, 0, max_base)
+    base = np.clip(lo, 0, None)
     SY = _round_up(int((hi - base).max()), 8)
-    if SY > Hloc or (base + SY > Hloc).any():
-        return None
+    # the per-chip block is OURS to shape: when the 8-aligned span spills
+    # past the halo-extended height (tiny shards), pad the local block
+    # with zero rows instead of rejecting — spill rows carry weight 0
+    Hpad = _round_up(max(Hloc, int((base + SY).max())), 8)
     wy_blocks = np.zeros((n_dev, nty, TY, SY), np.float32)
     for i in range(n_dev):
         loc = ys[i * db: (i + 1) * db] - (i * sb - halo)
@@ -190,7 +196,8 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
         return None
     wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
     return dict(TY=TY, TX=TX, SY=SY, SX=SX, nty=nty,
-                ntx=wx_blocks.shape[0], Hloc=Hloc, db=db, sb=sb, band=band,
+                ntx=wx_blocks.shape[0], Hloc=Hloc, Hpad=Hpad, db=db, sb=sb,
+                band=band,
                 row_base=base.astype(np.int32), wy_blocks=wy_blocks,
                 col_base=col_base.astype(np.int32), wx_blocks=wx_blocks)
 
@@ -234,13 +241,13 @@ def sharded_apply_banded_pallas(
         Bloc = frames.shape[0] // n_data
     TY, TX, SY, SX = plan["TY"], plan["TX"], plan["SY"], plan["SX"]
     nty, ntx, db, sb = plan["nty"], plan["ntx"], plan["db"], plan["sb"]
-    Hloc, W = plan["Hloc"], x_band.n_src
+    Hloc, Hpad, W = plan["Hloc"], plan["Hpad"], x_band.n_src
     dname = jnp.dtype(frames.dtype).name
     n_rows = nty * TY
     ky = plan["band"]
 
     call = _build_separable_kernel(
-        Bloc, Hloc, W, db, Wd, TY, TX, SY, SX, nty, ntx, ky, SY,
+        Bloc, Hpad, W, db, Wd, TY, TX, SY, SX, nty, ntx, ky, SY,
         dname, dname, "mxu", 0, None, -1, 0, False, True, interpret)
 
     row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
@@ -255,6 +262,11 @@ def sharded_apply_banded_pallas(
 
     def local_fn(frames_blk, rb, wyb, cb, ro, ywf, wxb):
         ext = _halo_extend(frames_blk, halo, row_axis, n_dev)
+        if Hpad > Hloc:
+            # zero rows so the 8-aligned band spans stay DMA-in-range;
+            # they only ever meet zero weights (see _sharded_pallas_plan)
+            pad = [(0, 0)] * (ext.ndim - 2) + [(0, Hpad - Hloc), (0, 0)]
+            ext = jnp.pad(ext, pad)
         squeeze = frames_blk.ndim == 2
         if squeeze:
             ext = ext[None]
@@ -300,6 +312,7 @@ def sharded_apply_separable(
         # all-to-all over ICI and reshards for the shard_map that follows —
         # the minimal collective any distributed rot90 needs
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+    forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
                 else "banded")
@@ -309,7 +322,11 @@ def sharded_apply_separable(
                 frames, op.wy, op.wx, mesh, data_axis=data_axis,
                 row_axis=row_axis, interpret=interpret)
         except ValueError:
-            pass  # off the kernel envelope: XLA banded local apply
+            # off the kernel envelope: the auto route degrades to the XLA
+            # banded local apply, but an explicitly forced impl='pallas'
+            # must not silently run a ~15x slower different path
+            if forced:
+                raise
     return sharded_apply_banded(
         frames, op.wy, op.wx, mesh, data_axis=data_axis, row_axis=row_axis
     )

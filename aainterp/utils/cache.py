@@ -51,6 +51,8 @@ def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> s
     weight tables (hundreds of MB at 2048^2) would be read eagerly; the
     directory layout lets ``load_operator`` hand back lazily-paged views
     (ROADMAP round-2 item: cache mmap)."""
+    import tempfile
+
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
     if isinstance(op, weights_ops.SeparableOperator):
         method = "separable"
@@ -64,8 +66,10 @@ def save_operator(op: Operator, mode: str, cache_dir: Optional[str] = None) -> s
         arrays = dict(base=op.base, w=op.weights, sums=op.raw_row_sums)
     key = spec_key(op.spec, mode, method)
     path = os.path.join(cache_dir, f"{key}.op")
-    tmp = path + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # unique staging dir: a fixed path + '.tmp' would let two concurrent
+    # savers interleave writes before the os.replace (ADVICE r2)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"{key}.op.tmp.", dir=cache_dir)
     meta = dict(spec=dataclasses.asdict(op.spec), method=method,
                 mode=op.mode, arrays=sorted(arrays))
     for name, arr in arrays.items():
@@ -88,18 +92,29 @@ def load_operator(
     key = spec_key(spec, mode, method)
     dpath = os.path.join(cache_dir, f"{key}.op")
     npz_path = os.path.join(cache_dir, f"{key}.npz")
-    if os.path.isdir(dpath):
-        with open(os.path.join(dpath, "meta.json")) as f:
-            meta = json.load(f)
-        mm = "r" if mmap else None
-        z = {name: np.load(os.path.join(dpath, f"{name}.npy"), mmap_mode=mm)
-             for name in meta["arrays"]}
-        saved_mode = meta.get("mode", mode)
-    elif os.path.exists(npz_path):
-        # legacy single-file caches from round 1 stay readable (no mmap)
-        z = np.load(npz_path, allow_pickle=False)
-        saved_mode = str(z["__mode__"]) if "__mode__" in z else mode
-    else:
+    try:
+        if os.path.isdir(dpath):
+            with open(os.path.join(dpath, "meta.json")) as f:
+                meta = json.load(f)
+            mm = "r" if mmap else None
+            z = {name: np.load(os.path.join(dpath, f"{name}.npy"),
+                               mmap_mode=mm)
+                 for name in meta["arrays"]}
+            saved_mode = meta.get("mode", mode)
+        elif os.path.exists(npz_path):
+            # legacy single-file caches from round 1 stay readable (no mmap)
+            z = np.load(npz_path, allow_pickle=False)
+            saved_mode = str(z["__mode__"]) if "__mode__" in z else mode
+        else:
+            return None
+    except (OSError, KeyError, ValueError, json.JSONDecodeError) as e:
+        # corrupted / partially-written cache entry: callers' contract is
+        # None -> rebuild (build_operator_cached), not a crash (ADVICE r2)
+        import warnings
+
+        warnings.warn(
+            f"ignoring unreadable operator cache entry {dpath}: "
+            f"{type(e).__name__}: {e}", RuntimeWarning)
         return None
     # the operator's weight-gen mode is restored from the file:
     # validate_operator's slack for compat overcounts (and the PARITY
@@ -122,21 +137,38 @@ def load_operator(
 
 def build_operator_cached(
     spec: GridSpec, mode: str = "exact", method: str = "auto",
-    cache_dir: Optional[str] = None,
+    cache_dir: Optional[str] = None, validate: bool = True,
 ) -> Operator:
-    """build_operator with a persistent disk cache."""
+    """build_operator with a persistent disk cache.
+
+    With ``validate`` (default), a cache hit runs the §5 numerical
+    sanitizer; a poisoned/corrupted entry is discarded with a warning and
+    the operator is rebuilt from geometry (VERDICT r2 §4) — the cache is
+    derived state, so corruption is always recoverable.
+    """
     from ..api import build_operator
 
     if method == "auto":
         method = "separable" if spec.is_axis_aligned else "ell"
     op = load_operator(spec, mode, method, cache_dir)
+    if op is not None and validate:
+        try:
+            weights_ops.validate_operator(op)
+        except weights_ops.OperatorValidationError as e:
+            import warnings
+
+            warnings.warn(
+                f"cached operator failed validation ({e}); rebuilding",
+                RuntimeWarning)
+            op = None
     if op is None:
-        op = build_operator(spec, mode=mode, method=method)
+        op = build_operator(spec, mode=mode, method=method,
+                            validate=validate)
         save_operator(op, mode, cache_dir)
     return op
 
 
-def prefetch_operator(op: Operator) -> Operator:
+def prefetch_operator(op: Operator, weight_dtype=np.float32) -> Operator:
     """Copy of ``op`` with its apply arrays uploaded to device, async.
 
     jax.device_put returns immediately (the transfer proceeds in the
@@ -146,8 +178,12 @@ def prefetch_operator(op: Operator) -> Operator:
     whatever compilation or I/O follows AND the transfer is genuinely
     reused by the apply.  Host-side planning (box/stencil detection,
     Pallas band densification) pulls small copies back with np.asarray
-    as needed.  Note: without jax_enable_x64 the f64 host weights land
-    on device as f32 — the dtype every apply path uses by default.
+    as needed.
+
+    ``weight_dtype`` sets the on-device dtype of the float weight tables
+    explicitly (default f32, the dtype every apply path uses).  A
+    float64 request without jax_enable_x64 raises instead of silently
+    landing as f32 (VERDICT r2 weak #6).
 
     The "async prefetch into device memory" leg of the SURVEY.md §5
     checkpoint/resume story.
@@ -156,8 +192,18 @@ def prefetch_operator(op: Operator) -> Operator:
 
     import jax
 
+    weight_dtype = np.dtype(weight_dtype)
+    if weight_dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "prefetch_operator(weight_dtype=float64) requires "
+            "jax_enable_x64; without it the weights would silently land "
+            "on device as float32")
+
     def _put(a):
-        return jax.device_put(np.asarray(a))
+        a = np.asarray(a)
+        if a.dtype.kind == "f":
+            a = a.astype(weight_dtype, copy=False)
+        return jax.device_put(a)
 
     if isinstance(op, weights_ops.SeparableOperator):
         return _dc.replace(

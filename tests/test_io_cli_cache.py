@@ -264,3 +264,93 @@ def test_prefetch_operator_separable_and_ell(tmp_path):
     np.testing.assert_allclose(
         np.asarray(apply_operator(pre_r, src, impl="xla")),
         np.asarray(apply_operator(op_r, src, impl="xla")), atol=1e-6)
+
+
+def test_poisoned_cache_detected_and_rebuilt(tmp_path):
+    """A cache entry whose weights were corrupted on disk must not reach
+    the apply: build_operator_cached validates on load, warns, and
+    rebuilds from geometry (VERDICT r2 item 4)."""
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    op1 = build_operator_cached(spec, cache_dir=str(tmp_path))
+    key = spec_key(spec, "exact", "separable")
+    wpath = tmp_path / f"{key}.op" / "wy_w.npy"
+    w = np.load(wpath)
+    w[0, 0] = np.nan  # poison
+    np.save(wpath, w)
+    with pytest.warns(RuntimeWarning, match="failed validation"):
+        op2 = build_operator_cached(spec, cache_dir=str(tmp_path))
+    assert np.isfinite(op2.wy.weights).all()
+    np.testing.assert_array_equal(op2.wy.weights, op1.wy.weights)
+    # and the rebuilt entry replaced the poisoned one on disk
+    op3 = load_operator(spec, "exact", "separable", cache_dir=str(tmp_path))
+    assert np.isfinite(op3.wy.weights).all()
+
+
+def test_unreadable_cache_entry_returns_none(tmp_path):
+    """A truncated/partial cache directory must load as None (rebuild
+    contract), not crash (ADVICE r2, utils/cache.py)."""
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    build_operator_cached(spec, cache_dir=str(tmp_path))
+    key = spec_key(spec, "exact", "separable")
+    os.remove(tmp_path / f"{key}.op" / "wy_w.npy")  # partial write
+    with pytest.warns(RuntimeWarning, match="unreadable"):
+        assert load_operator(spec, "exact", "separable",
+                             cache_dir=str(tmp_path)) is None
+    # and the cached builder transparently rebuilds
+    with pytest.warns(RuntimeWarning, match="unreadable"):
+        op = build_operator_cached(spec, cache_dir=str(tmp_path))
+    assert op is not None
+
+
+def test_build_operator_validates_by_default(monkeypatch):
+    """build_operator runs the sanitizer: a weight-gen regression that
+    produces non-normalised rows raises OperatorValidationError."""
+    from aainterp.ops import weights as weights_ops
+    from aainterp.ops.weights import OperatorValidationError
+
+    spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
+    good = weights_ops.separable_operator(spec)
+    bad_w = good.wy.weights.copy()
+    bad_w[0] *= 2.0  # de-normalise one row
+    import dataclasses as dc
+    bad = dc.replace(good, wy=dc.replace(good.wy, weights=bad_w))
+    monkeypatch.setattr(weights_ops, "separable_operator",
+                        lambda *a, **k: bad)
+    with pytest.raises(OperatorValidationError, match="not normalised"):
+        aa.build_operator(spec)
+    # opt-out knob for hot rebuild loops
+    assert aa.build_operator(spec, validate=False) is bad
+
+
+def test_prefetch_f64_without_x64_raises():
+    from aainterp.utils.cache import prefetch_operator
+
+    spec = aa.make_grid_spec((16, 16), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = aa.build_operator(spec)
+    with pytest.raises(ValueError, match="float64"):
+        prefetch_operator(op, weight_dtype=np.float64)
+    op_dev = prefetch_operator(op)
+    assert op_dev.wy.weights.dtype == np.float32
+
+
+def test_lru_plan_caches_bounded():
+    """Plan caches must stay bounded under many-geometry serving
+    (VERDICT r2 item 7)."""
+    from aainterp.utils.lru import LruDict
+
+    d = LruDict(3)
+    for i in range(10):
+        d.put(i, i * 10)
+    assert len(d) == 3
+    assert 9 in d and 7 in d and 0 not in d
+    # get() refreshes recency
+    assert d.get(7) == 70
+    d.put(100, 1)
+    assert 7 in d and 8 not in d
+    # the production caches are LruDicts, not plain dicts
+    from aainterp import api
+    from aainterp.ops import pallas_apply
+
+    assert isinstance(api._SHEAR_CACHE, LruDict)
+    assert isinstance(api._STENCIL_CACHE, LruDict)
+    assert isinstance(pallas_apply._PREP_CACHE, LruDict)

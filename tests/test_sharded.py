@@ -237,8 +237,9 @@ def test_sharded_pallas_noninteger_ratio_interpret():
 
 
 def test_sharded_pallas_envelope_fallback():
-    # W % 128 != 0 is off the 1-D kernel envelope: impl='pallas' degrades
-    # to the banded local apply instead of failing
+    # W % 128 != 0 is off the 1-D kernel envelope: impl='auto' degrades to
+    # the banded local apply, but a user-forced impl='pallas' must raise
+    # rather than silently run a different (slower) path (ADVICE r2)
     H, W, B = 128, 96, 2
     frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
     spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
@@ -247,6 +248,9 @@ def test_sharded_pallas_envelope_fallback():
     sharding = NamedSharding(mesh, P("data", "rows", None))
     fdev = jax.device_put(jnp.asarray(frames), sharding)
     out = jax.jit(lambda f: sharded_apply_separable(
-        f, op, mesh, impl="pallas", interpret=True))(fdev)
+        f, op, mesh, interpret=True))(fdev)  # auto: falls back
     ref = aa.apply_operator(op, jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    with pytest.raises(ValueError, match="envelope"):
+        jax.jit(lambda f: sharded_apply_separable(
+            f, op, mesh, impl="pallas", interpret=True))(fdev)
