@@ -295,7 +295,8 @@ def sharded_apply_separable(
     row_axis: str = "rows",
     impl: str = "auto",
     interpret: bool = False,
-) -> jax.Array:
+    conserve: bool = False,
+):
     """Apply a separable operator with dst/src rows sharded over ``row_axis``
     and leading batch dims over ``data_axis``.
 
@@ -305,6 +306,11 @@ def sharded_apply_separable(
     impl: 'auto' uses the per-shard Pallas MXU kernel on TPU (falling back
     to the XLA banded local apply off its envelope); 'pallas' / 'banded'
     force.
+
+    conserve: also return the replicated (2,) [flux_dst, flux_src] global
+    conservation pair (psum over the mesh — parallel/conserve.py); the two
+    entries agree to fp tolerance iff every chip's halo + local contraction
+    is correct.  The multi-chip form of Source.cpp:573-577.
     """
     if op.spec.quadrant != 0:
         # quadrant pre-rotation (Source.cpp:159-172) as a global jnp.rot90:
@@ -316,9 +322,10 @@ def sharded_apply_separable(
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
                 else "banded")
+    out = None
     if impl == "pallas":
         try:
-            return sharded_apply_banded_pallas(
+            out = sharded_apply_banded_pallas(
                 frames, op.wy, op.wx, mesh, data_axis=data_axis,
                 row_axis=row_axis, interpret=interpret)
         except ValueError:
@@ -327,9 +334,19 @@ def sharded_apply_separable(
             # must not silently run a ~15x slower different path
             if forced:
                 raise
-    return sharded_apply_banded(
-        frames, op.wy, op.wx, mesh, data_axis=data_axis, row_axis=row_axis
-    )
+    if out is None:
+        out = sharded_apply_banded(
+            frames, op.wy, op.wx, mesh, data_axis=data_axis,
+            row_axis=row_axis)
+    if not conserve:
+        return out
+    from .conserve import separable_flux_factors, sharded_flux_separable
+
+    factors = separable_flux_factors(op.wy, op.wx,
+                                     raw_sums=op.raw_row_sums)
+    flux = sharded_flux_separable(frames, out, factors, mesh,
+                                  data_axis=data_axis, row_axis=row_axis)
+    return out, flux
 
 
 def sharded_apply_ell(
@@ -339,7 +356,10 @@ def sharded_apply_ell(
     *,
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
-) -> jax.Array:
+    conserve: bool = False,
+    base: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+):
     """Row-sharded rotated (ELL) apply with halo exchange.
 
     The halo is the max diagonal overhang of any chip's window bases — it
@@ -347,6 +367,14 @@ def sharded_apply_ell(
     neighbour and are served by the multi-hop exchange in ``_halo_extend``
     (hop k trades one more ppermute for sb more halo rows, degrading
     gracefully toward an all-gather as the angle approaches 90 deg).
+
+    conserve: also return the replicated (2,) [flux_dst, flux_src] psum
+    conservation pair (parallel/conserve.py, Source.cpp:573-577 analogue).
+
+    base/weights: optional device arrays overriding op.base / op.weights —
+    pass the tables as traced jit ARGUMENTS instead of closed-over host
+    constants (hundreds of MB of HLO constants otherwise; this box's
+    remote-compile tunnel rejects programs >~100 MB).
     """
     n_dev = mesh.shape[row_axis]
     qH, qW = op.spec.qrot_shape
@@ -365,8 +393,9 @@ def sharded_apply_ell(
                    int(blk.max()) + K - (i + 1) * sb)
     halo = max(halo, 0)
 
-    base = jnp.asarray(op.base)
-    w = jnp.asarray(op.weights, dtype=jnp.float32)
+    base = jnp.asarray(op.base) if base is None else base
+    w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
+         else weights)
 
     batch_spec = (P(data_axis),) if data_axis else (P(),)
     row_only = P(*(batch_spec[0] + (row_axis, None)))
@@ -384,4 +413,11 @@ def sharded_apply_ell(
         out_specs=row_only,
         check_rep=False,
     )
-    return fn(frames, base, w)
+    out = fn(frames, base, w)
+    if not conserve:
+        return out
+    from .conserve import ell_flux_factors, sharded_flux_ell
+
+    flux = sharded_flux_ell(frames, out, ell_flux_factors(op), mesh,
+                            data_axis=data_axis, row_axis=row_axis)
+    return out, flux

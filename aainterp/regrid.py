@@ -124,17 +124,38 @@ def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid):
 
 
 def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
-                                mesh, *, data_axis="data", row_axis="rows"):
+                                mesh, *, data_axis="data", row_axis="rows",
+                                conserve: bool = False):
     """Multi-chip conservative regrid: latitude rows sharded over the mesh
     with ring halo exchange (BASELINE config 5).  field: (B, n_lat, n_lon)
-    sharded (data_axis, row_axis, None)."""
+    sharded (data_axis, row_axis, None).
+
+    conserve: also return the replicated (2,) [flux_dst, flux_src] global
+    spherical-flux pair computed with psum over the mesh (the true
+    conservation statement for a conservative regrid: area-weighted dst
+    integral == coverage-weighted src integral; parallel/conserve.py).
+    """
     from .parallel.sharding import sharded_apply_banded
 
     by, bx = conservative_regrid_operator(src, dst)
-    return sharded_apply_banded(
-        jnp.asarray(field), by, bx, mesh,
+    field = jnp.asarray(field)
+    out = sharded_apply_banded(
+        field, by, bx, mesh,
         data_axis=data_axis, row_axis=row_axis,
     )
+    if not conserve:
+        return out
+    from .parallel.conserve import (
+        separable_flux_factors, sharded_flux_separable,
+    )
+
+    # true spherical dst cell measures: |d sin(lat)| x d lon
+    my = np.abs(np.diff(np.sin(np.radians(dst.lat_edges))))
+    mx = np.diff(dst.lon_edges)
+    factors = separable_flux_factors(by, bx, raw_sums=(my, mx))
+    flux = sharded_flux_separable(field, out, factors, mesh,
+                                  data_axis=data_axis, row_axis=row_axis)
+    return out, flux
 
 
 def area_weighted_mean(field, grid: LatLonGrid):

@@ -306,6 +306,110 @@ def bench_regrid(batch: int, iters: int):
     return gpix
 
 
+def bench_sharded(batch: int, dtype):
+    """Multi-chip bench scaffolding (VERDICT r2 item 8): sharded separable
+    + rotated ELL applies on whatever mesh exists — the 8-device virtual
+    CPU mesh here, a real pod slice the day one appears.  Reports total
+    and per-chip throughput plus the collective schedule (ppermute hops).
+    """
+    import math as _math
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.weights import ell_operator, separable_operator
+    from aainterp.parallel.sharding import (
+        _row_halo, sharded_apply_ell, sharded_apply_separable,
+    )
+
+    n_dev = jax.device_count()
+    rows = 4 if n_dev % 4 == 0 and n_dev >= 4 else (
+        2 if n_dev % 2 == 0 else 1)
+    data = n_dev // rows
+    mesh = Mesh(np.asarray(jax.devices()).reshape(data, rows),
+                ("data", "rows"))
+    sharding = NamedSharding(mesh, P(None, "data", "rows", None))
+    rng = np.random.default_rng(0)
+    B = max(batch, 1) * data
+    out = {"mesh": {"data": data, "rows": rows},
+           "platform": jax.devices()[0].platform}
+
+    # --- separable: flagship-like 2048x3840 2x downscale ---
+    H, W = 2048, 3840
+    spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec, mode="exact")
+    halo = _row_halo(op.wy.start, op.wy.band, H, spec.dst_shape[0], rows)
+    sb = H // rows
+    hops = -(-halo // sb) if halo else 0
+    K = 4
+    frames = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, H, W)).astype(np.float32), dtype=dtype),
+        sharding)
+    warm = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, H, W)).astype(np.float32), dtype=dtype),
+        sharding)
+    dt = timed_scan(
+        lambda f: sharded_apply_separable(f, op, mesh).astype(dtype),
+        frames, warm)
+    g_sep = B * H * W / dt / 1e9
+    out["separable"] = {
+        "gpixel_per_s": round(g_sep, 3),
+        "gpixel_per_s_per_chip": round(g_sep / n_dev, 3),
+        "halo_rows": halo, "ppermute_per_apply": 2 * hops,
+    }
+    print(f"# sharded separable {data}x{rows}: {g_sep:.2f} Gpixel/s total, "
+          f"{g_sep / n_dev:.2f}/chip, halo {halo} rows ({2 * hops} ppermutes)")
+
+    # --- rotated ELL near 30 deg (angle scanned for row divisibility) ---
+    Hr = Wr = 1024
+    spec_r = op_r = None
+    for d_ang in [x / 10.0 for x in range(0, 20)]:
+        cand = make_grid_spec((Hr, Wr), 1.0, 0.5, (Wr / 2, Hr / 2),
+                              30.0 + d_ang)
+        if cand.dst_shape[0] % rows == 0 and cand.qrot_shape[0] % rows == 0:
+            spec_r = cand
+            break
+    assert spec_r is not None
+    op_r = ell_operator(spec_r, mode="exact")
+    base_y = op_r.base[..., 0]
+    db_r, sb_r = spec_r.dst_shape[0] // rows, Hr // rows
+    halo_r = 0
+    for i in range(rows):
+        blk = base_y[i * db_r: (i + 1) * db_r]
+        halo_r = max(halo_r, i * sb_r - int(blk.min()),
+                     int(blk.max()) + op_r.window - (i + 1) * sb_r)
+    hops_r = -(-max(halo_r, 0) // sb_r) if halo_r > 0 else 0
+    K = 4
+    frames_r = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype),
+        sharding)
+    warm_r = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype),
+        sharding)
+    # tables as jit args (closed over they become HLO constants -> the
+    # compile tunnel's HTTP 413); row-sharded so each chip holds its slice
+    tab_shard = NamedSharding(mesh, P("rows"))
+    base_arr = jax.device_put(jnp.asarray(op_r.base), tab_shard)
+    w_arr = jax.device_put(jnp.asarray(op_r.weights, dtype=jnp.float32),
+                           tab_shard)
+    dt_r = timed_scan(
+        lambda f, b, w: sharded_apply_ell(
+            f, op_r, mesh, base=b, weights=w).astype(dtype),
+        frames_r, warm_r, consts=(base_arr, w_arr))
+    g_rot = B * Hr * Wr / dt_r / 1e9
+    out["rot30"] = {
+        "angle": spec_r.rotation_angle,
+        "gpixel_per_s": round(g_rot, 3),
+        "gpixel_per_s_per_chip": round(g_rot / n_dev, 3),
+        "halo_rows": int(max(halo_r, 0)),
+        "ppermute_per_apply": 2 * hops_r,
+    }
+    print(f"# sharded rot{spec_r.rotation_angle:g} {data}x{rows}: "
+          f"{g_rot:.2f} Gpixel/s total, {g_rot / n_dev:.2f}/chip, "
+          f"halo {max(halo_r, 0)} rows ({2 * hops_r} ppermutes)")
+    return g_sep, out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8,
@@ -317,8 +421,18 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="benchmark every impl and report the best")
     ap.add_argument("--case", default="resize4k",
-                    choices=("resize4k", "rot30", "regrid", "rgb1024"))
+                    choices=("resize4k", "rot30", "regrid", "rgb1024",
+                             "sharded"))
     args = ap.parse_args()
+
+    if args.case == "sharded":
+        g, detail = bench_sharded(args.batch, jnp.dtype(args.dtype))
+        print(json.dumps({
+            "metric": "gpixel_per_s_sharded_separable_"
+                      f"{detail['mesh']['data']}x{detail['mesh']['rows']}",
+            "value": round(g, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(g / 5.0, 3), "detail": detail}))
+        return
 
     if args.case == "rgb1024":
         g = bench_rgb1024(args.batch, args.iters, jnp.dtype(args.dtype))

@@ -254,3 +254,109 @@ def test_sharded_pallas_envelope_fallback():
     with pytest.raises(ValueError, match="envelope"):
         jax.jit(lambda f: sharded_apply_separable(
             f, op, mesh, impl="pallas", interpret=True))(fdev)
+
+
+class TestConservationPsum:
+    """SURVEY.md §5's second collective: global conservation flux via psum
+    (VERDICT r2 item 3; reference analogue Source.cpp:573-577).  The
+    identity flux_dst == flux_src holds to fp on any input iff every
+    chip's halo exchange + local contraction is correct."""
+
+    def test_separable_flux(self):
+        H, W, B = 160, 128, 4
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 150.0, 30.0, (0.0, 0.0), 0.0)
+        assert spec.dst_shape[0] % 4 == 0
+        op = separable_operator(spec)
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        out, flux = jax.jit(lambda f: sharded_apply_separable(
+            f, op, mesh, conserve=True))(fdev)
+        fd, fs = np.asarray(flux)
+        assert fd > 0
+        np.testing.assert_allclose(fd, fs, rtol=1e-5)
+        # flux is replicated (P(None)) and matches the host computation
+        from aainterp.parallel.conserve import separable_flux_factors
+        my, mx, covy, covx = separable_flux_factors(
+            op.wy, op.wx, raw_sums=op.raw_row_sums)
+        host_fs = np.einsum("byx,y,x->", frames.astype(np.float64),
+                            covy, covx)
+        np.testing.assert_allclose(fs, host_fs, rtol=1e-5)
+
+    def test_separable_flux_catches_corruption(self):
+        """A deliberately broken halo (zeroed) must break the identity —
+        the check has teeth."""
+        from aainterp.ops import apply as apply_ops
+        from aainterp.parallel.conserve import (
+            separable_flux_factors, sharded_flux_separable)
+
+        H, W, B = 160, 128, 2
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 150.0, 30.0, (0.0, 0.0), 0.0)
+        op = separable_operator(spec)
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        good = jax.jit(lambda f: sharded_apply_separable(f, op, mesh))(fdev)
+        bad = good.at[:, 5:7, :].set(0.0)  # simulate a chip-local defect
+        factors = separable_flux_factors(op.wy, op.wx,
+                                         raw_sums=op.raw_row_sums)
+        flux = jax.jit(lambda s, d: sharded_flux_separable(
+            s, d, factors, mesh))(fdev, bad)
+        fd, fs = np.asarray(flux)
+        assert abs(fd - fs) / abs(fs) > 1e-3
+
+    def test_ell_flux_rotated(self):
+        H, W, B = 128, 64, 2
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 8.0)
+        op = ell_operator(spec, mode="exact")
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        out, flux = jax.jit(lambda f: sharded_apply_ell(
+            f, op, mesh, conserve=True))(fdev)
+        fd, fs = np.asarray(flux)
+        assert fd > 0
+        np.testing.assert_allclose(fd, fs, rtol=1e-5)
+
+    def test_ell_flux_quadrant(self):
+        # quadrant 1 (93.5 deg): the flux src side must see the
+        # quadrant-rotated frames (handled inside sharded_apply_ell)
+        H, W, B = 128, 64, 2
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 93.5)
+        assert spec.quadrant == 1
+        op = ell_operator(spec, mode="exact")
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        out, flux = jax.jit(lambda f: sharded_apply_ell(
+            f, op, mesh, conserve=True))(fdev)
+        fd, fs = np.asarray(flux)
+        np.testing.assert_allclose(fd, fs, rtol=1e-5)
+
+    def test_regrid_flux_spherical(self):
+        """Config 5: the sharded regrid's area-weighted dst integral equals
+        the coverage-weighted src integral (true spherical conservation —
+        and for full coverage, equals the plain spherical integral)."""
+        from aainterp.regrid import (
+            LatLonGrid, conservative_regrid_sharded,
+        )
+
+        src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
+        rng = np.random.default_rng(5)
+        fields = rng.uniform(200, 300, (2, 96, 72)).astype(np.float32)
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(fields), NamedSharding(mesh, P("data", "rows", None)))
+        out, flux = jax.jit(lambda f: conservative_regrid_sharded(
+            f, src, dst, mesh, conserve=True))(fdev)
+        fd, fs = np.asarray(flux)
+        np.testing.assert_allclose(fd, fs, rtol=1e-5)
+        # full-coverage grids: flux equals the true spherical integral
+        my = np.abs(np.diff(np.sin(np.radians(src.lat_edges))))
+        mx = np.diff(src.lon_edges)
+        true_int = np.einsum("byx,y,x->", fields.astype(np.float64), my, mx)
+        np.testing.assert_allclose(fs, true_int, rtol=1e-4)
