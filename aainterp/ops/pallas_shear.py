@@ -358,6 +358,206 @@ def build_kernel_plan(op: EllOperator, tile_y: int = 128,
     )
 
 
+# ----------------------------------------------------------------------
+# Row-sharded plan: per-chip tables for the shard_map local contraction
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedShearPlan:
+    """Per-chip kernel tables for the row-sharded rotated apply.
+
+    The vertical shear commutes with row sharding: with chip offset
+    ``off_i = i*sb - halo`` (halo-extended local block), every local
+    sheared row is the global sheared row shifted by ``off_i``
+    (``Ty_local = jy_local + gy[jx] = Ty_global - off_i``), so ONE global
+    shear plan serves all chips — the per-chip tables are row shifts
+    (``hx`` slice, ``r0 - off_i``) while the column-side tables
+    (``gy``, ``c0``, ``csel``) are chip-independent.  Leading n_dev axes
+    shard over the mesh row axis; the kernels see identical shapes on
+    every chip (SPMD).
+    """
+
+    n_dev: int
+    halo: int          # 8-aligned pre-shear halo rows per side
+    Hloc: int          # sb + 2*halo (local block height fed to vshear)
+    db: int
+    sb: int
+    Hd: int
+    Wd: int
+    qH: int
+    qW: int
+    qWp: int
+    THp: int           # local padded sheared height (uniform across chips)
+    TWp: int
+    BLKR: int
+    TYd: int
+    TXd: int
+    nty: int           # per-chip row tiles
+    ntx: int
+    Ka: int
+    Kb: int
+    SRF: int
+    SCF: int
+    nbv: int
+    nbh: int
+    gy_col: np.ndarray   # (1, 1, qWp) int32, replicated
+    hx_loc: np.ndarray   # (n_dev, THp, 1) int32, row-sharded
+    r0_loc: np.ndarray   # (n_dev, nty) int32, row-sharded
+    c0: np.ndarray       # (ntx,) int32, replicated
+    rsel: np.ndarray     # (n_dev, nty, Ka, TYd, SRF) f32, row-sharded
+    csel: np.ndarray     # (ntx, Kb, SCF, TXd) f32, replicated
+    w2t: np.ndarray      # (n_dev, nty*ntx, Ka*Kb, TYd, TXd) f32, sharded
+
+
+def build_sharded_kernel_plan(op: EllOperator, n_dev: int,
+                              tile_y: int = 128, tile_x: int = 128,
+                              blk_r: int = 256) -> ShardedShearPlan:
+    """Host tables for the row-sharded three-kernel rotated apply.
+
+    Raises ValueError off the envelope (row counts not divisible, sb not
+    8-aligned, geometry too small) — callers fall back to the XLA local
+    apply.  Reference hot loop being distributed:
+    /root/reference/Source.cpp:432-576.
+    """
+    spec = op.spec
+    qH, qW = spec.qrot_shape
+    Hd, Wd = spec.dst_shape
+    if Hd % n_dev or qH % n_dev:
+        raise ValueError(
+            f"row-sharded plan needs divisible rows (dst {Hd}, src {qH}, "
+            f"devices {n_dev})")
+    db, sb = Hd // n_dev, qH // n_dev
+    if sb % 8:
+        # off_i = i*sb - halo must stay 8-aligned so the global plan's
+        # 8-aligned r0 bases remain aligned after the per-chip shift
+        raise ValueError(f"per-chip source block {sb} not 8-aligned")
+
+    K = op.window
+    base_y = op.base[..., 0]
+    halo = 0
+    for i in range(n_dev):
+        blk = base_y[i * db: (i + 1) * db]
+        halo = max(halo, i * sb - int(blk.min()),
+                   int(blk.max()) + K - (i + 1) * sb)
+    halo = _rup(max(halo, 0), 8)
+    if halo and -(-halo // sb) > n_dev - 1:
+        raise ValueError("halo exceeds the ring (use fewer row shards)")
+    Hloc = sb + 2 * halo
+
+    plan = build_shear_plan(op)
+    gy = plan.gy.astype(np.int64)
+    hx = plan.hx.astype(np.int64)
+    ry0 = plan.ry0.astype(np.int64)
+    cx0 = plan.cx0.astype(np.int64)
+    w2 = plan.weights
+    Ka, Kb = w2.shape[2], w2.shape[3]
+    live = w2 != 0.0
+    lv_row = live.any(axis=(1, 2, 3))
+    lv_col = live.any(axis=(0, 2, 3))
+    if not lv_row.any():
+        raise ValueError("empty operator")
+
+    TYd, TXd = tile_y, tile_x
+    nty = _rup(db, TYd) // TYd           # per-chip row tiles
+    ntx = _rup(Wd, TXd) // TXd
+    off = np.arange(n_dev, dtype=np.int64) * sb - halo
+
+    # per-(chip, tile) local row bases + uniform SRF
+    r0_loc = np.zeros((n_dev, nty), np.int64)
+    SRF = 8
+    for i in range(n_dev):
+        for t in range(nty):
+            g0 = i * db + t * TYd
+            g1 = min(g0 + TYd, (i + 1) * db)
+            m = lv_row[g0:g1]
+            if not m.any():
+                continue
+            rr = ry0[g0:g1][m] - off[i]
+            lo = _rdn(int(rr.min()), 8)
+            if lo < 0:
+                raise ValueError("local sheared base below the halo block")
+            r0_loc[i, t] = lo
+            SRF = max(SRF, int(rr.max()) + Ka - lo)
+    SRF = _rup(SRF, 8)
+
+    # column tables: identical to the single-chip builder
+    c0 = np.zeros(ntx, np.int64)
+    SCF = 8
+    for tx in range(ntx):
+        sl = slice(tx * TXd, min(tx * TXd + TXd, Wd))
+        m = lv_col[sl]
+        if not m.any():
+            continue
+        cc = cx0[sl][m]
+        c0[tx] = _rdn(int(cc.min()), 128)
+        SCF = max(SCF, int(cc.max()) + Kb - int(c0[tx]))
+    SCF = _rup(SCF, 128)
+
+    qWp = _rup(qW, 128)
+    THp = _rup(max(int((r0_loc + SRF).max()),
+                   Hloc + int(gy.max()) + 1, blk_r), blk_r)
+    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1), 128)
+
+    # per-chip hx slice (clamped: rows outside the global table are never
+    # read by the contraction — see r0_loc >= -off bound — but must hold
+    # SOME value so the kernel's rolls stay defined)
+    hx_loc = np.zeros((n_dev, THp, 1), np.int32)
+    for i in range(n_dev):
+        u = np.clip(off[i] + np.arange(THp), 0, len(hx) - 1)
+        hx_loc[i, :, 0] = hx[u]
+
+    gy_col = np.zeros((1, 1, qWp), np.int32)
+    gy_col[0, 0, :qW] = gy
+    nbv = max(1, int(gy.max()).bit_length())
+    nbh = max(1, int(hx.max()).bit_length())
+
+    rsel = np.zeros((n_dev, nty, Ka, TYd, SRF), np.float32)
+    for i in range(n_dev):
+        for t in range(nty):
+            g0 = i * db + t * TYd
+            g1 = min(g0 + TYd, (i + 1) * db)
+            m = lv_row[g0:g1]
+            ryl = ry0[g0:g1] - off[i] - r0_loc[i, t]
+            for a in range(Ka):
+                ok = m & (ryl + a >= 0) & (ryl + a < SRF)
+                if not (ok | ~(live[g0:g1, :, a, :].any(axis=(1, 2)))).all():
+                    raise ValueError("live tap outside the local row span")
+                rsel[i, t, a, np.arange(g1 - g0)[ok], (ryl + a)[ok]] = 1.0
+
+    csel = np.zeros((ntx, Kb, SCF, TXd), np.float32)
+    for tx in range(ntx):
+        dx0, dx1 = tx * TXd, min(tx * TXd + TXd, Wd)
+        m = lv_col[dx0:dx1]
+        cxl = cx0[dx0:dx1] - c0[tx]
+        for b in range(Kb):
+            ok = m & (cxl + b >= 0) & (cxl + b < SCF)
+            if not (ok | ~(live[:, dx0:dx1, :, b].any(axis=(0, 2)))).all():
+                raise ValueError("live tap outside the local col span")
+            csel[tx, b, (cxl + b)[ok], np.arange(dx1 - dx0)[ok]] = 1.0
+
+    w2t = np.zeros((n_dev, nty * ntx, Ka * Kb, TYd, TXd), np.float32)
+    for i in range(n_dev):
+        for t in range(nty):
+            g0 = i * db + t * TYd
+            g1 = min(g0 + TYd, (i + 1) * db)
+            for tx in range(ntx):
+                dx0, dx1 = tx * TXd, min(tx * TXd + TXd, Wd)
+                nY, nX = g1 - g0, dx1 - dx0
+                w2t[i, t * ntx + tx, :, :nY, :nX] = np.moveaxis(
+                    w2[g0:g1, dx0:dx1].reshape(nY, nX, Ka * Kb), -1, 0
+                ).astype(np.float32)
+
+    return ShardedShearPlan(
+        n_dev=n_dev, halo=halo, Hloc=Hloc, db=db, sb=sb, Hd=Hd, Wd=Wd,
+        qH=qH, qW=qW, qWp=qWp, THp=THp, TWp=TWp, BLKR=blk_r, TYd=TYd,
+        TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF, SCF=SCF,
+        nbv=nbv, nbh=nbh, gy_col=gy_col, hx_loc=hx_loc,
+        r0_loc=r0_loc.astype(np.int32), c0=c0.astype(np.int32),
+        rsel=rsel, csel=csel, w2t=w2t,
+    )
+
+
 _PLAN_FIELDS = ("gy_col", "hx_row", "r0", "c0", "rsel", "csel", "w2t")
 
 

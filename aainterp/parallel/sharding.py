@@ -349,6 +349,130 @@ def sharded_apply_separable(
     return out, flux
 
 
+def make_sharded_ell_pallas(
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    interpret: bool = False,
+):
+    """(fn, arrays): row-sharded three-kernel Pallas rotated apply.
+
+    Same ring-halo collective structure as sharded_apply_ell, but each
+    chip's local contraction runs ops/pallas_shear's VMEM shears + one-hot
+    MXU gathers (~200x the XLA flat-gather local apply single-chip)
+    instead of apply_ell.  One GLOBAL shear plan serves every chip — the
+    per-chip tables are row shifts of it (see ShardedShearPlan) — so the
+    shard_map body is a single SPMD program.  Distributes the reference's
+    hot loop (/root/reference/Source.cpp:432-576) across the mesh.
+
+    ``fn(frames, **arrays)`` is jit-ready with the (potentially large)
+    plan tables as traced ARGUMENTS, not closed-over HLO constants (the
+    w2t table alone is hundreds of MB at 2048^2 — the compile tunnel
+    rejects such programs).  ``arrays`` leading n_dev axes shard over
+    ``row_axis``; passing them unsharded also works (XLA reshards).
+
+    Raises ValueError off the plan envelope — sharded_apply_ell's auto
+    route falls back to the XLA local apply.
+    """
+    from ..ops.pallas_shear import (
+        _build_contract, _build_hshear, _build_vshear,
+        build_sharded_kernel_plan,
+    )
+
+    n_dev = mesh.shape[row_axis]
+    kp = build_sharded_kernel_plan(op, n_dev)
+    quadrant = op.spec.quadrant
+
+    arrays = dict(
+        hx_loc=jnp.asarray(kp.hx_loc),
+        r0_loc=jnp.asarray(kp.r0_loc),
+        rsel=jnp.asarray(kp.rsel),
+        w2t=jnp.asarray(kp.w2t),
+        gy_col=jnp.asarray(kp.gy_col),
+        c0=jnp.asarray(kp.c0),
+        csel=jnp.asarray(kp.csel),
+    )
+
+    batch_spec = (P(data_axis),) if data_axis else (P(),)
+    row_only = P(*(batch_spec[0] + (row_axis, None)))
+
+    def fn(frames, hx_loc, r0_loc, rsel, w2t, gy_col, c0, csel):
+        if quadrant != 0:
+            frames = apply_ops.quadrant_rotate(frames, quadrant)
+        if frames.dtype not in (jnp.bfloat16, jnp.float32):
+            frames = frames.astype(jnp.float32)
+        lead = frames.ndim - 2
+        assert lead in (0, 1)
+        Bloc = 1
+        if lead:
+            n_data = mesh.shape[data_axis] if data_axis else 1
+            Bloc = frames.shape[0] // n_data
+        dname = jnp.dtype(frames.dtype).name
+        vshear = _build_vshear(Bloc, kp.Hloc, kp.qWp, kp.THp, kp.nbv,
+                               dname, interpret)
+        hshear = _build_hshear(Bloc, kp.THp, kp.qWp, kp.TWp, kp.BLKR,
+                               kp.nbh, dname, interpret)
+        contract = _build_contract(
+            Bloc, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
+            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret)
+        rsel = rsel.astype(frames.dtype)
+        csel = csel.astype(frames.dtype)
+
+        def local_fn(frames_blk, hx_blk, r0_blk, rsel_blk, w2t_blk,
+                     gy_l, c0_l, csel_l):
+            ext = _halo_extend(frames_blk, kp.halo, row_axis, n_dev)
+            squeeze = frames_blk.ndim == 2
+            if squeeze:
+                ext = ext[None]
+            if kp.qWp != kp.qW:
+                pad = ([(0, 0)] * (ext.ndim - 2)
+                       + [(0, 0), (0, kp.qWp - kp.qW)])
+                ext = jnp.pad(ext, pad)
+            s = vshear(gy_l, ext)
+            t = hshear(hx_blk, s)
+            out = contract(r0_blk[0], c0_l, t, rsel_blk[0], csel_l,
+                           w2t_blk[0])
+            out = out[:, : kp.db, : kp.Wd]
+            return out[0] if squeeze else out
+
+        smapped = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(row_only,
+                      P(row_axis, None, None),          # hx_loc
+                      P(row_axis, None),                # r0_loc
+                      P(row_axis, None, None, None, None),  # rsel
+                      P(row_axis, None, None, None, None),  # w2t
+                      P(None, None, None),              # gy_col
+                      P(None),                          # c0
+                      P(None, None, None, None)),       # csel
+            out_specs=row_only,
+            check_rep=False,
+        )
+        return smapped(frames, hx_loc, r0_loc, rsel, w2t, gy_col, c0, csel)
+
+    return fn, arrays
+
+
+def sharded_apply_ell_pallas(
+    frames: jax.Array,
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    interpret: bool = False,
+) -> jax.Array:
+    """Convenience wrapper over make_sharded_ell_pallas (tables closed
+    over — fine at test sizes; use the maker for production jits)."""
+    fn, arrays = make_sharded_ell_pallas(
+        op, mesh, data_axis=data_axis, row_axis=row_axis,
+        interpret=interpret)
+    return fn(frames, **arrays)
+
+
 def sharded_apply_ell(
     frames: jax.Array,
     op: weights_ops.EllOperator,
@@ -359,6 +483,8 @@ def sharded_apply_ell(
     conserve: bool = False,
     base: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
+    impl: str = "auto",
+    interpret: bool = False,
 ):
     """Row-sharded rotated (ELL) apply with halo exchange.
 
@@ -375,10 +501,40 @@ def sharded_apply_ell(
     pass the tables as traced jit ARGUMENTS instead of closed-over host
     constants (hundreds of MB of HLO constants otherwise; this box's
     remote-compile tunnel rejects programs >~100 MB).
+
+    impl: 'auto' runs the per-chip Pallas shear kernels on TPU (or under
+    ``interpret``), degrading to the XLA flat-gather local apply off the
+    plan envelope; 'pallas' forces (raising off-envelope); 'xla' forces
+    the flat-gather local apply.
     """
     n_dev = mesh.shape[row_axis]
     qH, qW = op.spec.qrot_shape
     Hd, Wd = op.spec.dst_shape
+
+    forced = impl != "auto"
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "xla")
+    pall_out = None
+    if impl == "pallas":
+        try:
+            pall_out = sharded_apply_ell_pallas(
+                frames, op, mesh, data_axis=data_axis, row_axis=row_axis,
+                interpret=interpret)
+        except ValueError:
+            if forced:
+                raise
+    if pall_out is not None:
+        if not conserve:
+            return pall_out
+        from .conserve import ell_flux_factors, sharded_flux_ell
+
+        q = (apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+             if op.spec.quadrant else frames)
+        flux = sharded_flux_ell(q, pall_out, ell_flux_factors(op), mesh,
+                                data_axis=data_axis, row_axis=row_axis)
+        return pall_out, flux
+
     if op.spec.quadrant != 0:
         # see sharded_apply_separable: global rot90, resharded by XLA
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)

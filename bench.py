@@ -388,17 +388,37 @@ def bench_sharded(batch: int, dtype):
         sharding)
     # tables as jit args (closed over they become HLO constants -> the
     # compile tunnel's HTTP 413); row-sharded so each chip holds its slice
-    tab_shard = NamedSharding(mesh, P("rows"))
-    base_arr = jax.device_put(jnp.asarray(op_r.base), tab_shard)
-    w_arr = jax.device_put(jnp.asarray(op_r.weights, dtype=jnp.float32),
-                           tab_shard)
-    dt_r = timed_scan(
-        lambda f, b, w: sharded_apply_ell(
-            f, op_r, mesh, base=b, weights=w).astype(dtype),
-        frames_r, warm_r, consts=(base_arr, w_arr))
+    impl_r = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    try:
+        if impl_r != "pallas":
+            raise ValueError("non-TPU backend: XLA local apply")
+        from aainterp.parallel.sharding import make_sharded_ell_pallas
+
+        fn_r, arrs = make_sharded_ell_pallas(op_r, mesh)
+        sharded_keys = {"hx_loc", "r0_loc", "rsel", "w2t"}
+        consts = tuple(
+            jax.device_put(v, NamedSharding(
+                mesh, P(*(("rows",) + (None,) * (v.ndim - 1))))
+                if k in sharded_keys else NamedSharding(mesh, P()))
+            for k, v in arrs.items())
+        dt_r = timed_scan(
+            lambda f, *cs: fn_r(f, *cs).astype(dtype),
+            frames_r, warm_r, consts=consts)
+    except ValueError as e:
+        print(f"# sharded pallas rotated off-envelope ({e}); XLA local apply")
+        impl_r = "xla"
+        tab_shard = NamedSharding(mesh, P("rows"))
+        base_arr = jax.device_put(jnp.asarray(op_r.base), tab_shard)
+        w_arr = jax.device_put(
+            jnp.asarray(op_r.weights, dtype=jnp.float32), tab_shard)
+        dt_r = timed_scan(
+            lambda f, b, w: sharded_apply_ell(
+                f, op_r, mesh, base=b, weights=w, impl="xla").astype(dtype),
+            frames_r, warm_r, consts=(base_arr, w_arr))
     g_rot = B * Hr * Wr / dt_r / 1e9
     out["rot30"] = {
         "angle": spec_r.rotation_angle,
+        "impl": impl_r,
         "gpixel_per_s": round(g_rot, 3),
         "gpixel_per_s_per_chip": round(g_rot / n_dev, 3),
         "halo_rows": int(max(halo_r, 0)),

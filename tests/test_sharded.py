@@ -360,3 +360,102 @@ class TestConservationPsum:
         mx = np.diff(src.lon_edges)
         true_int = np.einsum("byx,y,x->", fields.astype(np.float64), my, mx)
         np.testing.assert_allclose(fs, true_int, rtol=1e-4)
+
+
+class TestShardedEllPallas:
+    """Per-shard Pallas rotated local contraction (VERDICT r2 item 1):
+    the sharded ELL apply's chip-local work runs the three-kernel shear
+    path (ops/pallas_shear) instead of the XLA flat gather.  Interpret
+    mode on the virtual mesh; real-TPU smoke in test_tpu_smoke.py."""
+
+    def _check(self, H, W, B, angle, mesh, atol=1e-5):
+        from aainterp.parallel.sharding import sharded_apply_ell_pallas
+
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), angle)
+        rows = mesh.shape["rows"]
+        assert spec.dst_shape[0] % rows == 0
+        assert spec.qrot_shape[0] % rows == 0
+        op = ell_operator(spec, mode="exact")
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        out = jax.jit(lambda f: sharded_apply_ell_pallas(
+            f, op, mesh, interpret=True))(fdev)
+        ref = aa.apply_operator(op, jnp.asarray(frames))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=atol, err_msg=f"angle={angle}")
+        assert out.sharding.spec == P("data", "rows", None)
+
+    def test_small_rotation(self):
+        self._check(128, 64, 2, 8.0, _mesh(2, 4))
+
+    def test_steep_rotation_multi_hop(self):
+        # 37.5 deg on a wide 32x128 image: halo 24 rows over 8-row shards
+        # = a 3-hop ring exchange feeding the pallas local contraction
+        self._check(32, 128, 2, 37.5, _mesh(2, 4))
+
+    def test_quadrant_rotation(self):
+        # 98 deg -> quadrant 1 + 8 deg residual; rot90 reshard feeds the
+        # pallas path
+        H, W = 64, 128
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 98.0)
+        assert spec.quadrant == 1
+        self._check(H, W, 2, 98.0, _mesh(2, 4))
+
+    def test_auto_route_interpret(self):
+        # impl='auto' + interpret rides the pallas path inside
+        # sharded_apply_ell, with the conserve knob composed on top
+        H, W, B = 128, 64, 2
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 8.0)
+        op = ell_operator(spec, mode="exact")
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        out, flux = jax.jit(lambda f: sharded_apply_ell(
+            f, op, mesh, interpret=True, conserve=True))(fdev)
+        ref = aa.apply_operator(op, jnp.asarray(frames))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        fd, fs = np.asarray(flux)
+        np.testing.assert_allclose(fd, fs, rtol=1e-5)
+
+    def test_forced_pallas_raises_off_envelope(self):
+        # Hd = 51 rows do not divide 4: forced impl='pallas' must raise,
+        # auto must fall back to the XLA local apply
+        H, W, B = 100, 60, 2
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 8.0)
+        op = ell_operator(spec, mode="exact")
+        if spec.dst_shape[0] % 4 == 0 and spec.qrot_shape[0] % 8 == 0:
+            pytest.skip("geometry unexpectedly on-envelope")
+        mesh = _mesh(2, 4)
+        fdev = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+        with pytest.raises(ValueError):
+            jax.jit(lambda f: sharded_apply_ell(
+                f, op, mesh, impl="pallas", interpret=True))(fdev)
+
+    def test_fuzz_angles(self):
+        rng = np.random.default_rng(7)
+        mesh = _mesh(2, 4)
+        checked = 0
+        for _ in range(60):
+            if checked >= 4:
+                break
+            H = int(rng.integers(6, 20)) * 8
+            W = int(rng.integers(8, 24)) * 8
+            ang = float(rng.uniform(1.0, 359.0))
+            spec = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), ang)
+            if spec.is_axis_aligned:
+                continue
+            if spec.dst_shape[0] % 4 or spec.qrot_shape[0] % 4:
+                continue
+            if (spec.qrot_shape[0] // 4) % 8:
+                continue  # sb must be 8-aligned for the plan
+            try:
+                self._check(H, W, 2, ang, mesh)
+            except ValueError:
+                continue  # off envelope: covered by the fallback tests
+            checked += 1
+        assert checked >= 2

@@ -137,3 +137,28 @@ ref = aa.apply_operator(op, x, impl="xla")
 np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 print('sharded pallas TPU smoke OK', out.shape)
 """)
+
+
+def test_sharded_ell_pallas_on_tpu():
+    """Per-shard pallas_shear-under-shard_map (VERDICT r2 item 1): the
+    three rotated kernels compile and match on the real chip under a
+    1-device mesh (multi-chip collective structure is validated on the
+    virtual CPU mesh in tests/test_sharded.py)."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import aainterp as aa
+from aainterp.ops.weights import ell_operator
+from aainterp.parallel.sharding import make_sharded_ell_pallas
+
+spec = aa.make_grid_spec((256, 256), 1.0, 0.5, (128.0, 128.0), 30.0)
+op = ell_operator(spec, mode='exact')
+x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 256, 256)),
+                dtype=jnp.float32)
+mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "rows"))
+fn, arrs = make_sharded_ell_pallas(op, mesh)
+out = jax.jit(lambda f, *c: fn(f, *c))(x, *arrs.values())
+ref = aa.apply_operator(op, x, impl='xla')
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+print('sharded ELL pallas TPU smoke OK', out.shape)
+""")
