@@ -128,7 +128,18 @@ def _build_hshear(F, THp, qWp, TWp, BLKR, nbh, dtype_name, interpret):
 
 @functools.lru_cache(maxsize=32)
 def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
-                    dtype_name, out_dtype_name, interpret):
+                    dtype_name, out_dtype_name, interpret,
+                    masked=False):
+    """Tiled one-hot contraction.
+
+    With ``masked``, a scalar-prefetched per-tile tap mask gates every
+    (a, b) tap's sel matmul + weighted FMA and every b's one-hot column
+    gather behind ``pl.when`` — taps whose weight block is identically
+    zero (host-detected) are skipped EXACTLY.  At 2048^2/30 deg, 46% of
+    dst tiles sit partly/fully outside the rotated source footprint and
+    the window's b=4 column is globally dead: 37% of MXU passes and 41%
+    of VPU FMAs vanish (measured plan stats; BENCHMARKS.md round 3).
+    """
     dtype = jnp.dtype(dtype_name)
     out_dtype = jnp.dtype(out_dtype_name)
     # TPU f32 matmuls at DEFAULT precision silently truncate operands to
@@ -136,9 +147,15 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
     # bf16 operands are exact either way — keep the cheap single pass.
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    NM = Kb + Ka * Kb  # mask slots per tile: b-live then tap-live
 
-    def kernel(r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref, out_ref,
-               tblk, sem):
+    def kernel(*refs):
+        if masked:
+            (r0_ref, c0_ref, m_ref, t_ref, rsel_ref, csel_ref, w2_ref,
+             out_ref, tblk, sem, acc_ref, vb_ref) = refs
+        else:
+            (r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref,
+             out_ref, tblk, sem) = refs
         t = pl.program_id(0)
         f = pl.program_id(1)
 
@@ -166,18 +183,50 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
 
         tblk_dma(t, f, slot).wait()
         blk = tblk[slot]
-        acc = jnp.zeros((TYd, TXd), jnp.float32)
-        for b in range(Kb):
-            vb = jnp.dot(blk, csel_ref[0, b], precision=prec,
-                         preferred_element_type=jnp.float32).astype(dtype)
-            for a in range(Ka):
-                sel = jnp.dot(rsel_ref[0, a], vb, precision=prec,
-                              preferred_element_type=jnp.float32)
-                acc = acc + w2_ref[0, a * Kb + b] * sel
-        out_ref[0] = acc.astype(out_dtype)
+        if not masked:
+            acc = jnp.zeros((TYd, TXd), jnp.float32)
+            for b in range(Kb):
+                vb = jnp.dot(blk, csel_ref[0, b], precision=prec,
+                             preferred_element_type=jnp.float32
+                             ).astype(dtype)
+                for a in range(Ka):
+                    sel = jnp.dot(rsel_ref[0, a], vb, precision=prec,
+                                  preferred_element_type=jnp.float32)
+                    acc = acc + w2_ref[0, a * Kb + b] * sel
+            out_ref[0] = acc.astype(out_dtype)
+            return
 
+        acc_ref[...] = jnp.zeros((TYd, TXd), jnp.float32)
+        for b in range(Kb):
+            @pl.when(m_ref[t * NM + b] != 0)
+            def _(b=b):
+                # one-hot gather: values are copies of T entries, so a
+                # direct low-precision result is exact for bf16 pixels
+                # (skips the f32->bf16 cast VPU sweep)
+                vb_ref[...] = jnp.dot(
+                    blk, csel_ref[0, b], precision=prec,
+                    preferred_element_type=jnp.float32).astype(dtype)
+
+            for a in range(Ka):
+                @pl.when(m_ref[t * NM + Kb + a * Kb + b] != 0)
+                def _(a=a, b=b):
+                    sel = jnp.dot(rsel_ref[0, a], vb_ref[...],
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
+                    acc_ref[...] += w2_ref[0, a * Kb + b] * sel
+        out_ref[0] = acc_ref[...].astype(out_dtype)
+
+    n_prefetch = 3 if masked else 2
+    mask_specs = []
+    scratch = [
+        pltpu.VMEM((2, SRF, SCF), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if masked:
+        scratch += [pltpu.VMEM((TYd, TXd), jnp.float32),
+                    pltpu.VMEM((SRF, TXd), dtype)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(nty * ntx, F),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # T (HBM)
@@ -196,15 +245,13 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
             lambda t, f, *_: (f, jax.lax.div(t, ntx), jax.lax.rem(t, ntx)),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, SRF, SCF), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     flops = 2 * F * nty * ntx * (Kb * SRF * SCF * TXd
                                  + Ka * Kb * TYd * SRF * TXd)
 
-    def call(r0, c0, t_arr, rsel, csel, w2t):
+    def call(r0, c0, *args):
+        # args: [masks,] t_arr, rsel, csel, w2t
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -216,9 +263,19 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(r0, c0, t_arr, rsel, csel, w2t)
+        )(r0, c0, *args)
 
     return call
+
+
+def tap_masks(w2t: np.ndarray, Ka: int, Kb: int) -> np.ndarray:
+    """(nt*(Kb+Ka*Kb),) int32 per-tile liveness: for each tile, Kb b-live
+    flags (any tap at that column offset nonzero) then Ka*Kb tap-live
+    flags.  Host-derived from the weight blocks, so masking is exact."""
+    nt = w2t.shape[0]
+    tap = (np.abs(w2t).max(axis=(2, 3)) != 0)          # (nt, Ka*Kb)
+    blive = tap.reshape(nt, Ka, Kb).any(axis=1)        # (nt, Kb)
+    return np.concatenate([blive, tap], axis=1).astype(np.int32).ravel()
 
 
 # ----------------------------------------------------------------------
@@ -616,14 +673,16 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         hx_row=jnp.asarray(kp.hx_row),
         r0=jnp.asarray(kp.r0),
         c0=jnp.asarray(kp.c0),
+        masks=jnp.asarray(tap_masks(kp.w2t, kp.Ka, kp.Kb)),
         rsel=jnp.asarray(kp.rsel),
         csel=jnp.asarray(kp.csel),
         w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),
     )
 
-    def fn(q, gy_col, hx_row, r0, c0, rsel, csel, w2t):
+    def fn(q, gy_col, hx_row, r0, c0, masks, rsel, csel, w2t):
         if q.ndim == 2:
-            return fn(q[None], gy_col, hx_row, r0, c0, rsel, csel, w2t)[0]
+            return fn(q[None], gy_col, hx_row, r0, c0, masks, rsel, csel,
+                      w2t)[0]
         F, H, W = q.shape
         assert (H, W) == (kp.qH, kp.qW), (q.shape, kp.qH, kp.qW)
         dtype = q.dtype
@@ -639,11 +698,11 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
                                dname, interpret)
         contract = _build_contract(
             F, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
-            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret)
+            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret, masked=True)
         s = vshear(gy_col, q)
         t = hshear(hx_row, s)
-        out = contract(r0, c0, t, rsel.astype(dtype), csel.astype(dtype),
-                       w2t)
+        out = contract(r0, c0, masks, t, rsel.astype(dtype),
+                       csel.astype(dtype), w2t)
         return out[:, : kp.Hd, : kp.Wd]
 
     return fn, arrays

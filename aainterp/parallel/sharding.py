@@ -378,16 +378,19 @@ def make_sharded_ell_pallas(
     """
     from ..ops.pallas_shear import (
         _build_contract, _build_hshear, _build_vshear,
-        build_sharded_kernel_plan,
+        build_sharded_kernel_plan, tap_masks,
     )
 
     n_dev = mesh.shape[row_axis]
     kp = build_sharded_kernel_plan(op, n_dev)
     quadrant = op.spec.quadrant
 
+    masks_np = np.stack([tap_masks(kp.w2t[i], kp.Ka, kp.Kb)
+                         for i in range(n_dev)])
     arrays = dict(
         hx_loc=jnp.asarray(kp.hx_loc),
         r0_loc=jnp.asarray(kp.r0_loc),
+        masks=jnp.asarray(masks_np),
         rsel=jnp.asarray(kp.rsel),
         w2t=jnp.asarray(kp.w2t),
         gy_col=jnp.asarray(kp.gy_col),
@@ -398,7 +401,7 @@ def make_sharded_ell_pallas(
     batch_spec = (P(data_axis),) if data_axis else (P(),)
     row_only = P(*(batch_spec[0] + (row_axis, None)))
 
-    def fn(frames, hx_loc, r0_loc, rsel, w2t, gy_col, c0, csel):
+    def fn(frames, hx_loc, r0_loc, masks, rsel, w2t, gy_col, c0, csel):
         if quadrant != 0:
             frames = apply_ops.quadrant_rotate(frames, quadrant)
         if frames.dtype not in (jnp.bfloat16, jnp.float32):
@@ -416,11 +419,11 @@ def make_sharded_ell_pallas(
                                kp.nbh, dname, interpret)
         contract = _build_contract(
             Bloc, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
-            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret)
+            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret, masked=True)
         rsel = rsel.astype(frames.dtype)
         csel = csel.astype(frames.dtype)
 
-        def local_fn(frames_blk, hx_blk, r0_blk, rsel_blk, w2t_blk,
+        def local_fn(frames_blk, hx_blk, r0_blk, m_blk, rsel_blk, w2t_blk,
                      gy_l, c0_l, csel_l):
             ext = _halo_extend(frames_blk, kp.halo, row_axis, n_dev)
             squeeze = frames_blk.ndim == 2
@@ -432,8 +435,8 @@ def make_sharded_ell_pallas(
                 ext = jnp.pad(ext, pad)
             s = vshear(gy_l, ext)
             t = hshear(hx_blk, s)
-            out = contract(r0_blk[0], c0_l, t, rsel_blk[0], csel_l,
-                           w2t_blk[0])
+            out = contract(r0_blk[0], c0_l, m_blk[0], t, rsel_blk[0],
+                           csel_l, w2t_blk[0])
             out = out[:, : kp.db, : kp.Wd]
             return out[0] if squeeze else out
 
@@ -443,6 +446,7 @@ def make_sharded_ell_pallas(
             in_specs=(row_only,
                       P(row_axis, None, None),          # hx_loc
                       P(row_axis, None),                # r0_loc
+                      P(row_axis, None),                # tap masks
                       P(row_axis, None, None, None, None),  # rsel
                       P(row_axis, None, None, None, None),  # w2t
                       P(None, None, None),              # gy_col
@@ -451,7 +455,8 @@ def make_sharded_ell_pallas(
             out_specs=row_only,
             check_rep=False,
         )
-        return smapped(frames, hx_loc, r0_loc, rsel, w2t, gy_col, c0, csel)
+        return smapped(frames, hx_loc, r0_loc, masks, rsel, w2t, gy_col,
+                       c0, csel)
 
     return fn, arrays
 

@@ -90,7 +90,7 @@ def exp_shears(batch, dtype):
     return batch * 2048 * 2048 / dt / 1e9, dt / batch
 
 
-def _contract_inputs(kp, batch, dtype, K=8):
+def _contract_inputs(kp, batch, dtype, K=4):  # K=4: T stacks are 23 MB/frame
     """Prebuilt random T stacks (stand-ins for the sheared plane) plus the
     real selector/weight tables."""
     rng = np.random.default_rng(1)
@@ -219,8 +219,27 @@ def exp_noweight(batch, dtype):
     return batch * 2048 * 2048 / dt / 1e9, dt / batch
 
 
+def exp_contract_masked(batch, dtype):
+    from aainterp.ops.pallas_shear import _build_contract, tap_masks
+
+    spec, op, kp = _plan()
+    dname = jnp.dtype(dtype).name
+    contract = _build_contract(batch, kp.THp, kp.TWp, kp.nty, kp.ntx,
+                               kp.TYd, kp.TXd, kp.Ka, kp.Kb, kp.SRF,
+                               kp.SCF, dname, dname, False, masked=True)
+    t, tw, consts = _contract_inputs(kp, batch, dtype)
+    masks = jnp.asarray(tap_masks(kp.w2t, kp.Ka, kp.Kb))
+    consts = (consts[0], consts[1], masks) + consts[2:]
+
+    def fn(t_arr, r0, c0, m, rsel, csel, w2t):
+        return contract(r0, c0, m, t_arr, rsel, csel, w2t)
+
+    dt = timed_scan(fn, t, tw, consts=consts)
+    return batch * 2048 * 2048 / dt / 1e9, dt / batch
+
+
 EXPS = {"full": exp_full, "shears": exp_shears, "contract": exp_contract,
-        "noweight": exp_noweight}
+        "noweight": exp_noweight, "contract_masked": exp_contract_masked}
 
 
 def main():
