@@ -27,6 +27,7 @@ CASES = [
     ("rgb1024", []),             # config 2: RGB arbitrary-ratio resize
     ("rot30", []),               # config 3: 2048^2 rotation 30 deg
     ("regrid", []),              # config 5: conservative lat-lon regrid
+    ("sharded", []),             # multi-chip scaffolding (mesh 1x1 here)
 ]
 
 

@@ -72,16 +72,24 @@ def main():
     print(f"rotated 45deg over 8 row shards: max err "
           f"{float(jnp.abs(out_r - ref_r).max()):.2e}")
 
-    # 3. Conservative lat-lon regrid, latitude rows over the mesh
+    # 3. Conservative lat-lon regrid with the psum conservation check:
+    #    the replicated [flux_dst, flux_src] pair (one psum over the mesh)
+    #    agrees to fp tolerance iff every chip's halo + contraction is
+    #    correct — the multi-chip form of the reference's sumArea
+    #    normalisation (Source.cpp:573-577)
     src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
     fields = rng.uniform(200, 300, (2, 96, 72)).astype(np.float32)
     fdev = jax.device_put(
         jnp.asarray(fields), NamedSharding(mesh, P("data", "rows", None)))
-    out_g = jax.jit(
-        lambda f: conservative_regrid_sharded(f, src, dst, mesh))(fdev)
+    out_g, flux = jax.jit(
+        lambda f: conservative_regrid_sharded(f, src, dst, mesh,
+                                              conserve=True))(fdev)
     ref_g = conservative_regrid(fields, src, dst)
+    fd, fs = np.asarray(flux)
     print(f"regrid: {fields.shape} -> {out_g.shape}, max err "
-          f"{float(jnp.abs(out_g - jnp.asarray(ref_g)).max()):.2e}")
+          f"{float(jnp.abs(out_g - jnp.asarray(ref_g)).max()):.2e}, "
+          f"psum flux dst/src = {fd:.2f}/{fs:.2f} "
+          f"(rel diff {abs(fd - fs) / abs(fs):.1e})")
 
 
 if __name__ == "__main__":
