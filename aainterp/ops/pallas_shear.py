@@ -132,13 +132,15 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                     masked=False):
     """Tiled one-hot contraction.
 
-    With ``masked``, a scalar-prefetched per-tile tap mask gates every
-    (a, b) tap's sel matmul + weighted FMA and every b's one-hot column
-    gather behind ``pl.when`` — taps whose weight block is identically
-    zero (host-detected) are skipped EXACTLY.  At 2048^2/30 deg, 46% of
-    dst tiles sit partly/fully outside the rotated source footprint and
-    the window's b=4 column is globally dead: 37% of MXU passes and 41%
-    of VPU FMAs vanish (measured plan stats; BENCHMARKS.md round 3).
+    With ``masked``, a scalar-prefetched per-tile liveness flag gates the
+    ENTIRE contraction behind one ``pl.when`` — tiles whose weight block
+    is identically zero (host-detected: outside the rotated source
+    footprint, 30% of tiles at 2048^2/30 deg) write zeros and skip all
+    MXU passes and FMAs.  Tap-granular masking was measured SLOWER
+    (6.19 vs 7.44 Gpixel/s, 2026-08-17): 25 pl.when branches force the
+    accumulator through VMEM scratch (a load+store round trip per tap)
+    instead of registers, costing more than the skipped taps save.  The
+    tile-level branch keeps the inner loop register-pure.
     """
     dtype = jnp.dtype(dtype_name)
     out_dtype = jnp.dtype(out_dtype_name)
@@ -147,12 +149,11 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
     # bf16 operands are exact either way — keep the cheap single pass.
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    NM = Kb + Ka * Kb  # mask slots per tile: b-live then tap-live
 
     def kernel(*refs):
         if masked:
             (r0_ref, c0_ref, m_ref, t_ref, rsel_ref, csel_ref, w2_ref,
-             out_ref, tblk, sem, acc_ref, vb_ref) = refs
+             out_ref, tblk, sem) = refs
         else:
             (r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref,
              out_ref, tblk, sem) = refs
@@ -182,8 +183,9 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                      jax.lax.rem(s + 1, 2)).start()
 
         tblk_dma(t, f, slot).wait()
-        blk = tblk[slot]
-        if not masked:
+
+        def contract_body():
+            blk = tblk[slot]
             acc = jnp.zeros((TYd, TXd), jnp.float32)
             for b in range(Kb):
                 vb = jnp.dot(blk, csel_ref[0, b], precision=prec,
@@ -194,37 +196,23 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
                                   preferred_element_type=jnp.float32)
                     acc = acc + w2_ref[0, a * Kb + b] * sel
             out_ref[0] = acc.astype(out_dtype)
+
+        if not masked:
+            contract_body()
             return
 
-        acc_ref[...] = jnp.zeros((TYd, TXd), jnp.float32)
-        for b in range(Kb):
-            @pl.when(m_ref[t * NM + b] != 0)
-            def _(b=b):
-                # one-hot gather: values are copies of T entries, so a
-                # direct low-precision result is exact for bf16 pixels
-                # (skips the f32->bf16 cast VPU sweep)
-                vb_ref[...] = jnp.dot(
-                    blk, csel_ref[0, b], precision=prec,
-                    preferred_element_type=jnp.float32).astype(dtype)
+        live = m_ref[t] != 0
+        pl.when(live)(contract_body)
 
-            for a in range(Ka):
-                @pl.when(m_ref[t * NM + Kb + a * Kb + b] != 0)
-                def _(a=a, b=b):
-                    sel = jnp.dot(rsel_ref[0, a], vb_ref[...],
-                                  precision=prec,
-                                  preferred_element_type=jnp.float32)
-                    acc_ref[...] += w2_ref[0, a * Kb + b] * sel
-        out_ref[0] = acc_ref[...].astype(out_dtype)
+        @pl.when(jnp.logical_not(live))
+        def _():
+            out_ref[0] = jnp.zeros((TYd, TXd), out_dtype)
 
     n_prefetch = 3 if masked else 2
-    mask_specs = []
     scratch = [
         pltpu.VMEM((2, SRF, SCF), dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    if masked:
-        scratch += [pltpu.VMEM((TYd, TXd), jnp.float32),
-                    pltpu.VMEM((SRF, TXd), dtype)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(nty * ntx, F),
@@ -268,14 +256,13 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
     return call
 
 
-def tap_masks(w2t: np.ndarray, Ka: int, Kb: int) -> np.ndarray:
-    """(nt*(Kb+Ka*Kb),) int32 per-tile liveness: for each tile, Kb b-live
-    flags (any tap at that column offset nonzero) then Ka*Kb tap-live
-    flags.  Host-derived from the weight blocks, so masking is exact."""
-    nt = w2t.shape[0]
-    tap = (np.abs(w2t).max(axis=(2, 3)) != 0)          # (nt, Ka*Kb)
-    blive = tap.reshape(nt, Ka, Kb).any(axis=1)        # (nt, Kb)
-    return np.concatenate([blive, tap], axis=1).astype(np.int32).ravel()
+def tile_masks(w2t: np.ndarray) -> np.ndarray:
+    """(nt,) int32 per-tile liveness (any weight nonzero), host-derived
+    from the weight blocks so the kernel's dead-tile skip is exact.  At
+    2048^2/30 deg, 36 of 121 dst tiles lie fully outside the rotated
+    source footprint (the dst grid covers the rotation's bounding box,
+    Source.cpp:175-183) and contribute only zeros."""
+    return (np.abs(w2t).max(axis=(1, 2, 3)) != 0).astype(np.int32)
 
 
 # ----------------------------------------------------------------------
@@ -673,7 +660,7 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         hx_row=jnp.asarray(kp.hx_row),
         r0=jnp.asarray(kp.r0),
         c0=jnp.asarray(kp.c0),
-        masks=jnp.asarray(tap_masks(kp.w2t, kp.Ka, kp.Kb)),
+        masks=jnp.asarray(tile_masks(kp.w2t)),
         rsel=jnp.asarray(kp.rsel),
         csel=jnp.asarray(kp.csel),
         w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),

@@ -378,15 +378,14 @@ def make_sharded_ell_pallas(
     """
     from ..ops.pallas_shear import (
         _build_contract, _build_hshear, _build_vshear,
-        build_sharded_kernel_plan, tap_masks,
+        build_sharded_kernel_plan, tile_masks,
     )
 
     n_dev = mesh.shape[row_axis]
     kp = build_sharded_kernel_plan(op, n_dev)
     quadrant = op.spec.quadrant
 
-    masks_np = np.stack([tap_masks(kp.w2t[i], kp.Ka, kp.Kb)
-                         for i in range(n_dev)])
+    masks_np = np.stack([tile_masks(kp.w2t[i]) for i in range(n_dev)])
     arrays = dict(
         hx_loc=jnp.asarray(kp.hx_loc),
         r0_loc=jnp.asarray(kp.r0_loc),

@@ -220,7 +220,7 @@ def exp_noweight(batch, dtype):
 
 
 def exp_contract_masked(batch, dtype):
-    from aainterp.ops.pallas_shear import _build_contract, tap_masks
+    from aainterp.ops.pallas_shear import _build_contract, tile_masks
 
     spec, op, kp = _plan()
     dname = jnp.dtype(dtype).name
@@ -228,7 +228,7 @@ def exp_contract_masked(batch, dtype):
                                kp.TYd, kp.TXd, kp.Ka, kp.Kb, kp.SRF,
                                kp.SCF, dname, dname, False, masked=True)
     t, tw, consts = _contract_inputs(kp, batch, dtype)
-    masks = jnp.asarray(tap_masks(kp.w2t, kp.Ka, kp.Kb))
+    masks = jnp.asarray(tile_masks(kp.w2t))
     consts = (consts[0], consts[1], masks) + consts[2:]
 
     def fn(t_arr, r0, c0, m, rsel, csel, w2t):
@@ -238,8 +238,113 @@ def exp_contract_masked(batch, dtype):
     return batch * 2048 * 2048 / dt / 1e9, dt / batch
 
 
+@functools.lru_cache(maxsize=8)
+def _build_contract_pipelined(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF,
+                              SCF, dtype_name, interpret):
+    """Contract with hand-pipelined emission: each tap's weighted FMA is
+    emitted AFTER the next tap's sel matmul, so the VPU work of tap k is
+    independent of the MXU op in flight (tests whether Mosaic dual-issues
+    when given an overlap-friendly order)."""
+    dtype = jnp.dtype(dtype_name)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(r0_ref, c0_ref, t_ref, rsel_ref, csel_ref, w2_ref, out_ref,
+               tblk, sem):
+        t = pl.program_id(0)
+        f = pl.program_id(1)
+
+        def tblk_dma(tt, ff, slot_i):
+            r0 = pl.multiple_of(r0_ref[jax.lax.div(tt, ntx)], 8)
+            c0 = pl.multiple_of(c0_ref[jax.lax.rem(tt, ntx)], 128)
+            return pltpu.make_async_copy(
+                t_ref.at[ff, pl.ds(r0, SRF), pl.ds(c0, SCF)],
+                tblk.at[slot_i], sem.at[slot_i])
+
+        s = t * F + f
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s == 0)
+        def _():
+            tblk_dma(t, f, slot).start()
+
+        @pl.when(s + 1 < nty * ntx * F)
+        def _():
+            tblk_dma(jax.lax.div(s + 1, F), jax.lax.rem(s + 1, F),
+                     jax.lax.rem(s + 1, 2)).start()
+
+        tblk_dma(t, f, slot).wait()
+        blk = tblk[slot]
+        acc = jnp.zeros((TYd, TXd), jnp.float32)
+        pending = None  # (w2 index, sel) awaiting its FMA
+        for b in range(Kb):
+            vb = jnp.dot(blk, csel_ref[0, b], precision=prec,
+                         preferred_element_type=jnp.float32).astype(dtype)
+            for a in range(Ka):
+                sel = jnp.dot(rsel_ref[0, a], vb, precision=prec,
+                              preferred_element_type=jnp.float32)
+                if pending is not None:
+                    acc = acc + w2_ref[0, pending[0]] * pending[1]
+                pending = (a * Kb + b, sel)
+        acc = acc + w2_ref[0, pending[0]] * pending[1]
+        out_ref[0] = acc.astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty * ntx, F),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, Ka, TYd, SRF),
+                         lambda t, f, *_: (jax.lax.div(t, ntx), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb, SCF, TXd),
+                         lambda t, f, *_: (jax.lax.rem(t, ntx), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ka * Kb, TYd, TXd),
+                         lambda t, f, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TYd, TXd),
+            lambda t, f, *_: (f, jax.lax.div(t, ntx), jax.lax.rem(t, ntx)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SRF, SCF), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def call(r0, c0, t_arr, rsel, csel, w2t):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (F, nty * TYd, ntx * TXd), dtype),
+            interpret=interpret,
+        )(r0, c0, t_arr, rsel, csel, w2t)
+
+    return call
+
+
+def exp_pipelined(batch, dtype):
+    spec, op, kp = _plan()
+    dname = jnp.dtype(dtype).name
+    contract = _build_contract_pipelined(
+        batch, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
+        kp.Kb, kp.SRF, kp.SCF, dname, False)
+    t, tw, consts = _contract_inputs(kp, batch, dtype)
+
+    def fn(t_arr, r0, c0, rsel, csel, w2t):
+        return contract(r0, c0, t_arr, rsel, csel, w2t)
+
+    dt = timed_scan(fn, t, tw, consts=consts)
+    return batch * 2048 * 2048 / dt / 1e9, dt / batch
+
+
 EXPS = {"full": exp_full, "shears": exp_shears, "contract": exp_contract,
-        "noweight": exp_noweight, "contract_masked": exp_contract_masked}
+        "noweight": exp_noweight, "contract_masked": exp_contract_masked,
+        "pipelined": exp_pipelined}
 
 
 def main():

@@ -119,24 +119,16 @@ def test_plan_selectors_are_one_hot():
     assert np.isclose(kp.w2t.sum(), op.weights.sum(), atol=1e-6)
 
 
-def test_tap_masks_structure():
-    """tap_masks layout: per tile Kb b-live flags then Ka*Kb tap flags,
-    with b-live == OR over that column's taps (the kernel relies on
-    tap-live implying b-live so the vb scratch is never read stale)."""
-    from aainterp.ops.pallas_shear import tap_masks
+def test_tile_masks_structure():
+    """tile_masks: one liveness flag per tile, zero iff the whole weight
+    block is zero (the kernel skips exactly those tiles)."""
+    from aainterp.ops.pallas_shear import tile_masks
 
     rng = np.random.default_rng(0)
-    Ka, Kb, nt = 3, 4, 5
-    w2t = rng.uniform(-1, 1, (nt, Ka * Kb, 8, 8))
-    w2t[w2t < 0.3] = 0.0          # sprinkle dead taps
+    nt = 5
+    w2t = rng.uniform(-1, 1, (nt, 12, 8, 8))
+    w2t[w2t < 0.3] = 0.0
     w2t[2] = 0.0                  # fully dead tile
-    m = tap_masks(w2t, Ka, Kb).reshape(nt, Kb + Ka * Kb)
-    for t in range(nt):
-        blive, tap = m[t, :Kb], m[t, Kb:].reshape(Ka, Kb)
-        for b in range(Kb):
-            assert blive[b] == int(tap[:, b].any())
-        for a in range(Ka):
-            for b in range(Kb):
-                expect = int(np.abs(w2t[t, a * Kb + b]).max() != 0)
-                assert tap[a, b] == expect
-    assert m[2].sum() == 0
+    m = tile_masks(w2t)
+    assert m.shape == (nt,) and m.dtype == np.int32
+    assert list(m) == [1, 1, 0, 1, 1]
