@@ -3,9 +3,11 @@
 Decomposes the 2048^2 rot30 pipeline (563 us/frame measured, round 2) into
 its engine budgets to find what a restructured kernel can actually save:
 
-    model (host, benchmarks 2026-08-17): MXU one-hot passes 309 us +
-    VPU weighted accumulation ~155 us + shear kernels ~100 us (HBM-bound)
-    = 564 us  ==  measured 563 us  =>  the three engines are SERIALIZED.
+    Measured decomposition (2026-08-17, round 3): shears 157 us +
+    contract 400 us = 557 ~= the 563 us full pipeline.  "noweight" (397)
+    and "pipelined" (404) match plain contract (400): the VPU weighted
+    accumulation is ALREADY hidden behind the MXU — the contraction is
+    purely MXU-pass-bound at ~23 ns/effective pass (~91% of peak).
 
 Experiments (each timed with bench.timed_scan — the honest harness):
   shears    vshear+hshear only (T construction)
