@@ -16,6 +16,7 @@ from .api import (
     build_operator,
     fast_area_average_interpolation,
 )
+from .autodiff import apply_operator_transpose
 from .grids import GridSpec, ValidationError, make_grid_spec
 
 __version__ = "0.1.0"
@@ -25,6 +26,7 @@ __all__ = [
     "GridSpec",
     "ValidationError",
     "apply_operator",
+    "apply_operator_transpose",
     "area_average_interpolate",
     "area_average_interpolation",
     "build_operator",

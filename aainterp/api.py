@@ -123,6 +123,7 @@ def apply_operator(
     src: jax.Array,
     weight_dtype=jnp.float32,
     impl: str = "auto",
+    differentiable: bool = False,
 ) -> jax.Array:
     """Apply a prebuilt operator to (..., H, W) image(s) on device.
 
@@ -133,6 +134,18 @@ def apply_operator(
     'stencil' / 'xla' / 'pallas' force a path (box and stencil are pure
     XLA and differentiable; on v5e XLA lowers their strided slices slowly
     once outputs materialise — portability, not TPU peak).
+
+    Gradients (new capability vs the forward-only reference): the
+    operator is linear, so the exact VJP is the transposed operator
+    (aainterp.autodiff).  The separable Pallas path carries a custom VJP
+    unconditionally — its backward is the transposed banded apply on the
+    same kernel.  ``differentiable=True`` additionally (a) routes the
+    separable XLA path through the same custom VJP (transposed-band
+    backward instead of XLA's scatter transpose) and (b) makes the
+    rotated (ELL) paths differentiable with a scatter-add backward; it is
+    opt-in for ELL because the raw (Hd, Wd, K, K) weight table must then
+    ride to the device alongside the kernel plan (~400 MB at 2048^2).
+    box/stencil impls are natively differentiable regardless.
     """
     if isinstance(op, weights_ops.SeparableOperator):
         def _box_params():
@@ -165,17 +178,18 @@ def apply_operator(
                         src, op.spec.quadrant, box[0], box[1],
                         jnp.dtype(weight_dtype))
         if impl == "pallas":
-            from .ops.pallas_apply import apply_separable_pallas
+            from . import autodiff
 
-            # quadrant pre-rotation (Source.cpp:159-172); rot90 by 0 is
-            # a no-op
-            return apply_separable_pallas(
-                apply_ops.quadrant_rotate(src, op.spec.quadrant),
-                jnp.asarray(op.wy.start),
-                jnp.asarray(op.wy.weights, dtype=weight_dtype),
-                jnp.asarray(op.wx.start),
-                jnp.asarray(op.wx.weights, dtype=weight_dtype),
-            )
+            # custom-vjp'd wrapper (backward = transposed bands on the
+            # same kernel); includes the quadrant pre-rotation
+            # (Source.cpp:159-172) — rot90 by 0 is a no-op
+            return autodiff.separable_linear_for(
+                op, weight_dtype, "pallas")(src)
+        if differentiable:
+            from . import autodiff
+
+            return autodiff.separable_linear_for(op, weight_dtype,
+                                                 "xla")(src)
         return _apply_separable_jit(
             src,
             op.spec.quadrant,
@@ -195,6 +209,9 @@ def apply_operator(
             # VMEM shears + one-hot MXU gathers, ~4-5x the XLA sheared path
             try:
                 fn, arrs = _pallas_shear_plan(op, weight_dtype)
+                if differentiable:
+                    return _ell_linear_call(op, weight_dtype, "pallas", fn,
+                                            src, arrs)
                 return fn(
                     apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
                 )
@@ -206,11 +223,19 @@ def apply_operator(
             # weights with rolls + banded takes
             try:
                 fn, arrs = _sheared_plan(op, weight_dtype)
+                if differentiable:
+                    return _ell_linear_call(op, weight_dtype, "sheared", fn,
+                                            src, arrs)
                 return fn(
                     apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
                 )
             except ValueError:
                 pass  # pathological sheared window: flat-gather fallback
+        if differentiable:
+            from . import autodiff
+
+            return _ell_linear_call(op, weight_dtype, "xla",
+                                    autodiff._ell_fwd_xla, src, None)
         return _apply_ell_jit(
             src,
             op.spec.quadrant,
@@ -291,6 +316,38 @@ def _pallas_shear_plan(op, weight_dtype=jnp.float32):
     return hit
 
 
+# custom-vjp'd rotated applies + their device-resident backward tables
+# (base/weights uploaded once per operator, not per call)
+_ELL_LINEAR_CACHE = LruDict(8)
+
+
+def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs):
+    """Route a rotated apply through its custom-VJP wrapper (cached).
+
+    The wrapper's backward is the exact scatter-add adjoint
+    (ops.apply.apply_ell_transpose); base/weights ride as ARGUMENTS so
+    they are never embedded as jit constants (aainterp.autodiff docs).
+    ``arrs=None`` means the flat-gather XLA forward, whose tables are the
+    backward tables themselves.
+    """
+    from . import autodiff
+
+    key = (kind, hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           jnp.dtype(weight_dtype).name)
+    hit = _ELL_LINEAR_CACHE.get(key)
+    if hit is None:
+        lin = autodiff.make_ell_linear(fwd_fn, op.spec.quadrant,
+                                       op.spec.qrot_shape)
+        base_dev = jnp.asarray(op.base)
+        w_dev = jnp.asarray(op.weights, dtype=weight_dtype)
+        hit = (lin, base_dev, w_dev)
+        _ELL_LINEAR_CACHE.put(key, hit)
+    lin, base_dev, w_dev = hit
+    if arrs is None:
+        arrs = {"base": base_dev, "weights": w_dev}
+    return lin(src, arrs, base_dev, w_dev)
+
+
 def _sheared_plan(op, weight_dtype=jnp.float32):
     from .ops.shear_apply import make_sheared_apply
 
@@ -317,6 +374,7 @@ def area_average_interpolate(
     operator: Optional[Operator] = None,
     weight_dtype=jnp.float32,
     fused: bool = False,
+    differentiable: bool = False,
 ) -> InterpResult:
     """Area-average interpolation with optional rotation about an isocenter.
 
@@ -360,7 +418,8 @@ def area_average_interpolate(
                             spec=spec)
     if operator is None:
         operator = build_operator(spec, mode=mode, method=method)
-    dst = apply_operator(operator, src, weight_dtype=weight_dtype)
+    dst = apply_operator(operator, src, weight_dtype=weight_dtype,
+                         differentiable=differentiable)
     return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter, spec=spec)
 
 

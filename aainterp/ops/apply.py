@@ -316,3 +316,32 @@ def apply_ell(
     return jnp.einsum(
         "khw,...khw->...hw", w_t, vals, preferred_element_type=acc_dtype
     )
+
+
+def apply_ell_transpose(
+    g: jax.Array,
+    base: jax.Array,     # (Hd, Wd, 2) int32
+    weights: jax.Array,  # (Hd, Wd, K, K)
+    q_shape,
+) -> jax.Array:
+    """Adjoint of ``apply_ell``: scatter dst cotangents into source cells.
+
+    out[jy, jx] = sum over (dy, dx, a, b) with clip(base[dy,dx] + (a,b))
+    == (jy, jx) of weights[dy,dx,a,b] * g[..., dy, dx] — the exact
+    transpose of the matrix ``apply_ell`` evaluates (indices clipped the
+    same way; clipped taps carry zero weight by construction).  Backward
+    pass of the rotated apply's custom VJP; scatter-add XLA, not Pallas —
+    the forward remains the hot path.  g: (..., Hd, Wd) -> (..., qH, qW).
+    """
+    qH, qW = int(q_shape[0]), int(q_shape[1])
+    K = weights.shape[-1]
+    acc_dtype = weights.dtype
+    a = jnp.arange(K, dtype=base.dtype)
+    ry = jnp.clip(base[..., 0:1] + a, 0, qH - 1)    # (Hd, Wd, K)
+    rx = jnp.clip(base[..., 1:2] + a, 0, qW - 1)
+    idx = (ry[..., :, None] * qW + rx[..., None, :]).reshape(-1)
+    contrib = weights * g[..., None, None].astype(acc_dtype)
+    flat = contrib.reshape(g.shape[:-2] + (-1,))
+    out = jnp.zeros(g.shape[:-2] + (qH * qW,), acc_dtype)
+    out = out.at[..., idx].add(flat)
+    return out.reshape(g.shape[:-2] + (qH, qW))

@@ -150,3 +150,36 @@ def count_band_1d(
         n_src=n_src,
         n_dst=n_dst,
     )
+
+
+def transpose_band(band: Band1D) -> Band1D:
+    """Banded layout of the transposed 1-D operator (n_src rows).
+
+    ``start`` is monotone non-decreasing (overlap windows slide forward),
+    so the dst rows touching a given src cell ``j`` form one contiguous
+    run and the transpose is banded too, with band width
+    ``max_j #{i : start[i] <= j < start[i] + band}``.  Exact:
+    ``transpose_band(b).dense() == b.dense().T`` entry for entry.
+
+    This is the host half of the apply stage's custom VJP: the adjoint of
+    ``dst = Wy @ q @ Wx.T`` is ``q_bar = Wy.T @ g @ Wx``, i.e. another
+    separable banded apply with transposed bands — a capability (exact
+    gradients / adjoint splatting) the reference has no analogue of.
+    """
+    start = band.start.astype(np.int64)
+    w = band.weights
+    Nd, K = w.shape
+    Ns = int(band.n_src)
+    j = np.arange(Ns, dtype=np.int64)
+    # contributing rows for column j: start[i] in (j - K, j]
+    i_lo = np.searchsorted(start, j - K, side="right")
+    i_hi = np.searchsorted(start, j, side="right") - 1
+    Kp = max(1, int((i_hi - i_lo + 1).max(initial=1)))
+    st = np.clip(i_lo, 0, max(Nd - Kp, 0))
+    m = np.arange(Kp, dtype=np.int64)
+    ii = st[:, None] + m[None, :]
+    ii_c = np.clip(ii, 0, Nd - 1)
+    kk = j[:, None] - start[ii_c]
+    valid = (ii < Nd) & (kk >= 0) & (kk < K)
+    wt = np.where(valid, w[ii_c, np.clip(kk, 0, K - 1)], 0.0)
+    return Band1D(start=st.astype(np.int32), weights=wt, n_src=Nd, n_dst=Ns)

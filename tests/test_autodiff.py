@@ -1,0 +1,230 @@
+"""Custom VJPs / adjoint apply (aainterp.autodiff).
+
+The operator is linear, so every gradient identity here is exact up to fp
+rounding: the VJP of ``apply`` IS the transposed operator, and
+``<apply(u), v> == <u, apply_T(v)>`` (adjoint identity).  New capability
+vs the forward-only reference (Source.cpp:55-911).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aainterp import autodiff
+from aainterp.api import apply_operator, build_operator
+from aainterp.grids import make_grid_spec
+from aainterp.ops import overlap1d
+from aainterp.ops.apply import (apply_ell, apply_ell_transpose,
+                                apply_separable_banded)
+
+RNG = np.random.default_rng(7)
+
+
+# ----------------------------------------------------------------------
+# transpose_band
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_dst,n_src,side,scale,iso", [
+    (16, 32, 2.0, 1, 0.0),
+    (25, 64, 2.56, 1, 0.37),
+    (40, 20, 0.5, 1, 0.0),      # upscale: taller than wide
+    (7, 100, 14.3, 2, 0.11),    # wide band
+])
+def test_transpose_band_dense(n_dst, n_src, side, scale, iso):
+    b = overlap1d.overlap_band_1d(n_dst, n_src, side, scale, iso)
+    t = overlap1d.transpose_band(b)
+    assert t.n_dst == n_src and t.n_src == n_dst
+    np.testing.assert_array_equal(t.dense(), b.dense().T)
+
+
+def test_transpose_band_involution_dense():
+    b = overlap1d.overlap_band_1d(33, 77, 2.3, 1, 0.5)
+    tt = overlap1d.transpose_band(overlap1d.transpose_band(b))
+    np.testing.assert_array_equal(tt.dense(), b.dense())
+
+
+# ----------------------------------------------------------------------
+# apply_ell_transpose
+# ----------------------------------------------------------------------
+
+
+def _rot_op(shape=(40, 44), angle=17.0):
+    spec = make_grid_spec(shape, 2.0, 1.5, (3.0, 5.0), angle)
+    return build_operator(spec, method="ell")
+
+
+def test_ell_transpose_matches_dense():
+    op = _rot_op()
+    qH, qW = op.spec.qrot_shape
+    Hd, Wd = op.spec.dst_shape
+    g = RNG.uniform(-1, 1, (Hd, Wd)).astype(np.float32)
+    got = apply_ell_transpose(
+        jnp.asarray(g), jnp.asarray(op.base),
+        jnp.asarray(op.weights, jnp.float32), (qH, qW))
+    want = (op.dense().T.astype(np.float32) @ g.reshape(-1)).reshape(qH, qW)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_ell_transpose_batched():
+    op = _rot_op((32, 36), 9.0)
+    qH, qW = op.spec.qrot_shape
+    Hd, Wd = op.spec.dst_shape
+    g = RNG.uniform(-1, 1, (3, Hd, Wd)).astype(np.float32)
+    got = apply_ell_transpose(
+        jnp.asarray(g), jnp.asarray(op.base),
+        jnp.asarray(op.weights, jnp.float32), (qH, qW))
+    for i in range(3):
+        want = (op.dense().T.astype(np.float32)
+                @ g[i].reshape(-1)).reshape(qH, qW)
+        np.testing.assert_allclose(np.asarray(got[i]), want, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# adjoint identity  <A u, v> == <u, A^T v>
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("angle,method", [
+    (0.0, "separable"),
+    (0.0, "separable"),
+    (23.0, "ell"),
+])
+def test_adjoint_identity(angle, method):
+    spec = make_grid_spec((48, 56), 2.0, 1.1, (1.0, 2.0), angle)
+    op = build_operator(spec, method=method)
+    H, W = spec.src_shape
+    u = jnp.asarray(RNG.uniform(0, 1, (H, W)).astype(np.float32))
+    v = jnp.asarray(
+        RNG.uniform(-1, 1, spec.dst_shape).astype(np.float32))
+    au = apply_operator(op, u, impl="xla")
+    atv = autodiff.apply_operator_transpose(op, v, impl="xla")
+    lhs = float(jnp.vdot(au.astype(jnp.float32), v))
+    rhs = float(jnp.vdot(u, atv.astype(jnp.float32)))
+    assert abs(lhs - rhs) <= 1e-3 * max(1.0, abs(lhs))
+
+
+def test_adjoint_identity_quadrant():
+    # 90-deg quadrant: the transpose must invert the rot90 pre-rotation
+    spec = make_grid_spec((40, 64), 2.0, 1.0, (0.0, 0.0), 90.0)
+    op = build_operator(spec)
+    assert op.spec.quadrant == 1
+    u = jnp.asarray(RNG.uniform(0, 1, (40, 64)).astype(np.float32))
+    v = jnp.asarray(RNG.uniform(-1, 1, spec.dst_shape).astype(np.float32))
+    au = apply_operator(op, u, impl="xla")
+    atv = autodiff.apply_operator_transpose(op, v, impl="xla")
+    assert atv.shape == u.shape
+    lhs = float(jnp.vdot(au, v))
+    rhs = float(jnp.vdot(u, atv))
+    assert abs(lhs - rhs) <= 1e-3 * max(1.0, abs(lhs))
+
+
+# ----------------------------------------------------------------------
+# custom VJPs vs native autodiff
+# ----------------------------------------------------------------------
+
+
+def test_separable_custom_vjp_matches_native():
+    spec = make_grid_spec((48, 64), 2.0, 1.0, (0.5, 0.5), 0.0)
+    op = build_operator(spec)
+    src = jnp.asarray(RNG.uniform(0, 1, (48, 64)).astype(np.float32))
+    cot = jnp.asarray(
+        RNG.uniform(-1, 1, op.spec.dst_shape).astype(np.float32))
+
+    _, pull_native = jax.vjp(
+        lambda s: apply_operator(op, s, impl="xla"), src)
+    _, pull_custom = jax.vjp(
+        lambda s: apply_operator(op, s, impl="xla", differentiable=True),
+        src)
+    np.testing.assert_allclose(
+        np.asarray(pull_custom(cot)[0]), np.asarray(pull_native(cot)[0]),
+        atol=1e-5)
+
+
+def test_separable_custom_vjp_pallas_interpret():
+    # the Pallas-kind wrapper end to end in interpret mode (CPU)
+    spec = make_grid_spec((64, 128), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = build_operator(spec)
+    lin = autodiff.separable_linear_for(op, jnp.float32, "pallas",
+                                        interpret=True)
+    src = jnp.asarray(RNG.uniform(0, 1, (2, 64, 128)).astype(np.float32))
+    cot = jnp.asarray(
+        RNG.uniform(-1, 1, (2,) + op.spec.dst_shape).astype(np.float32))
+    out, pull = jax.vjp(lin, src)
+    ref = apply_operator(op, src, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    _, pull_ref = jax.vjp(lambda s: apply_operator(op, s, impl="xla"), src)
+    np.testing.assert_allclose(
+        np.asarray(pull(cot)[0]), np.asarray(pull_ref(cot)[0]), atol=1e-5)
+
+
+def test_ell_custom_vjp_matches_native():
+    op = _rot_op((36, 40), 21.0)
+    H, W = op.spec.src_shape
+    src = jnp.asarray(RNG.uniform(0, 1, (H, W)).astype(np.float32))
+    cot = jnp.asarray(
+        RNG.uniform(-1, 1, op.spec.dst_shape).astype(np.float32))
+    _, pull_native = jax.vjp(
+        lambda s: apply_operator(op, s, impl="xla"), src)
+    _, pull_custom = jax.vjp(
+        lambda s: apply_operator(op, s, impl="xla", differentiable=True),
+        src)
+    np.testing.assert_allclose(
+        np.asarray(pull_custom(cot)[0]), np.asarray(pull_native(cot)[0]),
+        atol=1e-5)
+
+
+def test_ell_custom_vjp_sheared_kind():
+    # rotated custom VJP over the shear-aligned forward: forward matches
+    # the flat-gather apply, backward matches the dense transpose
+    op = _rot_op((64, 64), 30.0)
+    H, W = op.spec.src_shape
+    src = jnp.asarray(RNG.uniform(0, 1, (H, W)).astype(np.float32))
+    cot = jnp.asarray(
+        RNG.uniform(-1, 1, op.spec.dst_shape).astype(np.float32))
+    out, pull = jax.vjp(
+        lambda s: apply_operator(op, s, impl="sheared",
+                                 differentiable=True), src)
+    ref = apply_operator(op, src, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    qH, qW = op.spec.qrot_shape
+    want = (op.dense().T.astype(np.float32)
+            @ np.asarray(cot).reshape(-1)).reshape(qH, qW)
+    np.testing.assert_allclose(
+        np.asarray(pull(cot)[0]), want, atol=1e-5)
+
+
+def test_grad_through_area_average_interpolate():
+    src = jnp.asarray(RNG.uniform(0, 1, (40, 40)).astype(np.float32))
+
+    def loss(s):
+        from aainterp import area_average_interpolate
+        r = area_average_interpolate(s, 2.0, 1.0, (0.0, 0.0), 15.0,
+                                     differentiable=True)
+        return jnp.sum(r.dst ** 2)
+
+    g = jax.grad(loss)(src)
+    assert g.shape == src.shape and bool(jnp.isfinite(g).all())
+    # directional derivative check against finite differences
+    d = jnp.asarray(RNG.uniform(-1, 1, (40, 40)).astype(np.float32))
+    eps = 1e-3
+    fd = (loss(src + eps * d) - loss(src - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, d)), float(fd),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_jit_grad_separable_pallas_kind():
+    # jit(grad(...)) over the custom-vjp'd callable compiles and matches
+    spec = make_grid_spec((64, 128), 4.0, 1.0, (0.0, 0.0), 0.0)
+    op = build_operator(spec)
+    lin = autodiff.separable_linear_for(op, jnp.float32, "pallas",
+                                        interpret=True)
+    src = jnp.asarray(RNG.uniform(0, 1, (64, 128)).astype(np.float32))
+    g = jax.jit(jax.grad(lambda s: jnp.sum(lin(s))))(src)
+    ty, tx = autodiff.transposed_separable(op)
+    want = apply_separable_banded(
+        jnp.ones((1,) + op.spec.dst_shape, jnp.float32),
+        jnp.asarray(ty.start), jnp.asarray(ty.weights, jnp.float32),
+        jnp.asarray(tx.start), jnp.asarray(tx.weights, jnp.float32))[0]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
