@@ -581,3 +581,223 @@ def sharded_apply_ell(
     flux = sharded_flux_ell(frames, out, ell_flux_factors(op), mesh,
                             data_axis=data_axis, row_axis=row_axis)
     return out, flux
+
+
+# ----------------------------------------------------------------------
+# Sharded adjoints (exact transposes of the sharded applies) and custom
+# VJPs — multi-chip gradients (aainterp/autodiff.py at pod scale)
+# ----------------------------------------------------------------------
+
+
+def _halo_reduce(xext, h: int, axis_name: str, n_dev: int):
+    """Exact adjoint of ``_halo_extend``: fold halo contributions back.
+
+    In the adjoint apply each chip scatters cotangent mass into its
+    halo-extended local source block; rows in the halo regions belong to
+    ring neighbours and must be SENT BACK and summed — the same ppermute
+    schedule as the forward exchange, direction-reversed (hop-k prev
+    slabs carry contributions to chip i-k's bottom rows, next slabs to
+    chip i+k's top rows).  Edge chips' orphan slabs are provably zero
+    (rebased indices never reach the pad — see _halo_extend) and are
+    dropped by the ppermute permutation, matching the forward's zero
+    fill.
+    """
+    if h == 0:
+        return xext
+    sb = xext.shape[-2] - 2 * h
+    core = xext[..., h:h + sb, :]
+    hops = -(-h // sb)
+    for k in range(1, hops + 1):
+        hk = min(sb, h - (k - 1) * sb)
+        # prev region layout (see _halo_extend): hop-k slab at
+        # [h - (k-1)*sb - hk, h - (k-1)*sb)
+        lo = h - (k - 1) * sb - hk
+        recv = jax.lax.ppermute(
+            xext[..., lo:lo + hk, :], axis_name,
+            [(j, j - k) for j in range(k, n_dev)])
+        core = core.at[..., sb - hk:, :].add(recv)
+        # next region: hop-k slab at [h + sb + (k-1)*sb, ... + hk)
+        nlo = h + sb + (k - 1) * sb
+        recv = jax.lax.ppermute(
+            xext[..., nlo:nlo + hk, :], axis_name,
+            [(j, j + k) for j in range(n_dev - k)])
+        core = core.at[..., :hk, :].add(recv)
+    return core
+
+
+def sharded_apply_separable_transpose(
+    cot: jax.Array,
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-sharded adjoint apply: (B, Hd, Wd) -> (B, H, W).
+
+    The transpose of a banded separable operator is another banded
+    separable operator (ops.overlap1d.transpose_band), so the adjoint is
+    simply ``sharded_apply_banded`` with transposed bands — the halo
+    machinery (now derived from the transposed y-band) and the per-shard
+    Pallas kernels generalise with no new collective code.  The inverse
+    quadrant rot90 runs globally after, mirroring the forward's
+    pre-rotation (Source.cpp:159-172).
+    """
+    from ..autodiff import transposed_separable
+
+    ty, tx = transposed_separable(op)
+    forced = impl != "auto"
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "banded")
+    out = None
+    if impl == "pallas":
+        try:
+            out = sharded_apply_banded_pallas(
+                cot, ty, tx, mesh, data_axis=data_axis, row_axis=row_axis,
+                interpret=interpret)
+        except ValueError:
+            if forced:
+                raise
+    if out is None:
+        out = sharded_apply_banded(cot, ty, tx, mesh, data_axis=data_axis,
+                                   row_axis=row_axis)
+    if op.spec.quadrant:
+        out = apply_ops.quadrant_rotate(out, -op.spec.quadrant)
+    return out
+
+
+def sharded_apply_ell_transpose(
+    cot: jax.Array,
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    base: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Row-sharded adjoint of the rotated apply: (B, Hd, Wd) -> (B, H, W).
+
+    Each chip scatters its local cotangent block into its halo-extended
+    source block (ops.apply.apply_ell_transpose with the same rebased
+    window bases as the forward), then ``_halo_reduce`` returns the halo
+    contributions to their owning chips over the ring — the exact
+    transpose of the forward's gather exchange, hop for hop.
+    """
+    n_dev = mesh.shape[row_axis]
+    qH, qW = op.spec.qrot_shape
+    Hd, Wd = op.spec.dst_shape
+    K = op.window
+    assert Hd % n_dev == 0 and qH % n_dev == 0
+    db, sb = Hd // n_dev, qH // n_dev
+    base_y = op.base[..., 0]
+    halo = 0
+    for i in range(n_dev):
+        blk = base_y[i * db: (i + 1) * db]
+        halo = max(halo, i * sb - int(blk.min()),
+                   int(blk.max()) + K - (i + 1) * sb)
+    halo = max(halo, 0)
+
+    base = jnp.asarray(op.base) if base is None else base
+    w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
+         else weights)
+
+    batch_spec = (P(data_axis),) if data_axis else (P(),)
+    row_only = P(*(batch_spec[0] + (row_axis, None)))
+
+    def local_fn(g_blk, base_blk, w_blk):
+        i = jax.lax.axis_index(row_axis)
+        rebased = base_blk.at[..., 0].add(-(i * sb - halo))
+        qext = apply_ops.apply_ell_transpose(
+            g_blk, rebased, w_blk, (sb + 2 * halo, qW))
+        return _halo_reduce(qext, halo, row_axis, n_dev)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(row_only, P(row_axis, None, None),
+                  P(row_axis, None, None, None)),
+        out_specs=row_only,
+        check_rep=False,
+    )
+    qbar = fn(cot, base, w)
+    if op.spec.quadrant:
+        qbar = apply_ops.quadrant_rotate(qbar, -op.spec.quadrant)
+    return qbar
+
+
+def make_sharded_separable_linear(
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """custom-vjp'd sharded separable apply: multi-chip gradients.
+
+    Forward = sharded_apply_separable (per-shard Pallas on TPU); backward
+    = sharded_apply_separable_transpose — both collective schedules are
+    static, so jit(grad(...)) over the mesh compiles one SPMD program.
+    """
+
+    @jax.custom_vjp
+    def f(frames):
+        return sharded_apply_separable(
+            frames, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            impl=impl, interpret=interpret)
+
+    def fwd(frames):
+        return f(frames), (jnp.zeros((0,), frames.dtype),)
+
+    def bwd(res, g):
+        (dt,) = res
+        sbar = sharded_apply_separable_transpose(
+            g, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            impl=impl, interpret=interpret)
+        return (sbar.astype(dt.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def make_sharded_ell_linear(
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """custom-vjp'd sharded rotated apply f(frames, base, weights).
+
+    base/weights ride as ARGUMENTS (the backward scatter tables; hundreds
+    of MB at production sizes — never closed over, see aainterp/autodiff
+    module docs).  Pass ``jnp.asarray(op.base)`` /
+    ``jnp.asarray(op.weights, jnp.float32)`` once and reuse.
+    """
+
+    @jax.custom_vjp
+    def f(frames, base, w):
+        return sharded_apply_ell(
+            frames, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            base=base, weights=w, impl=impl, interpret=interpret)
+
+    def fwd(frames, base, w):
+        return f(frames, base, w), (jnp.zeros((0,), frames.dtype), base, w)
+
+    def bwd(res, g):
+        dt, base, w = res
+        sbar = sharded_apply_ell_transpose(
+            g, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            base=base, weights=w)
+        zb = np.zeros(base.shape, jax.dtypes.float0)
+        return (sbar.astype(dt.dtype), zb, jnp.zeros_like(w))
+
+    f.defvjp(fwd, bwd)
+    return f
