@@ -228,3 +228,44 @@ def test_jit_grad_separable_pallas_kind():
         jnp.asarray(ty.start), jnp.asarray(ty.weights, jnp.float32),
         jnp.asarray(tx.start), jnp.asarray(tx.weights, jnp.float32))[0]
     np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# fuzz: transpose exactness across modes and random geometries
+# ----------------------------------------------------------------------
+
+
+def test_transpose_band_fuzz_modes():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n_dst = int(rng.integers(3, 60))
+        n_src = int(rng.integers(3, 90))
+        side = float(rng.uniform(0.3, 6.0))
+        iso = float(rng.uniform(-0.5, 0.5))
+        for gen in (overlap1d.overlap_band_1d, overlap1d.count_band_1d):
+            b = gen(n_dst, n_src, side, 1, iso)
+            t = overlap1d.transpose_band(b)
+            np.testing.assert_array_equal(t.dense(), b.dense().T)
+
+
+def test_adjoint_identity_fuzz():
+    rng = np.random.default_rng(13)
+    for _ in range(6):
+        H = int(rng.integers(24, 56))
+        W = int(rng.integers(24, 56))
+        angle = float(rng.uniform(0, 80))
+        mode = rng.choice(["exact", "fast", "compat"])
+        spec = make_grid_spec((H, W), 2.0, float(rng.uniform(0.8, 2.0)),
+                              (float(rng.uniform(0, W)),
+                               float(rng.uniform(0, H))), angle)
+        method = "separable" if spec.is_axis_aligned else "ell"
+        if mode == "compat" and method == "separable":
+            mode = "exact"
+        op = build_operator(spec, mode=str(mode), method=method)
+        u = jnp.asarray(RNG.uniform(0, 1, (H, W)).astype(np.float32))
+        v = jnp.asarray(
+            RNG.uniform(-1, 1, spec.dst_shape).astype(np.float32))
+        lhs = float(jnp.vdot(apply_operator(op, u, impl="xla"), v))
+        rhs = float(jnp.vdot(u, autodiff.apply_operator_transpose(op, v)))
+        assert abs(lhs - rhs) <= 2e-3 * max(1.0, abs(lhs)), (
+            H, W, angle, mode, lhs, rhs)
