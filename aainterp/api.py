@@ -72,14 +72,26 @@ def build_operator(
 
 @functools.partial(jax.jit, static_argnames=("quadrant", "my", "mx", "acc"))
 def _apply_box_jit(src, quadrant, my, mx, acc):
-    q = apply_ops.quadrant_rotate(src, quadrant)
-    return apply_ops.apply_box_mean(q, my, mx, acc_dtype=acc)
+    # quadrant folded to the output side: box means are permutation-
+    # invariant within each m x m block and rot90 maps blocks to blocks
+    # (m divides both axes by detection), so
+    # box(rot90(A,-q), my, mx) == rot90(box(A, my', mx'), -q) with
+    # (my', mx') swapped for odd quadrants — the rot90 runs on the SMALL
+    # output instead of the full-size source (Source.cpp:159-172).
+    if quadrant % 2:
+        my, mx = mx, my
+    out = apply_ops.apply_box_mean(src, my, mx, acc_dtype=acc)
+    return apply_ops.quadrant_rotate(out, quadrant)
 
 
-@functools.partial(jax.jit, static_argnames=("quadrant",))
-def _apply_separable_jit(src, quadrant, y_start, y_w, x_start, x_w):
-    q = apply_ops.quadrant_rotate(src, quadrant)
-    return apply_ops.apply_separable_banded(q, y_start, y_w, x_start, x_w)
+@functools.partial(jax.jit, static_argnames=("out_t",))
+def _apply_separable_jit(src, out_t, y_start, y_w, x_start, x_w):
+    # tables arrive quadrant-folded (weights.fold_quadrant_separable):
+    # the apply consumes the ORIGINAL image; quadrants 1/3 transpose the
+    # small dst-side output only — no rot90 of the source is ever
+    # materialised (a full HBM round trip at 4K).
+    out = apply_ops.apply_separable_banded(src, y_start, y_w, x_start, x_w)
+    return jnp.swapaxes(out, -1, -2) if out_t else out
 
 
 @functools.partial(jax.jit, static_argnames=("quadrant",))
@@ -110,9 +122,11 @@ def _separable_auto_route(shape, ndim: int, on_tpu: bool) -> str:
     """impl decision for the separable auto route.
 
     quadrant does NOT gate the Pallas route: quadrant != 0 runs the same
-    kernel after the cheap rot90 pre-rotation (Source.cpp:159-172) —
-    round 2 gated this to quadrant 0 only, silently dropping 90/180/270-
-    deg flagship shapes to the ~15x slower XLA paths (VERDICT r2 §5).
+    kernel with the rotation FOLDED INTO the band tables
+    (weights.fold_quadrant_separable — no rot90 copy of the source,
+    Source.cpp:159-172 semantics preserved); round 2 gated this to
+    quadrant 0 only, silently dropping 90/180/270-deg flagship shapes to
+    the ~15x slower XLA paths (VERDICT r2 §5).
     """
     big = shape[-2] >= 512 and shape[-1] >= 512
     return "pallas" if (on_tpu and big and ndim in (2, 3)) else "xla"
@@ -181,8 +195,8 @@ def apply_operator(
             from . import autodiff
 
             # custom-vjp'd wrapper (backward = transposed bands on the
-            # same kernel); includes the quadrant pre-rotation
-            # (Source.cpp:159-172) — rot90 by 0 is a no-op
+            # same kernel); the quadrant pre-rotation is folded into the
+            # band tables (autodiff.folded_separable_tables)
             return autodiff.separable_linear_for(
                 op, weight_dtype, "pallas")(src)
         if differentiable:
@@ -190,13 +204,14 @@ def apply_operator(
 
             return autodiff.separable_linear_for(op, weight_dtype,
                                                  "xla")(src)
+        yb, xb, out_t = weights_ops.fold_quadrant_separable(op)
         return _apply_separable_jit(
             src,
-            op.spec.quadrant,
-            jnp.asarray(op.wy.start),
-            jnp.asarray(op.wy.weights, dtype=weight_dtype),
-            jnp.asarray(op.wx.start),
-            jnp.asarray(op.wx.weights, dtype=weight_dtype),
+            out_t,
+            jnp.asarray(yb.start),
+            jnp.asarray(yb.weights, dtype=weight_dtype),
+            jnp.asarray(xb.start),
+            jnp.asarray(xb.weights, dtype=weight_dtype),
         )
     if isinstance(op, weights_ops.EllOperator):
         if impl == "auto":

@@ -91,22 +91,50 @@ def _sep_apply(kind: str, q, ys, yw, xs, xw, interpret: bool):
     return out.reshape(lead + out.shape[-2:])
 
 
-def make_separable_linear(kind: str, quadrant: int, tables, t_tables,
-                          interpret: bool = False):
-    """custom-vjp'd fn(src): quadrant rotate + separable apply.
+def folded_separable_tables(op: "weights_ops.SeparableOperator"):
+    """Quadrant-folded forward/backward bands: (yb, xb, tyb, txb, out_t).
 
-    ``tables`` / ``t_tables`` are HOST (ys, yw, xs, xw) for the forward
-    and transposed operator; both are closed over (small — the Pallas
-    planner needs concrete values anyway).  The backward runs the
-    transposed apply on the same kind of kernel, then the inverse
-    quadrant rotation (rot90 is orthogonal: its transpose is its
-    inverse, Source.cpp:159-172 cell semantics).
+    The quadrant pre-rotation is folded into the band tables
+    (weights.fold_quadrant_separable) so neither direction ever
+    materialises a rot90 of the LARGE array: forward consumes the
+    original image, backward produces the original-image cotangent
+    directly.  Transposes of flipped bands use the identity
+    ``(W P)^T == P W^T`` (overlap1d.reverse_rows_band of the transposed
+    band); quadrants 1/3 additionally transpose the SMALL dst-side array
+    (``out_t``): the forward transposes its output, the backward its
+    incoming cotangent.
+    """
+    yb, xb, out_t = weights_ops.fold_quadrant_separable(op)
+    ty, tx = transposed_separable(op)  # (wy^T, wx^T), content-cached
+    rr = overlap1d.reverse_rows_band
+    q = op.spec.quadrant % 4
+    if q == 0:
+        tyb, txb = ty, tx
+    elif q == 1:      # yb = wx @ P  ->  yb^T = P @ wx^T ; xb = wy
+        tyb, txb = rr(tx), ty
+    elif q == 2:      # both flipped
+        tyb, txb = rr(ty), rr(tx)
+    else:             # yb = wx ; xb = wy @ P
+        tyb, txb = tx, rr(ty)
+    return yb, xb, tyb, txb, out_t
+
+
+def make_separable_linear(kind: str, tables, t_tables, out_t: bool,
+                          interpret: bool = False):
+    """custom-vjp'd fn(src): quadrant-folded separable apply.
+
+    ``tables`` / ``t_tables`` are HOST (ys, yw, xs, xw) for the folded
+    forward and its transpose (folded_separable_tables); both are closed
+    over (small — the Pallas planner needs concrete values anyway).  The
+    quadrant pre-rotation (Source.cpp:159-172) lives inside the tables,
+    so both directions run straight on the un-rotated arrays; ``out_t``
+    transposes the small dst-side array for quadrants 1/3.
     """
 
     @jax.custom_vjp
     def f(src):
-        q = apply_ops.quadrant_rotate(src, quadrant)
-        return _sep_apply(kind, q, *tables, interpret)
+        out = _sep_apply(kind, src, *tables, interpret)
+        return jnp.swapaxes(out, -1, -2) if out_t else out
 
     def fwd(src):
         # residual leaves must be JAX types: carry the primal dtype as a
@@ -115,8 +143,8 @@ def make_separable_linear(kind: str, quadrant: int, tables, t_tables,
 
     def bwd(res, g):
         (dt,) = res
-        qbar = _sep_apply(kind, g, *t_tables, interpret)
-        sbar = apply_ops.quadrant_rotate(qbar, -quadrant)
+        gq = jnp.swapaxes(g, -1, -2) if out_t else g
+        sbar = _sep_apply(kind, gq, *t_tables, interpret)
         return (sbar.astype(dt.dtype),)
 
     f.defvjp(fwd, bwd)
@@ -135,16 +163,15 @@ def separable_linear_for(op, weight_dtype, kind: str,
            hash(op.wy.start.tobytes()), hash(op.wx.start.tobytes()))
     hit = _SEP_LINEAR_CACHE.get(key)
     if hit is None:
-        ty, tx = transposed_separable(op)
+        yb, xb, tyb, txb, out_t = folded_separable_tables(op)
 
         def _pair(b):
             return (np.asarray(b.start),
                     jnp.asarray(b.weights, dtype=weight_dtype))
 
-        tables = _pair(op.wy) + _pair(op.wx)
-        t_tables = _pair(ty) + _pair(tx)
-        hit = make_separable_linear(kind, op.spec.quadrant, tables,
-                                    t_tables, interpret)
+        tables = _pair(yb) + _pair(xb)
+        t_tables = _pair(tyb) + _pair(txb)
+        hit = make_separable_linear(kind, tables, t_tables, out_t, interpret)
         _SEP_LINEAR_CACHE.put(key, hit)
     return hit
 
@@ -209,18 +236,23 @@ def apply_operator_transpose(
     kernel on TPU for large shapes, like the forward.
     """
     if isinstance(op, weights_ops.SeparableOperator):
-        ty, tx = transposed_separable(op)
-        tys = np.asarray(ty.start)
-        tyw = jnp.asarray(ty.weights, dtype=weight_dtype)
-        txs = np.asarray(tx.start)
-        txw = jnp.asarray(tx.weights, dtype=weight_dtype)
+        # quadrant folded into the transposed tables: the adjoint writes
+        # the original-image layout directly, so the inverse rot90 of the
+        # LARGE source-sized array never materialises (quadrants 1/3 only
+        # transpose the small dst-side cotangent)
+        _, _, tyb, txb, out_t = folded_separable_tables(op)
+        tys = np.asarray(tyb.start)
+        tyw = jnp.asarray(tyb.weights, dtype=weight_dtype)
+        txs = np.asarray(txb.start)
+        txw = jnp.asarray(txb.weights, dtype=weight_dtype)
+        if out_t:
+            cot = jnp.swapaxes(cot, -1, -2)
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = cot.shape[-2] >= 512 and cot.shape[-1] >= 512
             impl = "pallas" if (on_tpu and big and cot.ndim in (2, 3)) \
                 else "xla"
-        qbar = _sep_apply(impl, cot, tys, tyw, txs, txw, False)
-        return apply_ops.quadrant_rotate(qbar, -op.spec.quadrant)
+        return _sep_apply(impl, cot, tys, tyw, txs, txw, False)
     if isinstance(op, weights_ops.EllOperator):
         qbar = apply_ops.apply_ell_transpose(
             cot.astype(weight_dtype) if cot.dtype != weight_dtype else cot,

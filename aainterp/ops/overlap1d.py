@@ -183,3 +183,42 @@ def transpose_band(band: Band1D) -> Band1D:
     valid = (ii < Nd) & (kk >= 0) & (kk < K)
     wt = np.where(valid, w[ii_c, np.clip(kk, 0, K - 1)], 0.0)
     return Band1D(start=st.astype(np.int32), weights=wt, n_src=Nd, n_dst=Ns)
+
+
+def reverse_rows_band(band: Band1D) -> Band1D:
+    """Band of ``P @ W`` where P reverses the destination axis.
+
+    A row permutation just permutes the per-row (start, weights) table.
+    Needed for the transposes of flipped bands:
+    ``(W P)^T == P W^T == reverse_rows_band(transpose_band(W))`` — the
+    backward tables of the quadrant-folded separable apply.
+    """
+    return Band1D(start=np.ascontiguousarray(band.start[::-1]),
+                  weights=np.ascontiguousarray(band.weights[::-1]),
+                  n_src=band.n_src, n_dst=band.n_dst)
+
+
+def flip_band(band: Band1D) -> Band1D:
+    """Band of ``W @ P`` where P reverses the source axis.
+
+    Folds a source-index reversal into the table: entry (i, j) of the
+    result equals ``band``'s entry (i, n_src-1-j).  With the quadrant
+    pre-rotation expressed as source flips/swaps (rot90^k =
+    flip/transpose compositions), this lets the separable apply consume
+    the ORIGINAL image for any quadrant — no rotated copy is ever
+    materialised (the reference replicates + rotates, Source.cpp:159-172;
+    a global rot90 costs a full HBM round trip at 4K).
+    """
+    n, K = int(band.n_src), band.band
+    start = band.start.astype(np.int64)
+    start_new = np.clip(n - K - start, 0, max(n - K, 0))
+    # entry k of the new row i is source column start_new+k, i.e. old
+    # column n-1-(start_new+k), i.e. old tap n-1-start_new-k-start
+    k = np.arange(K, dtype=np.int64)
+    old_tap = (n - 1 - start_new[:, None]) - k[None, :] - start[:, None]
+    valid = (old_tap >= 0) & (old_tap < K)
+    w = np.where(valid,
+                 band.weights[np.arange(len(start))[:, None],
+                              np.clip(old_tap, 0, K - 1)], 0.0)
+    return Band1D(start=start_new.astype(np.int32), weights=w,
+                  n_src=band.n_src, n_dst=band.n_dst)

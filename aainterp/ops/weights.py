@@ -394,3 +394,32 @@ def ell_operator(
         sums[dy0:dy1] = sm
     return EllOperator(spec=spec, base=base, weights=weights,
                        raw_row_sums=sums, mode=mode)
+
+
+def fold_quadrant_separable(op: SeparableOperator):
+    """(y_band, x_band, out_transpose): quadrant folded into the tables.
+
+    The quadrant pre-rotation (Source.cpp:159-172) is a permutation of
+    source cells, so for a separable operator it folds into the 1-D
+    bands instead of materialising ``rot90(src)`` (a full HBM round trip
+    — ~43 us/frame at 4K bf16, more than the 26.7 us apply itself).
+    With A the ORIGINAL image, B = rot90(A, -q), and the apply
+    out = Wy @ B @ Wx^T:
+
+      q=0:  out =   Wy      @ A @  Wx^T
+      q=1:  out = ((Wx P_H) @ A @  Wy^T)^T        B[i,j] = A[H-1-j, i]
+      q=2:  out =  (Wy P_H) @ A @ (Wx P_W)^T      B[i,j] = A[H-1-i, W-1-j]
+      q=3:  out = ( Wx      @ A @ (Wy P_W)^T)^T   B[i,j] = A[j, W-1-i]
+
+    (P_n = source reversal, overlap1d.flip_band).  Quadrants 1/3 cost
+    one transpose of the SMALL output instead of a rot90 of the large
+    input; quadrant 2 costs nothing at all.
+    """
+    q = op.spec.quadrant % 4
+    if q == 0:
+        return op.wy, op.wx, False
+    if q == 1:
+        return overlap1d.flip_band(op.wx), op.wy, True
+    if q == 2:
+        return overlap1d.flip_band(op.wy), overlap1d.flip_band(op.wx), False
+    return op.wx, overlap1d.flip_band(op.wy), True
