@@ -26,7 +26,62 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops import apply as apply_ops
+from ..ops import overlap1d
 from ..ops import weights as weights_ops
+
+
+def _folded_sharded_bands(op: weights_ops.SeparableOperator, n_dev: int):
+    """Quadrant folding under row sharding, or None (use the rot90 path).
+
+    The single-chip folding (weights.fold_quadrant_separable) replaces
+    the rot90 of the source with flipped band tables; under sharding a
+    flipped y band's window slides BACKWARD, which would mirror the halo
+    into a full-ring exchange.  Reversing its dst rows restores a
+    forward-sliding window (start of ``reverse_rows_band(flip_band(b))``
+    is monotone non-decreasing), so the neighbour-hop ring halo is
+    preserved and the residual permutation moves to the SMALL dst side:
+
+      q=0:  out =   inner                      inner = Wy       A Wx^T
+      q=1:  out = T(R inner)                   inner = R(Wx P_H) A Wy^T
+      q=2:  out =   R inner                    inner = R(Wy P_H) A (Wx P_W)^T
+      q=3:  out = T(inner)                     inner = Wx        A (Wy P_W)^T
+
+    (R = dst-row reversal, T = trailing transpose, P = source flip.)
+    The source-sized all-to-all a distributed rot90 needs becomes a
+    dst-sized flip/transpose reshard — r^2 less ICI traffic at
+    downscale ratio r.  Returns dict(y, x, post, post_inv, measures)
+    where post maps the inner shard_map output to the final dst (and
+    post_inv is its inverse permutation, used by the adjoint), and
+    measures are the per-row raw sums paired with the INNER orientation
+    (for the psum conservation flux).  None when the folded row counts
+    don't divide ``n_dev`` (the rot90 path has different divisibility).
+    """
+    q = op.spec.quadrant % 4
+    ry, rx = op.raw_row_sums
+    flip, rr = overlap1d.flip_band, overlap1d.reverse_rows_band
+    if q == 0:
+        y_use, x_use, post, post_inv, meas = (
+            op.wy, op.wx, None, None, (ry, rx))
+    elif q == 1:
+        y_use = rr(flip(op.wx))
+        x_use = op.wy
+        post = lambda o: jnp.swapaxes(jnp.flip(o, -2), -1, -2)
+        post_inv = lambda g: jnp.flip(jnp.swapaxes(g, -1, -2), -2)
+        meas = (rx[::-1], ry)
+    elif q == 2:
+        y_use = rr(flip(op.wy))
+        x_use = flip(op.wx)
+        post = post_inv = lambda o: jnp.flip(o, -2)
+        meas = (ry[::-1], rx)
+    else:
+        y_use = op.wx
+        x_use = flip(op.wy)
+        post = post_inv = lambda o: jnp.swapaxes(o, -1, -2)
+        meas = (rx, ry)
+    if y_use.n_dst % n_dev != 0 or y_use.n_src % n_dev != 0:
+        return None
+    return dict(y=y_use, x=x_use, post=post, post_inv=post_inv,
+                measures=meas)
 
 
 def _row_halo(y_start: np.ndarray, band: int, n_src: int, n_dst: int,
@@ -311,13 +366,23 @@ def sharded_apply_separable(
     conservation pair (psum over the mesh — parallel/conserve.py); the two
     entries agree to fp tolerance iff every chip's halo + local contraction
     is correct.  The multi-chip form of Source.cpp:573-577.
+
+    quadrant != 0 folds the rot90 pre-rotation (Source.cpp:159-172) into
+    the band tables (_folded_sharded_bands): the source stays sharded in
+    its original orientation and only the SMALL dst output pays a
+    flip/transpose reshard; when the folded row counts don't divide the
+    mesh, the global-rot90 route (source-sized all-to-all) is the
+    fallback.
     """
-    if op.spec.quadrant != 0:
-        # quadrant pre-rotation (Source.cpp:159-172) as a global jnp.rot90:
-        # under jit over the mesh, XLA lowers the transpose+reverse to an
-        # all-to-all over ICI and reshards for the shard_map that follows —
-        # the minimal collective any distributed rot90 needs
+    n_dev = mesh.shape[row_axis]
+    fold = _folded_sharded_bands(op, n_dev)
+    if fold is None:
+        # folded divisibility failed: global jnp.rot90 (an all-to-all of
+        # the full source over ICI) then the unfolded bands
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+        fold = dict(y=op.wy, x=op.wx, post=None, post_inv=None,
+                    measures=op.raw_row_sums)
+    y_use, x_use, post = fold["y"], fold["x"], fold["post"]
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -326,7 +391,7 @@ def sharded_apply_separable(
     if impl == "pallas":
         try:
             out = sharded_apply_banded_pallas(
-                frames, op.wy, op.wx, mesh, data_axis=data_axis,
+                frames, y_use, x_use, mesh, data_axis=data_axis,
                 row_axis=row_axis, interpret=interpret)
         except ValueError:
             # off the kernel envelope: the auto route degrades to the XLA
@@ -336,16 +401,31 @@ def sharded_apply_separable(
                 raise
     if out is None:
         out = sharded_apply_banded(
-            frames, op.wy, op.wx, mesh, data_axis=data_axis,
+            frames, y_use, x_use, mesh, data_axis=data_axis,
             row_axis=row_axis)
+    if conserve:
+        from .conserve import separable_flux_factors, sharded_flux_separable
+
+        # factors pair with the INNER orientation (pre-post), where both
+        # frames and out are row-sharded to match the band tables
+        factors = separable_flux_factors(y_use, x_use,
+                                         raw_sums=fold["measures"])
+        flux = sharded_flux_separable(frames, out, factors, mesh,
+                                      data_axis=data_axis,
+                                      row_axis=row_axis)
+    if post is not None:
+        from jax.sharding import NamedSharding
+
+        out = post(out)
+        # restore the documented row-sharded layout on the dst array (a
+        # dst-sized collective — the whole point of the folding is that
+        # the SOURCE never pays one)
+        batch = (P(data_axis),) if data_axis else (P(),)
+        spec = P(*(batch[0] + (row_axis, None)))
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, spec))
     if not conserve:
         return out
-    from .conserve import separable_flux_factors, sharded_flux_separable
-
-    factors = separable_flux_factors(op.wy, op.wx,
-                                     raw_sums=op.raw_row_sums)
-    flux = sharded_flux_separable(frames, out, factors, mesh,
-                                  data_axis=data_axis, row_axis=row_axis)
     return out, flux
 
 
@@ -641,13 +721,40 @@ def sharded_apply_separable_transpose(
     separable operator (ops.overlap1d.transpose_band), so the adjoint is
     simply ``sharded_apply_banded`` with transposed bands — the halo
     machinery (now derived from the transposed y-band) and the per-shard
-    Pallas kernels generalise with no new collective code.  The inverse
-    quadrant rot90 runs globally after, mirroring the forward's
-    pre-rotation (Source.cpp:159-172).
+    Pallas kernels generalise with no new collective code.
+
+    The quadrant is folded like the forward's (_folded_sharded_bands):
+    the incoming dst cotangent pays the small inverse permutation
+    (``post_inv``), the transposed FOLDED bands run under the same ring
+    halo, and the output lands directly in the original source
+    orientation — the old global inverse rot90 was an all-to-all of the
+    SOURCE-sized array, the most expensive collective in the adjoint.
     """
     from ..autodiff import transposed_separable
 
+    n_dev = mesh.shape[row_axis]
     ty, tx = transposed_separable(op)
+    fold = _folded_sharded_bands(op, n_dev)
+    unfold_after = fold is None
+    if fold is None:
+        t_y, t_x = ty, tx       # rot90 fallback, inverse rotation after
+    else:
+        # transposes of the folded bands, derived from the cached (ty, tx)
+        # via (W P)^T = P W^T and (R W)^T = W^T R:
+        #   t(rr(flip(b))) = flip_band(reverse_rows(t(b)))  [monotone]
+        #   t(flip(b))     = reverse_rows(t(b))
+        flip, rr = overlap1d.flip_band, overlap1d.reverse_rows_band
+        q = op.spec.quadrant % 4
+        if q == 0:
+            t_y, t_x = ty, tx
+        elif q == 1:            # fwd: y=rr(flip(wx)), x=wy
+            t_y, t_x = flip(rr(tx)), ty
+        elif q == 2:            # fwd: y=rr(flip(wy)), x=flip(wx)
+            t_y, t_x = flip(rr(ty)), rr(tx)
+        else:                   # fwd: y=wx, x=flip(wy)
+            t_y, t_x = tx, rr(ty)
+        if fold["post_inv"] is not None:
+            cot = fold["post_inv"](cot)
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -656,15 +763,15 @@ def sharded_apply_separable_transpose(
     if impl == "pallas":
         try:
             out = sharded_apply_banded_pallas(
-                cot, ty, tx, mesh, data_axis=data_axis, row_axis=row_axis,
+                cot, t_y, t_x, mesh, data_axis=data_axis, row_axis=row_axis,
                 interpret=interpret)
         except ValueError:
             if forced:
                 raise
     if out is None:
-        out = sharded_apply_banded(cot, ty, tx, mesh, data_axis=data_axis,
+        out = sharded_apply_banded(cot, t_y, t_x, mesh, data_axis=data_axis,
                                    row_axis=row_axis)
-    if op.spec.quadrant:
+    if unfold_after and op.spec.quadrant:
         out = apply_ops.quadrant_rotate(out, -op.spec.quadrant)
     return out
 
