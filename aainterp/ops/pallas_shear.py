@@ -56,31 +56,50 @@ def _rdn(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_vshear(F, qH, qWp, THp, nbv, dtype_name, interpret):
+def _build_vshear(F, qH, qWp, THp, RH, nbv, dtype_name, interpret):
+    """Vertical shear with host-static per-strip bases.
+
+    Within a 128-column strip the roll amount gy varies by only
+    ~128*slope (<< gy.max), so the strip's 16-aligned minimum is hoisted
+    to the host (``base_v``, scalar-prefetched) and implemented as the
+    STORE OFFSET of one dynamic sublane slice; the in-register bit rolls
+    cover only the residual — nbv drops ~11 -> 7 passes at 2048^2/30 deg
+    and they run on an RH-row array instead of THp (RH ~= qH + 90 vs
+    THp ~= qH + gy.max).  The two-level DYNAMIC roll was measured slower
+    (BENCHMARKS.md: Mosaic dynamic rotate > 4 saved static passes); the
+    store-offset form keeps every roll static.
+    """
     dtype = jnp.dtype(dtype_name)
 
-    def kernel(gy_ref, q_ref, out_ref):
+    def kernel(base_ref, gy_ref, q_ref, out_ref):
+        c = pl.program_id(1)
+        base = pl.multiple_of(base_ref[c], 16)
         # Mosaic rotates are 32-bit only on this backend ("Rotate with
         # non-32-bit data"): roll in f32 in-register, keep HBM I/O bf16
-        x = jnp.pad(q_ref[0], ((0, THp - qH), (0, 0))).astype(jnp.float32)
-        dg = gy_ref[0]  # (1, 128) int32
+        x = jnp.pad(q_ref[0], ((0, RH - qH), (0, 0))).astype(jnp.float32)
+        dg = gy_ref[0] - base  # (1, 128) int32 residual in [0, 2^nbv)
         for k in range(nbv):
             x = jnp.where(((dg >> k) & 1) == 1,
                           pltpu.roll(x, 1 << k, axis=0), x)
-        out_ref[0] = x.astype(dtype)
+        out_ref[0] = jnp.zeros((THp, 128), dtype)
+        out_ref[0, pl.ds(base, RH)] = x.astype(dtype)
 
     nc = qWp // 128
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(F, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda f, c: (0, 0, c),
+            pl.BlockSpec((1, 1, 128), lambda f, c, *_: (0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qH, 128), lambda f, c: (f, 0, c),
+            pl.BlockSpec((1, qH, 128), lambda f, c, *_: (f, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, THp, 128), lambda f, c: (f, 0, c),
+        out_specs=pl.BlockSpec((1, THp, 128), lambda f, c, *_: (f, 0, c),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, THp, qWp), dtype),
         interpret=interpret,
     )
@@ -92,30 +111,45 @@ def _build_vshear(F, qH, qWp, THp, nbv, dtype_name, interpret):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_hshear(F, THp, qWp, TWp, BLKR, nbh, dtype_name, interpret):
+def _build_hshear(F, THp, qWp, TWp, BLKR, RW, nbh, dtype_name, interpret):
+    """Horizontal shear with host-static per-row-block bases.
+
+    Mirror of _build_vshear's residual-roll scheme along lanes: the
+    128-aligned per-block minimum of hx becomes the lane offset of one
+    dynamic store (128 = the lane tile, so the slice stays aligned), and
+    the bit rolls cover only the residual on an RW-column array
+    (RW ~= qWp + BLKR*slope + 128 vs TWp ~= qWp + hx.max).
+    """
     dtype = jnp.dtype(dtype_name)
 
-    def kernel(hx_ref, s_ref, out_ref):
+    def kernel(base_ref, hx_ref, s_ref, out_ref):
+        r = pl.program_id(1)
+        base = pl.multiple_of(base_ref[r], 128)
         # f32 rolls for the same Mosaic 32-bit-rotate restriction
-        x = jnp.pad(s_ref[0], ((0, 0), (0, TWp - qWp))).astype(jnp.float32)
-        dh = hx_ref[0]  # (BLKR, 1) int32
+        x = jnp.pad(s_ref[0], ((0, 0), (0, RW - qWp))).astype(jnp.float32)
+        dh = hx_ref[0] - base  # (BLKR, 1) int32 residual in [0, 2^nbh)
         for k in range(nbh):
             x = jnp.where(((dh >> k) & 1) == 1,
                           pltpu.roll(x, 1 << k, axis=1), x)
-        out_ref[0] = x.astype(dtype)
+        out_ref[0] = jnp.zeros((BLKR, TWp), dtype)
+        out_ref[0, :, pl.ds(base, RW)] = x.astype(dtype)
 
     nr = THp // BLKR
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(F, nr),
         in_specs=[
-            pl.BlockSpec((1, BLKR, 1), lambda f, r: (0, r, 0),
+            pl.BlockSpec((1, BLKR, 1), lambda f, r, *_: (0, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLKR, qWp), lambda f, r: (f, r, 0),
+            pl.BlockSpec((1, BLKR, qWp), lambda f, r, *_: (f, r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLKR, TWp), lambda f, r: (f, r, 0),
+        out_specs=pl.BlockSpec((1, BLKR, TWp), lambda f, r, *_: (f, r, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, THp, TWp), dtype),
         interpret=interpret,
     )
@@ -172,19 +206,34 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
 
         s = t * F + f
         slot = jax.lax.rem(s, 2)
+        # dead tiles (masked) skip their T-block DMA entirely, not just
+        # the compute: starts and waits are both gated on the SAME
+        # liveness flag, so semaphores stay matched 1:1 and the two
+        # slots still alternate by step parity (a dead step simply never
+        # touches its slot).  36/121 dead tiles at 2048^2/30 deg
+        # otherwise cost ~8.6 MB of HBM reads per frame.
+        live = m_ref[t] != 0 if masked else True
 
-        @pl.when(s == 0)
+        @pl.when(jnp.logical_and(s == 0, live) if masked else s == 0)
         def _():
             tblk_dma(t, f, slot).start()
 
-        @pl.when(s + 1 < nty * ntx * F)
-        def _():
-            tblk_dma(jax.lax.div(s + 1, F), jax.lax.rem(s + 1, F),
-                     jax.lax.rem(s + 1, 2)).start()
+        nxt = s + 1
+        nxt_in = nxt < nty * ntx * F
+        if masked:
+            nxt_live = jnp.logical_and(
+                nxt_in, m_ref[jax.lax.div(jnp.minimum(
+                    nxt, nty * ntx * F - 1), F)] != 0)
+        else:
+            nxt_live = nxt_in
 
-        tblk_dma(t, f, slot).wait()
+        @pl.when(nxt_live)
+        def _():
+            tblk_dma(jax.lax.div(nxt, F), jax.lax.rem(nxt, F),
+                     jax.lax.rem(nxt, 2)).start()
 
         def contract_body():
+            tblk_dma(t, f, slot).wait()
             blk = tblk[slot]
             acc = jnp.zeros((TYd, TXd), jnp.float32)
             for b in range(Kb):
@@ -201,7 +250,6 @@ def _build_contract(F, THp, TWp, nty, ntx, TYd, TXd, Ka, Kb, SRF, SCF,
             contract_body()
             return
 
-        live = m_ref[t] != 0
         pl.when(live)(contract_body)
 
         @pl.when(jnp.logical_not(live))
@@ -280,6 +328,8 @@ class ShearKernelPlan:
     THp: int
     TWp: int
     BLKR: int
+    RH: int              # vshear rolled-array height (qH + max residual)
+    RW: int              # hshear rolled-array width (qWp + max residual)
     TYd: int
     TXd: int
     nty: int
@@ -288,10 +338,12 @@ class ShearKernelPlan:
     Kb: int
     SRF: int
     SCF: int
-    nbv: int
+    nbv: int             # residual roll bits (per-strip base hoisted)
     nbh: int
     gy_col: np.ndarray   # (1, 1, qWp) int32
     hx_row: np.ndarray   # (1, THp, 1) int32
+    base_v: np.ndarray   # (qWp/128,) int32 16-aligned per-strip gy bases
+    base_h: np.ndarray   # (THp/BLKR,) int32 128-aligned per-block hx bases
     r0: np.ndarray       # (nty,) int32, 8-aligned T row bases
     c0: np.ndarray       # (ntx,) int32, 128-aligned T col bases
     rsel: np.ndarray     # (nty, Ka, TYd, SRF) f32 one-hots
@@ -351,17 +403,39 @@ def build_kernel_plan(op: EllOperator, tile_y: int = 128,
     SCF = _rup(SCF, 128)
 
     qWp = _rup(qW, 128)
-    THp = _rup(max(int(r0.max()) + SRF, qH + int(gy.max()) + 1, blk_r), blk_r)
-    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1), 128)
+
+    # residual-roll bases: hoist the per-strip / per-row-block aligned
+    # minimum of the shift tables to the host (the kernels place the
+    # rolled block with ONE dynamic aligned store), leaving only the
+    # intra-strip residual (~strip_extent * slope) for the bit rolls
+    gy_pad = np.zeros(qWp, np.int64)
+    gy_pad[:qW] = gy
+    nc = qWp // 128
+    base_v = np.array([_rdn(int(gy_pad[c * 128:(c + 1) * 128].min()), 16)
+                       for c in range(nc)], np.int64)
+    residv = gy_pad - np.repeat(base_v, 128)
+    RH = _rup(qH + int(residv.max()), 16)
+    nbv = max(1, int(residv.max()).bit_length())
+
+    THp = _rup(max(int(r0.max()) + SRF, qH + int(gy.max()) + 1,
+                   int(base_v.max()) + RH, blk_r), blk_r)
     if THp > len(hx):
         hx = np.concatenate([hx, np.full(THp - len(hx), hx[-1])])
+
+    nrh = THp // blk_r
+    base_h = np.array([_rdn(int(hx[r * blk_r:(r + 1) * blk_r].min()), 128)
+                       for r in range(nrh)], np.int64)
+    residh = hx[:THp] - np.repeat(base_h, blk_r)
+    RW = _rup(qWp + int(residh.max()), 128)
+    nbh = max(1, int(residh.max()).bit_length())
+
+    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1,
+                   int(base_h.max()) + RW), 128)
 
     gy_col = np.zeros((1, 1, qWp), np.int32)
     gy_col[0, 0, :qW] = gy
     hx_row = np.zeros((1, THp, 1), np.int32)
     hx_row[0, :, 0] = hx[:THp]
-    nbv = max(1, int(gy.max()).bit_length())
-    nbh = max(1, int(hx.max()).bit_length())
 
     # selectors + tiled weights
     rsel = np.zeros((nty, Ka, TYd, SRF), np.float32)
@@ -395,8 +469,10 @@ def build_kernel_plan(op: EllOperator, tile_y: int = 128,
 
     return ShearKernelPlan(
         Hd=Hd, Wd=Wd, qH=qH, qW=qW, qWp=qWp, THp=THp, TWp=TWp, BLKR=blk_r,
+        RH=RH, RW=RW,
         TYd=TYd, TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF, SCF=SCF,
         nbv=nbv, nbh=nbh, gy_col=gy_col, hx_row=hx_row,
+        base_v=base_v.astype(np.int32), base_h=base_h.astype(np.int32),
         r0=r0.astype(np.int32), c0=c0.astype(np.int32),
         rsel=rsel, csel=csel, w2t=w2t,
     )
@@ -435,6 +511,8 @@ class ShardedShearPlan:
     THp: int           # local padded sheared height (uniform across chips)
     TWp: int
     BLKR: int
+    RH: int            # vshear rolled-array height (Hloc + max residual)
+    RW: int            # hshear rolled-array width (qWp + max residual)
     TYd: int
     TXd: int
     nty: int           # per-chip row tiles
@@ -443,10 +521,12 @@ class ShardedShearPlan:
     Kb: int
     SRF: int
     SCF: int
-    nbv: int
+    nbv: int           # residual roll bits (per-strip base hoisted)
     nbh: int
     gy_col: np.ndarray   # (1, 1, qWp) int32, replicated
     hx_loc: np.ndarray   # (n_dev, THp, 1) int32, row-sharded
+    base_v: np.ndarray   # (qWp/128,) int32, replicated per-strip gy bases
+    base_h: np.ndarray   # (n_dev, THp/BLKR) int32, row-sharded hx bases
     r0_loc: np.ndarray   # (n_dev, nty) int32, row-sharded
     c0: np.ndarray       # (ntx,) int32, replicated
     rsel: np.ndarray     # (n_dev, nty, Ka, TYd, SRF) f32, row-sharded
@@ -539,9 +619,22 @@ def build_sharded_kernel_plan(op: EllOperator, n_dev: int,
     SCF = _rup(SCF, 128)
 
     qWp = _rup(qW, 128)
+
+    # residual-roll bases, as in build_kernel_plan: the column-side gy
+    # bases are chip-independent; the row-side hx bases follow the
+    # per-chip hx slices
+    gy_pad = np.zeros(qWp, np.int64)
+    gy_pad[:qW] = gy
+    nc = qWp // 128
+    base_v = np.array([_rdn(int(gy_pad[c * 128:(c + 1) * 128].min()), 16)
+                       for c in range(nc)], np.int64)
+    residv = gy_pad - np.repeat(base_v, 128)
+    RH = _rup(Hloc + int(residv.max()), 16)
+    nbv = max(1, int(residv.max()).bit_length())
+
     THp = _rup(max(int((r0_loc + SRF).max()),
-                   Hloc + int(gy.max()) + 1, blk_r), blk_r)
-    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1), 128)
+                   Hloc + int(gy.max()) + 1,
+                   int(base_v.max()) + RH, blk_r), blk_r)
 
     # per-chip hx slice (clamped: rows outside the global table are never
     # read by the contraction — see r0_loc >= -off bound — but must hold
@@ -551,10 +644,22 @@ def build_sharded_kernel_plan(op: EllOperator, n_dev: int,
         u = np.clip(off[i] + np.arange(THp), 0, len(hx) - 1)
         hx_loc[i, :, 0] = hx[u]
 
+    nrh = THp // blk_r
+    base_h = np.zeros((n_dev, nrh), np.int64)
+    for i in range(n_dev):
+        for r in range(nrh):
+            base_h[i, r] = _rdn(
+                int(hx_loc[i, r * blk_r:(r + 1) * blk_r, 0].min()), 128)
+    residh = (hx_loc[:, :, 0].astype(np.int64)
+              - np.repeat(base_h, blk_r, axis=1))
+    RW = _rup(qWp + int(residh.max()), 128)
+    nbh = max(1, int(residh.max()).bit_length())
+
+    TWp = _rup(max(int(c0.max()) + SCF, qW + int(hx.max()) + 1,
+                   int(base_h.max()) + RW), 128)
+
     gy_col = np.zeros((1, 1, qWp), np.int32)
     gy_col[0, 0, :qW] = gy
-    nbv = max(1, int(gy.max()).bit_length())
-    nbh = max(1, int(hx.max()).bit_length())
 
     rsel = np.zeros((n_dev, nty, Ka, TYd, SRF), np.float32)
     for i in range(n_dev):
@@ -594,15 +699,17 @@ def build_sharded_kernel_plan(op: EllOperator, n_dev: int,
 
     return ShardedShearPlan(
         n_dev=n_dev, halo=halo, Hloc=Hloc, db=db, sb=sb, Hd=Hd, Wd=Wd,
-        qH=qH, qW=qW, qWp=qWp, THp=THp, TWp=TWp, BLKR=blk_r, TYd=TYd,
-        TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF, SCF=SCF,
+        qH=qH, qW=qW, qWp=qWp, THp=THp, TWp=TWp, BLKR=blk_r, RH=RH, RW=RW,
+        TYd=TYd, TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF, SCF=SCF,
         nbv=nbv, nbh=nbh, gy_col=gy_col, hx_loc=hx_loc,
+        base_v=base_v.astype(np.int32), base_h=base_h.astype(np.int32),
         r0_loc=r0_loc.astype(np.int32), c0=c0.astype(np.int32),
         rsel=rsel, csel=csel, w2t=w2t,
     )
 
 
-_PLAN_FIELDS = ("gy_col", "hx_row", "r0", "c0", "rsel", "csel", "w2t")
+_PLAN_FIELDS = ("gy_col", "hx_row", "base_v", "base_h", "r0", "c0",
+                "rsel", "csel", "w2t")
 
 
 def build_kernel_plan_cached(op: EllOperator, tile_y: int = 128,
@@ -622,7 +729,7 @@ def build_kernel_plan_cached(op: EllOperator, tile_y: int = 128,
 
     cache_dir = cache_dir or _cache.DEFAULT_CACHE_DIR
     key = _cache.spec_key(op.spec, op.mode,
-                          f"pallas_shear_v1_{tile_y}x{tile_x}")
+                          f"pallas_shear_v2_{tile_y}x{tile_x}")
     path = _os.path.join(cache_dir, f"{key}.npz")
     if _os.path.exists(path):
         z = np.load(path, allow_pickle=False)
@@ -658,6 +765,8 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
     arrays = dict(
         gy_col=jnp.asarray(kp.gy_col),
         hx_row=jnp.asarray(kp.hx_row),
+        base_v=jnp.asarray(kp.base_v),
+        base_h=jnp.asarray(kp.base_h),
         r0=jnp.asarray(kp.r0),
         c0=jnp.asarray(kp.c0),
         masks=jnp.asarray(tile_masks(kp.w2t)),
@@ -666,10 +775,11 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),
     )
 
-    def fn(q, gy_col, hx_row, r0, c0, masks, rsel, csel, w2t):
+    def fn(q, gy_col, hx_row, base_v, base_h, r0, c0, masks, rsel, csel,
+           w2t):
         if q.ndim == 2:
-            return fn(q[None], gy_col, hx_row, r0, c0, masks, rsel, csel,
-                      w2t)[0]
+            return fn(q[None], gy_col, hx_row, base_v, base_h, r0, c0,
+                      masks, rsel, csel, w2t)[0]
         F, H, W = q.shape
         assert (H, W) == (kp.qH, kp.qW), (q.shape, kp.qH, kp.qW)
         dtype = q.dtype
@@ -679,15 +789,15 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         if kp.qWp != W:
             q = jnp.pad(q, ((0, 0), (0, 0), (0, kp.qWp - W)))
         dname = jnp.dtype(dtype).name
-        vshear = _build_vshear(F, kp.qH, kp.qWp, kp.THp, kp.nbv, dname,
-                               interpret)
-        hshear = _build_hshear(F, kp.THp, kp.qWp, kp.TWp, kp.BLKR, kp.nbh,
+        vshear = _build_vshear(F, kp.qH, kp.qWp, kp.THp, kp.RH, kp.nbv,
                                dname, interpret)
+        hshear = _build_hshear(F, kp.THp, kp.qWp, kp.TWp, kp.BLKR, kp.RW,
+                               kp.nbh, dname, interpret)
         contract = _build_contract(
             F, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
             kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret, masked=True)
-        s = vshear(gy_col, q)
-        t = hshear(hx_row, s)
+        s = vshear(base_v, gy_col, q)
+        t = hshear(base_h, hx_row, s)
         out = contract(r0, c0, masks, t, rsel.astype(dtype),
                        csel.astype(dtype), w2t)
         return out[:, : kp.Hd, : kp.Wd]

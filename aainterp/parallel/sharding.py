@@ -468,11 +468,13 @@ def make_sharded_ell_pallas(
     masks_np = np.stack([tile_masks(kp.w2t[i]) for i in range(n_dev)])
     arrays = dict(
         hx_loc=jnp.asarray(kp.hx_loc),
+        base_h=jnp.asarray(kp.base_h),
         r0_loc=jnp.asarray(kp.r0_loc),
         masks=jnp.asarray(masks_np),
         rsel=jnp.asarray(kp.rsel),
         w2t=jnp.asarray(kp.w2t),
         gy_col=jnp.asarray(kp.gy_col),
+        base_v=jnp.asarray(kp.base_v),
         c0=jnp.asarray(kp.c0),
         csel=jnp.asarray(kp.csel),
     )
@@ -480,7 +482,8 @@ def make_sharded_ell_pallas(
     batch_spec = (P(data_axis),) if data_axis else (P(),)
     row_only = P(*(batch_spec[0] + (row_axis, None)))
 
-    def fn(frames, hx_loc, r0_loc, masks, rsel, w2t, gy_col, c0, csel):
+    def fn(frames, hx_loc, base_h, r0_loc, masks, rsel, w2t, gy_col,
+           base_v, c0, csel):
         if quadrant != 0:
             frames = apply_ops.quadrant_rotate(frames, quadrant)
         if frames.dtype not in (jnp.bfloat16, jnp.float32):
@@ -492,18 +495,18 @@ def make_sharded_ell_pallas(
             n_data = mesh.shape[data_axis] if data_axis else 1
             Bloc = frames.shape[0] // n_data
         dname = jnp.dtype(frames.dtype).name
-        vshear = _build_vshear(Bloc, kp.Hloc, kp.qWp, kp.THp, kp.nbv,
-                               dname, interpret)
+        vshear = _build_vshear(Bloc, kp.Hloc, kp.qWp, kp.THp, kp.RH,
+                               kp.nbv, dname, interpret)
         hshear = _build_hshear(Bloc, kp.THp, kp.qWp, kp.TWp, kp.BLKR,
-                               kp.nbh, dname, interpret)
+                               kp.RW, kp.nbh, dname, interpret)
         contract = _build_contract(
             Bloc, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
             kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret, masked=True)
         rsel = rsel.astype(frames.dtype)
         csel = csel.astype(frames.dtype)
 
-        def local_fn(frames_blk, hx_blk, r0_blk, m_blk, rsel_blk, w2t_blk,
-                     gy_l, c0_l, csel_l):
+        def local_fn(frames_blk, hx_blk, bh_blk, r0_blk, m_blk, rsel_blk,
+                     w2t_blk, gy_l, bv_l, c0_l, csel_l):
             ext = _halo_extend(frames_blk, kp.halo, row_axis, n_dev)
             squeeze = frames_blk.ndim == 2
             if squeeze:
@@ -512,8 +515,8 @@ def make_sharded_ell_pallas(
                 pad = ([(0, 0)] * (ext.ndim - 2)
                        + [(0, 0), (0, kp.qWp - kp.qW)])
                 ext = jnp.pad(ext, pad)
-            s = vshear(gy_l, ext)
-            t = hshear(hx_blk, s)
+            s = vshear(bv_l, gy_l, ext)
+            t = hshear(bh_blk[0], hx_blk, s)
             out = contract(r0_blk[0], c0_l, m_blk[0], t, rsel_blk[0],
                            csel_l, w2t_blk[0])
             out = out[:, : kp.db, : kp.Wd]
@@ -524,18 +527,20 @@ def make_sharded_ell_pallas(
             mesh=mesh,
             in_specs=(row_only,
                       P(row_axis, None, None),          # hx_loc
+                      P(row_axis, None),                # base_h
                       P(row_axis, None),                # r0_loc
                       P(row_axis, None),                # tap masks
                       P(row_axis, None, None, None, None),  # rsel
                       P(row_axis, None, None, None, None),  # w2t
                       P(None, None, None),              # gy_col
+                      P(None),                          # base_v
                       P(None),                          # c0
                       P(None, None, None, None)),       # csel
             out_specs=row_only,
             check_rep=False,
         )
-        return smapped(frames, hx_loc, r0_loc, masks, rsel, w2t, gy_col,
-                       c0, csel)
+        return smapped(frames, hx_loc, base_h, r0_loc, masks, rsel, w2t,
+                       gy_col, base_v, c0, csel)
 
     return fn, arrays
 

@@ -216,7 +216,8 @@ def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
     """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights.
 
     Default path: the three-kernel Pallas rotated apply (ops/pallas_shear:
-    VMEM shears + one-hot MXU gathers, 7.46 Gpixel/s honest) with the XLA
+    residual-roll VMEM shears + one-hot MXU gathers, 9.99 Gpixel/s honest)
+    with the XLA
     shear-aligned apply as fallback (1.6 Gpixel/s; the flat XLA gather runs
     at ~0.04 — see BENCHMARKS.md)."""
     from aainterp.grids import make_grid_spec

@@ -57,11 +57,11 @@ def _frames(K, B, H, W, dtype, seed=0):
     return a, b
 
 
-def exp_full(batch, dtype):
+def exp_full(batch, dtype, tile_y=128):
     from aainterp.ops.pallas_shear import make_pallas_shear_apply
 
     spec, op, kp = _plan()
-    fn, arrs = make_pallas_shear_apply(op, cache=True)
+    fn, arrs = make_pallas_shear_apply(op, tile_y=tile_y, cache=True)
     frames, warm = _frames(8, batch, 2048, 2048, dtype)
     consts = tuple(arrs.values())
     dt = timed_scan(lambda f, *cs: fn(f, *cs).astype(dtype), frames, warm,
@@ -76,19 +76,21 @@ def exp_shears(batch, dtype):
 
     spec, op, kp = _plan()
     dname = jnp.dtype(dtype).name
-    vshear = _build_vshear(batch, kp.qH, kp.qWp, kp.THp, kp.nbv, dname,
-                           False)
-    hshear = _build_hshear(batch, kp.THp, kp.qWp, kp.TWp, kp.BLKR, kp.nbh,
+    vshear = _build_vshear(batch, kp.qH, kp.qWp, kp.THp, kp.RH, kp.nbv,
                            dname, False)
+    hshear = _build_hshear(batch, kp.THp, kp.qWp, kp.TWp, kp.BLKR, kp.RW,
+                           kp.nbh, dname, False)
     gy = jnp.asarray(kp.gy_col)
     hx = jnp.asarray(kp.hx_row)
+    bv = jnp.asarray(kp.base_v)
+    bh = jnp.asarray(kp.base_h)
     frames, warm = _frames(8, batch, 2048, 2048, dtype)
 
-    def fn(q, gy, hx):
-        t = hshear(hx, vshear(gy, q))
+    def fn(q, gy, hx, bv, bh):
+        t = hshear(bh, hx, vshear(bv, gy, q))
         return t
 
-    dt = timed_scan(fn, frames, warm, consts=(gy, hx))
+    dt = timed_scan(fn, frames, warm, consts=(gy, hx, bv, bh))
     return batch * 2048 * 2048 / dt / 1e9, dt / batch
 
 
@@ -354,8 +356,15 @@ def main():
     ap.add_argument("--exp", required=True, choices=sorted(EXPS))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--tile_y", type=int, default=128,
+                    help="dst row-tile height (full pipeline only); 104 "
+                    "drops SRF to 2 MXU K-tiles")
     args = ap.parse_args()
-    g, per_frame = EXPS[args.exp](args.batch, jnp.dtype(args.dtype))
+    if args.exp == "full":
+        g, per_frame = exp_full(args.batch, jnp.dtype(args.dtype),
+                                tile_y=args.tile_y)
+    else:
+        g, per_frame = EXPS[args.exp](args.batch, jnp.dtype(args.dtype))
     print(f"{args.exp}: {g:.2f} Gpixel/s  ({per_frame*1e6:.0f} us/frame)")
 
 
