@@ -119,6 +119,62 @@ def test_plan_selectors_are_one_hot():
     assert np.isclose(kp.w2t.sum(), op.weights.sum(), atol=1e-6)
 
 
+def test_plan_residual_roll_invariants():
+    """Residual-roll bases (v2 plans): the kernels place the rolled block
+    with ONE dynamic aligned store at the hoisted per-strip/per-block base,
+    so the plan must guarantee (a) base alignment to the sublane/lane tile,
+    (b) residual shifts representable in nbv/nbh bit passes, and (c) the
+    stored slice staying inside the padded output."""
+    rng = np.random.default_rng(42)
+    for _ in range(6):
+        H = int(rng.integers(128, 320))
+        W = int(rng.integers(128, 320))
+        ang = float(rng.uniform(1.0, 89.0))
+        spec = aa.make_grid_spec((H, W), 1.0, 0.5,
+                                 (W / 2.0, H / 2.0), ang)
+        if spec.is_axis_aligned:
+            continue
+        op = ell_operator(spec, mode="exact")
+        try:
+            kp = build_kernel_plan(op)
+        except ValueError:
+            continue
+        assert np.all(kp.base_v % 16 == 0) and np.all(kp.base_v >= 0)
+        assert np.all(kp.base_h % 128 == 0) and np.all(kp.base_h >= 0)
+        gy = kp.gy_col[0, 0]
+        residv = gy - np.repeat(kp.base_v, 128)[: len(gy)]
+        assert residv.min() >= 0 and residv.max() < (1 << kp.nbv)
+        assert kp.qH + residv.max() <= kp.RH
+        hx = kp.hx_row[0, :, 0]
+        residh = hx - np.repeat(kp.base_h, kp.BLKR)[: len(hx)]
+        assert residh.min() >= 0 and residh.max() < (1 << kp.nbh)
+        assert kp.qWp + residh.max() <= kp.RW
+        assert kp.base_v.max() + kp.RH <= kp.THp
+        assert kp.base_h.max() + kp.RW <= kp.TWp
+
+
+def test_sharded_plan_residual_roll_invariants():
+    """Same invariants for the per-chip sharded plan (base_h varies by
+    chip with the local hx slices; base_v is replicated)."""
+    from aainterp.ops.pallas_shear import build_sharded_kernel_plan
+
+    spec = aa.make_grid_spec((352, 352), 1.0, 0.5, (176.0, 176.0), 30.0)
+    op = ell_operator(spec, mode="exact")
+    kp = build_sharded_kernel_plan(op, n_dev=4)
+    assert np.all(kp.base_v % 16 == 0) and np.all(kp.base_v >= 0)
+    assert np.all(kp.base_h % 128 == 0) and np.all(kp.base_h >= 0)
+    gy = kp.gy_col[0, 0]
+    residv = gy - np.repeat(kp.base_v, 128)[: len(gy)]
+    assert residv.min() >= 0 and residv.max() < (1 << kp.nbv)
+    assert kp.Hloc + residv.max() <= kp.RH
+    for i in range(kp.n_dev):
+        hx = kp.hx_loc[i, :, 0]
+        residh = hx - np.repeat(kp.base_h[i], kp.BLKR)
+        assert residh.min() >= 0 and residh.max() < (1 << kp.nbh)
+    assert kp.base_v.max() + kp.RH <= kp.THp
+    assert kp.base_h.max() + kp.RW <= kp.TWp
+
+
 def test_tile_masks_structure():
     """tile_masks: one liveness flag per tile, zero iff the whole weight
     block is zero (the kernel skips exactly those tiles)."""
