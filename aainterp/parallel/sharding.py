@@ -101,8 +101,9 @@ def _row_halo(y_start: np.ndarray, band: int, n_src: int, n_dst: int,
     return max(h, 0)
 
 
-def _halo_extend(x, h: int, axis_name: str, n_dev: int):
-    """Extend the sharded row axis (-2) by h rows from ring neighbours.
+def _halo_extend(x, h: int, axis_name: str, n_dev: int, axis: int = -2):
+    """Extend a sharded image axis (rows -2, or cols -1) by h entries from
+    ring neighbours.
 
     Multi-hop: when the halo exceeds the per-chip block (steep rotations,
     narrow shards), hop k in 1..ceil(h/sb) fetches a (partial on the last
@@ -112,34 +113,40 @@ def _halo_extend(x, h: int, axis_name: str, n_dev: int):
 
     Missing neighbours at the edges contribute zeros (ppermute semantics),
     which is correct because the rebased band indices never reach the pad
-    for edge chips (global row indices are in-range by construction).
+    for edge chips (global indices are in-range by construction).
     """
     if h == 0:
         return x
-    sb = x.shape[-2]
+    assert axis in (-2, -1)
+    sb = x.shape[axis]
     hops = -(-h // sb)
     if hops > n_dev - 1:
         # can trigger for clamped bands (e.g. compat operators with
         # Kc > qH) whose windows reach past the full ring; a bare assert
         # here would be stripped under -O and silently zero the halo
         raise ValueError(
-            f"halo of {h} rows needs {hops} ring hops but only "
-            f"{n_dev - 1} neighbours exist (per-chip block {sb} rows); "
-            "use fewer row shards for this operator"
+            f"halo of {h} needs {hops} ring hops but only "
+            f"{n_dev - 1} neighbours exist (per-chip block {sb}); "
+            "use fewer shards along this axis for this operator"
         )
+
+    def take(lo, hi):
+        sl = slice(lo, hi)
+        return x[..., sl, :] if axis == -2 else x[..., sl]
+
     parts_prev, parts_next = [], []
     for k in range(1, hops + 1):
         hk = min(sb, h - (k - 1) * sb)  # partial block on the last hop
-        # top hk rows of chip i+k -> below my block
+        # leading hk entries of chip i+k -> after my block
         parts_next.append(jax.lax.ppermute(
-            x[..., :hk, :], axis_name, [(j, j - k) for j in range(k, n_dev)]
+            take(0, hk), axis_name, [(j, j - k) for j in range(k, n_dev)]
         ))
-        # bottom hk rows of chip i-k -> above my block
+        # trailing hk entries of chip i-k -> before my block
         parts_prev.append(jax.lax.ppermute(
-            x[..., -hk:, :], axis_name,
+            take(sb - hk, sb), axis_name,
             [(j, j + k) for j in range(n_dev - k)]
         ))
-    return jnp.concatenate(parts_prev[::-1] + [x] + parts_next, axis=-2)
+    return jnp.concatenate(parts_prev[::-1] + [x] + parts_next, axis=axis)
 
 
 def sharded_apply_banded(
@@ -427,6 +434,109 @@ def sharded_apply_separable(
     if not conserve:
         return out
     return out, flux
+
+
+def sharded_apply_separable_2d(
+    frames: jax.Array,
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    conserve: bool = False,
+):
+    """Apply a separable operator with BOTH image axes sharded — rows over
+    ``row_axis`` and columns over ``col_axis`` of a (data, rows, cols)
+    mesh — plus leading batch dims over ``data_axis``.
+
+    2-D spatial sharding is the scaling form for frames too large for a
+    1-D row split (a row-only split of an NxN frame stops paying off once
+    per-chip strips go below the band height; a rows x cols mesh keeps
+    per-chip blocks square).  Collective structure: one ring-halo
+    exchange per mesh axis — rows first, then columns of the
+    row-extended block, so corner regions arrive transitively through
+    the edge neighbour (chip (i, j+-1)'s block already contains its own
+    row halo from (i+-1, j+-1)); both rides are neighbour ppermutes over
+    ICI, never an all-gather.  Each chip then runs the XLA banded local
+    apply on its (sb_r + 2*halo_y) x (sb_c + 2*halo_x) block with BOTH
+    band tables rebased by its mesh coordinates.
+
+    quadrant != 0 uses the global rot90 reshard (an all-to-all) followed
+    by the unfolded bands — the dst-sided quadrant folding of the 1-D
+    path is not yet ported to 2-D meshes.
+
+    conserve: also return the replicated (2,) [flux_dst, flux_src] psum
+    pair (see parallel/conserve.py), here reduced over all three mesh
+    axes.  Requires dst/src rows divisible by the rows axis AND dst/src
+    cols divisible by the cols axis.
+    """
+    from .conserve import separable_flux_factors
+
+    n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+    y_band, x_band = op.wy, op.wx
+    qH, Hd = y_band.n_src, y_band.n_dst
+    W, Wd = x_band.n_src, x_band.n_dst
+    halo_y = _row_halo(y_band.start, y_band.band, qH, Hd, n_r)
+    halo_x = _row_halo(x_band.start, x_band.band, W, Wd, n_c)
+    sb_r, sb_c = qH // n_r, W // n_c
+
+    y_start = jnp.asarray(y_band.start)
+    y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)
+    x_start = jnp.asarray(x_band.start)
+    x_w = jnp.asarray(x_band.weights, dtype=jnp.float32)
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local_fn(frames_blk, ys_blk, yw_blk, xs_blk, xw_blk):
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        ext = _halo_extend(frames_blk, halo_y, row_axis, n_r, axis=-2)
+        ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
+        ly = ys_blk - (i * sb_r - halo_y)
+        lx = xs_blk - (j * sb_c - halo_x)
+        return apply_ops.apply_separable_banded(ext, ly, yw_blk, lx, xw_blk)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(img2d, P(row_axis), P(row_axis, None),
+                  P(col_axis), P(col_axis, None)),
+        out_specs=img2d,
+        check_rep=False,
+    )
+    out = fn(frames, y_start, y_w, x_start, x_w)
+    if not conserve:
+        return out
+
+    my, mx, covy, covx = (
+        jnp.asarray(f, jnp.float32)
+        for f in separable_flux_factors(y_band, x_band,
+                                        raw_sums=op.raw_row_sums))
+    axes = ((row_axis, col_axis) if data_axis is None
+            else (data_axis, row_axis, col_axis))
+
+    def flux_local(dst_blk, src_blk, my_blk, covy_blk, mx_blk, covx_blk):
+        fd = jnp.einsum("...rc,r,c->", dst_blk.astype(jnp.float32),
+                        my_blk, mx_blk)
+        fs = jnp.einsum("...rc,r,c->", src_blk.astype(jnp.float32),
+                        covy_blk, covx_blk)
+        res = jnp.stack([fd, fs])
+        for ax in axes:
+            res = jax.lax.psum(res, ax)
+        return res
+
+    flux_fn = shard_map(
+        flux_local, mesh=mesh,
+        in_specs=(img2d, img2d, P(row_axis), P(row_axis),
+                  P(col_axis), P(col_axis)),
+        out_specs=P(None),
+        check_rep=False,
+    )
+    return out, flux_fn(out, frames, my, covy, mx, covx)
 
 
 def make_sharded_ell_pallas(

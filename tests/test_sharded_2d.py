@@ -1,0 +1,182 @@
+"""2-D (rows x cols) spatial sharding tests on the virtual 8-device mesh.
+
+sharded_apply_separable_2d shards BOTH image axes: ring halo over the
+rows axis, then over the cols axis of the row-extended block (corner
+regions arrive transitively through the edge neighbour).  Validated
+against the unsharded apply, across mesh shapes, quadrants, batch
+layouts, and the psum conservation flux.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import aainterp as aa
+from aainterp.ops.weights import separable_operator
+from aainterp.parallel.sharding import sharded_apply_separable_2d
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _mesh3(data, rows, cols):
+    devs = np.asarray(jax.devices()[: data * rows * cols]).reshape(
+        data, rows, cols)
+    return Mesh(devs, ("data", "rows", "cols"))
+
+
+def _run(spec, B, mesh, conserve=False, frames=None):
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    if frames is None:
+        frames = RNG.uniform(0, 1, (B, H, W)).astype(np.float32)
+    sharding = NamedSharding(mesh, P("data", "rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    fn = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, conserve=conserve))
+    out = fn(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    return out, ref
+
+
+def test_2d_matches_unsharded_2x2():
+    spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
+    out, ref = _run(spec, 4, _mesh3(2, 2, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert out.sharding.spec == P("data", "rows", "cols")
+
+
+def test_2d_matches_unsharded_2x4_nodata():
+    spec = aa.make_grid_spec((160, 80), 150.0, 30.0, (0.0, 0.0), 0.0)
+    # dst (32, 16): rows % 2 == 0, cols % 4 == 0
+    assert spec.dst_shape[0] % 2 == 0 and spec.dst_shape[1] % 4 == 0
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    frames = RNG.uniform(0, 1, (H, W)).astype(np.float32)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, data_axis=None))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_noninteger_ratio_and_offsets():
+    # fractional edge overlaps + nonzero isocenter: halo widths differ
+    # per axis and per chip
+    spec = aa.make_grid_spec((96, 160), 1.0, 0.5, (13.0, 7.0), 0.0)
+    if spec.dst_shape[0] % 2 or spec.dst_shape[1] % 2:
+        pytest.skip("geometry not divisible for this mesh")
+    out, ref = _run(spec, 2, _mesh3(2, 2, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("ang", [90.0, 180.0, 270.0])
+def test_2d_quadrants_global_rot90(ang):
+    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (0.0, 0.0), ang)
+    out, ref = _run(spec, 2, _mesh3(2, 2, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_conservation_flux():
+    spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
+    (out, flux), ref = _run(spec, 2, _mesh3(2, 2, 2), conserve=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    fd, fs = np.asarray(flux)
+    assert abs(fd - fs) <= 1e-3 * max(abs(fd), 1.0)
+
+
+def test_2d_conservation_detects_corruption():
+    """A wrong halo (simulated by zeroing a source shard's edge after
+    upload) must break the psum identity — the check has teeth."""
+    spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    frames = RNG.uniform(0.5, 1, (2, H, W)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    _, flux = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, conserve=True))(fdev)
+    fd, fs = np.asarray(flux)
+    # corrupt: drop the top half of the image but keep the factors —
+    # flux_dst now integrates a different field than flux_src
+    bad = frames.copy()
+    bad[:, : H // 2] = 0.0
+    bdev = jax.device_put(jnp.asarray(bad),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out_bad = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh))(bdev)
+    # recompute flux_dst of the corrupted output against the ORIGINAL
+    # source flux: identity must fail
+    from aainterp.parallel.conserve import separable_flux_factors
+
+    my, mx, covy, covx = separable_flux_factors(
+        op.wy, op.wx, raw_sums=op.raw_row_sums)
+    fd_bad = np.einsum("brc,r,c->", np.asarray(out_bad, np.float64),
+                       my, mx)
+    assert abs(fd_bad - fs) > 1e-2 * abs(fs)
+
+
+def test_2d_narrow_col_shards():
+    """8 column shards of a 40-wide source: every chip's x window leans
+    on its neighbours (halo_x > 0 at sb_c = 5)."""
+    spec = aa.make_grid_spec((32, 40), 150.0, 30.0, (3.0, 3.0), 0.0)
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    n_c = 8
+    assert spec.dst_shape[1] % n_c == 0 and W % n_c == 0
+    from aainterp.parallel.sharding import _row_halo
+
+    halo_x = _row_halo(op.wx.start, op.wx.band, W, spec.dst_shape[1], n_c)
+    assert halo_x > 0
+    frames = RNG.uniform(0, 1, (H, W)).astype(np.float32)
+    devs = np.asarray(jax.devices()).reshape(1, 8)
+    mesh = Mesh(devs, ("rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, data_axis=None))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_halo_extend_cols_multihop():
+    """_halo_extend on the column axis with h > sb (multi-hop ppermute
+    ring), against the numpy construction with zeros past the edges."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from aainterp.parallel.sharding import _halo_extend
+
+    n_dev, sb, h = 8, 4, 9  # 3 hops, partial last hop
+    W = n_dev * sb
+    x = np.arange(2 * 3 * W, dtype=np.float32).reshape(2, 3, W) + 1.0
+    devs = np.asarray(jax.devices()).reshape(n_dev)
+    mesh = Mesh(devs, ("cols",))
+    fdev = jax.device_put(jnp.asarray(x),
+                          NamedSharding(mesh, P(None, None, "cols")))
+    fn = shard_map(
+        partial(_halo_extend, h=h, axis_name="cols", n_dev=n_dev, axis=-1),
+        mesh=mesh,
+        in_specs=P(None, None, "cols"),
+        out_specs=P(None, None, "cols"),
+        check_rep=False,
+    )
+    got = np.asarray(jax.jit(fn)(fdev))
+    # expected: each chip's block becomes [left h | own sb | right h],
+    # reading from the global array with zeros outside [0, W)
+    padded = np.concatenate(
+        [np.zeros((2, 3, h), np.float32), x, np.zeros((2, 3, h), np.float32)],
+        axis=-1)
+    exp = np.concatenate(
+        [padded[..., i * sb: i * sb + sb + 2 * h] for i in range(n_dev)],
+        axis=-1)
+    np.testing.assert_array_equal(got, exp)
