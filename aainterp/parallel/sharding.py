@@ -436,6 +436,57 @@ def sharded_apply_separable(
     return out, flux
 
 
+def sharded_apply_banded_2d(
+    frames: jax.Array,
+    y_band,
+    x_band,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> jax.Array:
+    """2-D-sharded banded apply from plain Band1D operators: rows over
+    ``row_axis``, columns over ``col_axis``, one ring-halo exchange per
+    mesh axis.  Shared by the separable 2-D forward AND its adjoint
+    (the transpose of a banded operator is banded, so the cotangent
+    flows back through this same function with transposed bands)."""
+    n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    qH, Hd = y_band.n_src, y_band.n_dst
+    W, Wd = x_band.n_src, x_band.n_dst
+    halo_y = _row_halo(y_band.start, y_band.band, qH, Hd, n_r)
+    halo_x = _row_halo(x_band.start, x_band.band, W, Wd, n_c)
+    sb_r, sb_c = qH // n_r, W // n_c
+
+    y_start = jnp.asarray(y_band.start)
+    y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)
+    x_start = jnp.asarray(x_band.start)
+    x_w = jnp.asarray(x_band.weights, dtype=jnp.float32)
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local_fn(frames_blk, ys_blk, yw_blk, xs_blk, xw_blk):
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        ext = _halo_extend(frames_blk, halo_y, row_axis, n_r, axis=-2)
+        ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
+        ly = ys_blk - (i * sb_r - halo_y)
+        lx = xs_blk - (j * sb_c - halo_x)
+        return apply_ops.apply_separable_banded(ext, ly, yw_blk, lx, xw_blk)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(img2d, P(row_axis), P(row_axis, None),
+                  P(col_axis), P(col_axis, None)),
+        out_specs=img2d,
+        check_rep=False,
+    )
+    return fn(frames, y_start, y_w, x_start, x_w)
+
+
 def sharded_apply_separable_2d(
     frames: jax.Array,
     op: weights_ops.SeparableOperator,
@@ -473,42 +524,13 @@ def sharded_apply_separable_2d(
     """
     from .conserve import separable_flux_factors
 
-    n_r = mesh.shape[row_axis]
-    n_c = mesh.shape[col_axis]
     frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     y_band, x_band = op.wy, op.wx
-    qH, Hd = y_band.n_src, y_band.n_dst
-    W, Wd = x_band.n_src, x_band.n_dst
-    halo_y = _row_halo(y_band.start, y_band.band, qH, Hd, n_r)
-    halo_x = _row_halo(x_band.start, x_band.band, W, Wd, n_c)
-    sb_r, sb_c = qH // n_r, W // n_c
-
-    y_start = jnp.asarray(y_band.start)
-    y_w = jnp.asarray(y_band.weights, dtype=jnp.float32)
-    x_start = jnp.asarray(x_band.start)
-    x_w = jnp.asarray(x_band.weights, dtype=jnp.float32)
-
     batch = (P(data_axis),) if data_axis else (P(),)
     img2d = P(*(batch[0] + (row_axis, col_axis)))
-
-    def local_fn(frames_blk, ys_blk, yw_blk, xs_blk, xw_blk):
-        i = jax.lax.axis_index(row_axis)
-        j = jax.lax.axis_index(col_axis)
-        ext = _halo_extend(frames_blk, halo_y, row_axis, n_r, axis=-2)
-        ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
-        ly = ys_blk - (i * sb_r - halo_y)
-        lx = xs_blk - (j * sb_c - halo_x)
-        return apply_ops.apply_separable_banded(ext, ly, yw_blk, lx, xw_blk)
-
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(img2d, P(row_axis), P(row_axis, None),
-                  P(col_axis), P(col_axis, None)),
-        out_specs=img2d,
-        check_rep=False,
-    )
-    out = fn(frames, y_start, y_w, x_start, x_w)
+    out = sharded_apply_banded_2d(
+        frames, y_band, x_band, mesh, data_axis=data_axis,
+        row_axis=row_axis, col_axis=col_axis)
     if not conserve:
         return out
 
@@ -537,6 +559,63 @@ def sharded_apply_separable_2d(
         check_rep=False,
     )
     return out, flux_fn(out, frames, my, covy, mx, covx)
+
+
+def sharded_apply_separable_2d_transpose(
+    cot: jax.Array,
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> jax.Array:
+    """2-D-sharded adjoint apply: (B, Hd, Wd) -> (B, H, W).
+
+    The transpose of a banded separable operator is another banded
+    separable operator, so the adjoint is ``sharded_apply_banded_2d``
+    with transposed bands — the two-axis halo machinery generalises with
+    no new collective code.  The forward's quadrant rot90 (applied
+    BEFORE its bands) transposes to an inverse rot90 AFTER the
+    transposed bands.
+    """
+    from ..autodiff import transposed_separable
+
+    ty, tx = transposed_separable(op)
+    out = sharded_apply_banded_2d(
+        cot, ty, tx, mesh, data_axis=data_axis, row_axis=row_axis,
+        col_axis=col_axis)
+    if op.spec.quadrant:
+        out = apply_ops.quadrant_rotate(out, -op.spec.quadrant)
+    return out
+
+
+def make_sharded_separable_2d_linear(
+    op: weights_ops.SeparableOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+):
+    """Custom-vjp'd 2-D-sharded separable apply: jit(grad(...)) over the
+    (data, rows, cols) mesh is one SPMD program whose backward runs the
+    transposed bands through the same two-axis ring halo."""
+
+    kw = dict(data_axis=data_axis, row_axis=row_axis, col_axis=col_axis)
+
+    @jax.custom_vjp
+    def f(frames):
+        return sharded_apply_separable_2d(frames, op, mesh, **kw)
+
+    def fwd(frames):
+        return f(frames), None
+
+    def bwd(_, g):
+        return (sharded_apply_separable_2d_transpose(g, op, mesh, **kw),)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def make_sharded_ell_pallas(
