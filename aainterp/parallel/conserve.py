@@ -124,6 +124,45 @@ def sharded_flux_separable(
     return fn(dst, src, my, covy, mx, covx)
 
 
+def sharded_flux_separable_2d(
+    src: jax.Array,
+    dst: jax.Array,
+    factors,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> jax.Array:
+    """(2,) replicated [flux_dst, flux_src] for 2-D (rows x cols) sharded
+    separable applies: row factors shard over ``row_axis``, column
+    factors over ``col_axis``, psum over all mesh axes."""
+    my, mx, covy, covx = (jnp.asarray(f, jnp.float32) for f in factors)
+    axes = ((row_axis, col_axis) if data_axis is None
+            else (data_axis, row_axis, col_axis))
+    batch = (P(),) if data_axis is None else (P(data_axis),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local(dst_blk, src_blk, my_blk, covy_blk, mx_blk, covx_blk):
+        fd = jnp.einsum("...rc,r,c->", dst_blk.astype(jnp.float32),
+                        my_blk, mx_blk)
+        fs = jnp.einsum("...rc,r,c->", src_blk.astype(jnp.float32),
+                        covy_blk, covx_blk)
+        out = jnp.stack([fd, fs])
+        for ax in axes:
+            out = jax.lax.psum(out, ax)
+        return out
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(img2d, img2d, P(row_axis), P(row_axis),
+                  P(col_axis), P(col_axis)),
+        out_specs=P(None),
+        check_rep=False,
+    )
+    return fn(dst, src, my, covy, mx, covx)
+
+
 def sharded_flux_ell(
     src: jax.Array,
     dst: jax.Array,

@@ -526,39 +526,20 @@ def sharded_apply_separable_2d(
 
     frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     y_band, x_band = op.wy, op.wx
-    batch = (P(data_axis),) if data_axis else (P(),)
-    img2d = P(*(batch[0] + (row_axis, col_axis)))
     out = sharded_apply_banded_2d(
         frames, y_band, x_band, mesh, data_axis=data_axis,
         row_axis=row_axis, col_axis=col_axis)
     if not conserve:
         return out
 
-    my, mx, covy, covx = (
-        jnp.asarray(f, jnp.float32)
-        for f in separable_flux_factors(y_band, x_band,
-                                        raw_sums=op.raw_row_sums))
-    axes = ((row_axis, col_axis) if data_axis is None
-            else (data_axis, row_axis, col_axis))
+    from .conserve import sharded_flux_separable_2d
 
-    def flux_local(dst_blk, src_blk, my_blk, covy_blk, mx_blk, covx_blk):
-        fd = jnp.einsum("...rc,r,c->", dst_blk.astype(jnp.float32),
-                        my_blk, mx_blk)
-        fs = jnp.einsum("...rc,r,c->", src_blk.astype(jnp.float32),
-                        covy_blk, covx_blk)
-        res = jnp.stack([fd, fs])
-        for ax in axes:
-            res = jax.lax.psum(res, ax)
-        return res
-
-    flux_fn = shard_map(
-        flux_local, mesh=mesh,
-        in_specs=(img2d, img2d, P(row_axis), P(row_axis),
-                  P(col_axis), P(col_axis)),
-        out_specs=P(None),
-        check_rep=False,
-    )
-    return out, flux_fn(out, frames, my, covy, mx, covx)
+    factors = separable_flux_factors(y_band, x_band,
+                                     raw_sums=op.raw_row_sums)
+    flux = sharded_flux_separable_2d(frames, out, factors, mesh,
+                                     data_axis=data_axis,
+                                     row_axis=row_axis, col_axis=col_axis)
+    return out, flux
 
 
 def sharded_apply_separable_2d_transpose(

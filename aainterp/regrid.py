@@ -125,24 +125,36 @@ def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid):
 
 def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
                                 mesh, *, data_axis="data", row_axis="rows",
-                                conserve: bool = False):
+                                col_axis=None, conserve: bool = False):
     """Multi-chip conservative regrid: latitude rows sharded over the mesh
     with ring halo exchange (BASELINE config 5).  field: (B, n_lat, n_lon)
-    sharded (data_axis, row_axis, None).
+    sharded (data_axis, row_axis, None) — or, with ``col_axis`` given,
+    (data_axis, row_axis, col_axis): LONGITUDE shards too, with a second
+    ring halo over the cols mesh axis (parallel/sharding.
+    sharded_apply_banded_2d) for global grids too large for a latitude-
+    only split.
 
     conserve: also return the replicated (2,) [flux_dst, flux_src] global
     spherical-flux pair computed with psum over the mesh (the true
     conservation statement for a conservative regrid: area-weighted dst
     integral == coverage-weighted src integral; parallel/conserve.py).
     """
-    from .parallel.sharding import sharded_apply_banded
+    from .parallel.sharding import (
+        sharded_apply_banded, sharded_apply_banded_2d,
+    )
 
     by, bx = conservative_regrid_operator(src, dst)
     field = jnp.asarray(field)
-    out = sharded_apply_banded(
-        field, by, bx, mesh,
-        data_axis=data_axis, row_axis=row_axis,
-    )
+    if col_axis is None:
+        out = sharded_apply_banded(
+            field, by, bx, mesh,
+            data_axis=data_axis, row_axis=row_axis,
+        )
+    else:
+        out = sharded_apply_banded_2d(
+            field, by, bx, mesh,
+            data_axis=data_axis, row_axis=row_axis, col_axis=col_axis,
+        )
     if not conserve:
         return out
     from .parallel.conserve import (
@@ -153,8 +165,17 @@ def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
     my = np.abs(np.diff(np.sin(np.radians(dst.lat_edges))))
     mx = np.diff(dst.lon_edges)
     factors = separable_flux_factors(by, bx, raw_sums=(my, mx))
-    flux = sharded_flux_separable(field, out, factors, mesh,
-                                  data_axis=data_axis, row_axis=row_axis)
+    if col_axis is None:
+        flux = sharded_flux_separable(field, out, factors, mesh,
+                                      data_axis=data_axis,
+                                      row_axis=row_axis)
+    else:
+        from .parallel.conserve import sharded_flux_separable_2d
+
+        flux = sharded_flux_separable_2d(field, out, factors, mesh,
+                                         data_axis=data_axis,
+                                         row_axis=row_axis,
+                                         col_axis=col_axis)
     return out, flux
 
 

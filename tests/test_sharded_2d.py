@@ -220,6 +220,27 @@ def test_2d_jit_grad():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+def test_2d_regrid_lat_and_lon_sharded():
+    """conservative_regrid_sharded with col_axis: latitude AND longitude
+    sharded, spherical flux conserved over the 3-axis mesh."""
+    from aainterp.regrid import (
+        LatLonGrid, conservative_regrid, conservative_regrid_sharded,
+    )
+
+    g_src, g_dst = LatLonGrid(24, 72), LatLonGrid(6, 18)
+    rng = np.random.default_rng(11)
+    fields = rng.uniform(200, 300, (2, 24, 72)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(fields),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out, flux = jax.jit(lambda f: conservative_regrid_sharded(
+        f, g_src, g_dst, mesh, col_axis="cols", conserve=True))(fdev)
+    ref = conservative_regrid(fields, g_src, g_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    fd, fs = np.asarray(flux)
+    assert abs(fd - fs) <= 1e-4 * abs(fs)
+
+
 def test_halo_extend_cols_multihop():
     """_halo_extend on the column axis with h > sb (multi-hop ppermute
     ring), against the numpy construction with zeros past the edges."""
