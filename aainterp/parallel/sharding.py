@@ -436,6 +436,57 @@ def sharded_apply_separable(
     return out, flux
 
 
+def _folded_sharded_bands_2d(op: weights_ops.SeparableOperator,
+                             n_r: int, n_c: int):
+    """Quadrant folding under 2-D (rows x cols) sharding, or None.
+
+    Extends _folded_sharded_bands: with columns sharded too, the X band
+    must also slide forward, so flipped x bands get the same
+    reverse-dst-order treatment as flipped y bands
+    (``rr(flip(wx))``) and the residual dst-col reversal moves into
+    ``post``.  Every quadrant's residual permutation is dst-sized
+    (flip/rot180/transpose of the SMALL output) — the 2-D path's only
+    source-sized all-to-all (the global rot90 reshard) disappears:
+
+      q=0:  out =      inner          y=wy           x=wx
+      q=1:  out = T(R_r inner)        y=rr(flip(wx)) x=wy
+      q=2:  out = rot180(inner)       y=rr(flip(wy)) x=rr(flip(wx))
+      q=3:  out = R_r(T(inner))       y=wx           x=rr(flip(wy))
+
+    (R_r = dst-row reversal AFTER the trailing transpose for q=3, i.e.
+    post = flip(swapaxes(o), -2); T = trailing transpose.)  measures
+    pair with the inner orientation for the conservation flux.
+    """
+    q = op.spec.quadrant % 4
+    ry, rx = op.raw_row_sums
+    flip, rr = overlap1d.flip_band, overlap1d.reverse_rows_band
+    if q == 0:
+        y_use, x_use, post, post_inv, meas = (
+            op.wy, op.wx, None, None, (ry, rx))
+    elif q == 1:
+        y_use = rr(flip(op.wx))
+        x_use = op.wy
+        post = lambda o: jnp.swapaxes(jnp.flip(o, -2), -1, -2)
+        post_inv = lambda g: jnp.flip(jnp.swapaxes(g, -1, -2), -2)
+        meas = (rx[::-1], ry)
+    elif q == 2:
+        y_use = rr(flip(op.wy))
+        x_use = rr(flip(op.wx))
+        post = post_inv = lambda o: jnp.flip(jnp.flip(o, -2), -1)
+        meas = (ry[::-1], rx[::-1])
+    else:
+        y_use = op.wx
+        x_use = rr(flip(op.wy))
+        post = lambda o: jnp.flip(jnp.swapaxes(o, -1, -2), -2)
+        post_inv = lambda g: jnp.swapaxes(jnp.flip(g, -2), -1, -2)
+        meas = (rx, ry[::-1])
+    if (y_use.n_dst % n_r or y_use.n_src % n_r
+            or x_use.n_dst % n_c or x_use.n_src % n_c):
+        return None
+    return dict(y=y_use, x=x_use, post=post, post_inv=post_inv,
+                measures=meas)
+
+
 def sharded_apply_banded_2d(
     frames: jax.Array,
     y_band,
@@ -513,9 +564,12 @@ def sharded_apply_separable_2d(
     apply on its (sb_r + 2*halo_y) x (sb_c + 2*halo_x) block with BOTH
     band tables rebased by its mesh coordinates.
 
-    quadrant != 0 uses the global rot90 reshard (an all-to-all) followed
-    by the unfolded bands — the dst-sided quadrant folding of the 1-D
-    path is not yet ported to 2-D meshes.
+    quadrant != 0 folds the rot90 into the band tables
+    (_folded_sharded_bands_2d): the source stays sharded in its original
+    orientation and only the SMALL dst output pays a
+    flip/rot180/transpose reshard; when the folded row/col counts don't
+    divide the mesh, the global-rot90 route (source-sized all-to-all) is
+    the fallback.
 
     conserve: also return the replicated (2,) [flux_dst, flux_src] psum
     pair (see parallel/conserve.py), here reduced over all three mesh
@@ -524,21 +578,36 @@ def sharded_apply_separable_2d(
     """
     from .conserve import separable_flux_factors
 
-    frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
-    y_band, x_band = op.wy, op.wx
+    n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    fold = _folded_sharded_bands_2d(op, n_r, n_c)
+    if fold is None:
+        frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+        fold = dict(y=op.wy, x=op.wx, post=None, post_inv=None,
+                    measures=op.raw_row_sums)
+    y_band, x_band, post = fold["y"], fold["x"], fold["post"]
     out = sharded_apply_banded_2d(
         frames, y_band, x_band, mesh, data_axis=data_axis,
         row_axis=row_axis, col_axis=col_axis)
+    if conserve:
+        from .conserve import sharded_flux_separable_2d
+
+        factors = separable_flux_factors(y_band, x_band,
+                                         raw_sums=fold["measures"])
+        flux = sharded_flux_separable_2d(
+            frames, out, factors, mesh, data_axis=data_axis,
+            row_axis=row_axis, col_axis=col_axis)
+    if post is not None:
+        from jax.sharding import NamedSharding
+
+        out = post(out)
+        # restore the documented (data, rows, cols) layout on the dst
+        # array (a dst-sized collective — the whole point of the fold)
+        batch = (P(data_axis),) if data_axis else (P(),)
+        spec = P(*(batch[0] + (row_axis, col_axis)))
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, spec))
     if not conserve:
         return out
-
-    from .conserve import sharded_flux_separable_2d
-
-    factors = separable_flux_factors(y_band, x_band,
-                                     raw_sums=op.raw_row_sums)
-    flux = sharded_flux_separable_2d(frames, out, factors, mesh,
-                                     data_axis=data_axis,
-                                     row_axis=row_axis, col_axis=col_axis)
     return out, flux
 
 
@@ -556,17 +625,40 @@ def sharded_apply_separable_2d_transpose(
     The transpose of a banded separable operator is another banded
     separable operator, so the adjoint is ``sharded_apply_banded_2d``
     with transposed bands — the two-axis halo machinery generalises with
-    no new collective code.  The forward's quadrant rot90 (applied
-    BEFORE its bands) transposes to an inverse rot90 AFTER the
-    transposed bands.
+    no new collective code.  The quadrant is folded like the forward's
+    (_folded_sharded_bands_2d): the incoming dst cotangent pays the
+    small inverse permutation (``post_inv``), the transposed FOLDED
+    bands run under the same two-axis ring halo, and the output lands
+    directly in the original source orientation; the rot90 fallback
+    transposes to an inverse rot90 AFTER the transposed bands.
     """
     from ..autodiff import transposed_separable
 
+    n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
     ty, tx = transposed_separable(op)
+    fold = _folded_sharded_bands_2d(op, n_r, n_c)
+    unfold_after = fold is None
+    if fold is None:
+        t_y, t_x = ty, tx
+    else:
+        # transposes of the folded bands via (W P)^T = P W^T and
+        # (R W)^T = W^T R:  t(rr(flip(b))) = flip_band(reverse_rows(t(b)))
+        flip, rr = overlap1d.flip_band, overlap1d.reverse_rows_band
+        q = op.spec.quadrant % 4
+        if q == 0:
+            t_y, t_x = ty, tx
+        elif q == 1:            # fwd: y=rr(flip(wx)), x=wy
+            t_y, t_x = flip(rr(tx)), ty
+        elif q == 2:            # fwd: y=rr(flip(wy)), x=rr(flip(wx))
+            t_y, t_x = flip(rr(ty)), flip(rr(tx))
+        else:                   # fwd: y=wx, x=rr(flip(wy))
+            t_y, t_x = tx, flip(rr(ty))
+        if fold["post_inv"] is not None:
+            cot = fold["post_inv"](cot)
     out = sharded_apply_banded_2d(
-        cot, ty, tx, mesh, data_axis=data_axis, row_axis=row_axis,
+        cot, t_y, t_x, mesh, data_axis=data_axis, row_axis=row_axis,
         col_axis=col_axis)
-    if op.spec.quadrant:
+    if unfold_after and op.spec.quadrant:
         out = apply_ops.quadrant_rotate(out, -op.spec.quadrant)
     return out
 

@@ -79,10 +79,50 @@ def test_2d_noninteger_ratio_and_offsets():
 
 
 @pytest.mark.parametrize("ang", [90.0, 180.0, 270.0])
-def test_2d_quadrants_global_rot90(ang):
-    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (0.0, 0.0), ang)
+def test_2d_quadrants_folded(ang):
+    """Quadrant pre-rotation folded into the band tables: the source is
+    never rot90'd; only the dst output pays a flip/rot180/transpose."""
+    from aainterp.parallel.sharding import _folded_sharded_bands_2d
+
+    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (4.0, 7.0), ang)
+    assert spec.quadrant != 0
+    op = separable_operator(spec)
+    assert _folded_sharded_bands_2d(op, 2, 2) is not None
     out, ref = _run(spec, 2, _mesh3(2, 2, 2))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_quadrant_rot90_fallback():
+    """When the folded row/col counts don't divide the mesh, the global
+    rot90 reshard route still produces the right answer."""
+    from aainterp.parallel.sharding import _folded_sharded_bands_2d
+
+    # 90 deg swaps axes, so on an ASYMMETRIC rows=2 x cols=4 mesh the
+    # fold can fail (swapped x_use = wy needs Hd % 4) while the rot90
+    # fallback divides (Hd % 2, Wd % 4)
+    spec = aa.make_grid_spec((64, 68), 2.0, 1.0, (0.0, 0.0), 90.0)
+    op = separable_operator(spec)
+    assert spec.quadrant != 0
+    assert _folded_sharded_bands_2d(op, 2, 4) is None
+    H, W = spec.src_shape
+    frames = RNG.uniform(0, 1, (H, W)).astype(np.float32)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, data_axis=None))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("ang", [90.0, 180.0, 270.0])
+def test_2d_quadrant_conserve(ang):
+    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (4.0, 7.0), ang)
+    (out, flux), ref = _run(spec, 2, _mesh3(2, 2, 2), conserve=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    fd, fs = np.asarray(flux)
+    assert abs(fd - fs) <= 1e-3 * max(abs(fd), 1.0)
 
 
 def test_2d_conservation_flux():
@@ -177,13 +217,16 @@ def test_2d_transpose_dot_identity():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
-def test_2d_transpose_quadrant():
+@pytest.mark.parametrize("ang", [90.0, 180.0, 270.0])
+def test_2d_transpose_quadrant(ang):
+    """Folded-quadrant adjoints: the cotangent pays only the dst-sized
+    inverse permutation; output lands in original source orientation."""
     from aainterp.autodiff import apply_operator_transpose
     from aainterp.parallel.sharding import (
         sharded_apply_separable_2d_transpose,
     )
 
-    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (4.0, 7.0), 180.0)
+    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (4.0, 7.0), ang)
     assert spec.quadrant != 0
     op = separable_operator(spec)
     Hd, Wd = spec.dst_shape
