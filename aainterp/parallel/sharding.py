@@ -487,6 +487,191 @@ def _folded_sharded_bands_2d(op: weights_ops.SeparableOperator,
                 measures=meas)
 
 
+def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
+                            halo_y: int, halo_x: int,
+                            tile_y: int = 128, tile_x: int = 128):
+    """Host-side per-chip kernel plan for the 2-D-sharded Pallas apply.
+
+    Generalises _sharded_pallas_plan to a rows x cols mesh: chip (i, j)'s
+    local block is (sb_r + 2*halo_y) x (sb_c + 2*halo_x) — with columns
+    sharded the local width is arbitrary (never 128-aligned), so the
+    block is zero-padded to Wpad % 128 == 0 INSIDE the shard and the
+    per-col-chip x bands are densified against that padded width (pad
+    columns only ever meet zero weights).  One uniform (SY, SX) across
+    all (i, j) chips keeps the shard_map body a single SPMD kernel; the
+    y tables shard over the rows axis and the x tables over the cols
+    axis.  Returns None when no tile height divides the per-chip dst
+    rows.
+    """
+    from ..ops.pallas_apply import _round_up
+
+    qH, Hd = y_band.n_src, y_band.n_dst
+    W, Wd = x_band.n_src, x_band.n_dst
+    db_r, sb_r = Hd // n_r, qH // n_r
+    db_c, sb_c = Wd // n_c, W // n_c
+    Hloc = sb_r + 2 * halo_y
+    Wloc = sb_c + 2 * halo_x
+    TY = min(tile_y, db_r)
+    if db_r % TY != 0 or TY % 8 != 0:   # Mosaic sublane granularity
+        for cand in range(TY - TY % 8, 7, -8):
+            if db_r % cand == 0:
+                TY = cand
+                break
+        else:
+            return None
+    nty = db_r // TY
+
+    ys = np.asarray(y_band.start).astype(np.int64)
+    yw = np.asarray(y_band.weights, dtype=np.float32)
+    ky = yw.shape[1]
+    lo = np.zeros((n_r, nty), np.int64)
+    hi = np.zeros((n_r, nty), np.int64)
+    for i in range(n_r):
+        loc = ys[i * db_r: (i + 1) * db_r] - (i * sb_r - halo_y)
+        if loc.min() < 0 or loc.max() + ky > Hloc:
+            return None  # halo bound violated (shouldn't happen)
+        for t in range(nty):
+            rows = loc[t * TY: (t + 1) * TY]
+            lo[i, t] = (int(rows.min()) // 8) * 8
+            hi[i, t] = int(rows.max()) + ky
+    row_base = np.clip(lo, 0, None)
+    SY = _round_up(int((hi - row_base).max()), 8)
+    Hpad = _round_up(max(Hloc, int((row_base + SY).max())), 8)
+    wy_blocks = np.zeros((n_r, nty, TY, SY), np.float32)
+    for i in range(n_r):
+        loc = ys[i * db_r: (i + 1) * db_r] - (i * sb_r - halo_y)
+        for t in range(nty):
+            for r in range(TY):
+                off = int(loc[t * TY + r]) - int(row_base[i, t])
+                wy_blocks[i, t, r, off: off + ky] = yw[i * db_r + t * TY + r]
+
+    xs = np.asarray(x_band.start).astype(np.int64)
+    xw = np.asarray(x_band.weights, dtype=np.float32)
+    kx = xw.shape[1]
+    TX = tile_x
+    ntx = -(-db_c // TX)
+    xlo = np.zeros((n_c, ntx), np.int64)
+    xhi = np.zeros((n_c, ntx), np.int64)
+    for j in range(n_c):
+        loc = xs[j * db_c: (j + 1) * db_c] - (j * sb_c - halo_x)
+        if loc.min() < 0 or loc.max() + kx > Wloc:
+            return None
+        for t in range(ntx):
+            cols = loc[t * TX: min((t + 1) * TX, db_c)]
+            xlo[j, t] = (int(cols.min()) // 128) * 128
+            xhi[j, t] = int(cols.max()) + kx
+    col_base = np.clip(xlo, 0, None)
+    SX = _round_up(int((xhi - col_base).max()), 128)
+    Wpad = _round_up(max(Wloc, int((col_base + SX).max())), 128)
+    wx_blocks = np.zeros((n_c, ntx, TX, SX), np.float32)
+    for j in range(n_c):
+        loc = xs[j * db_c: (j + 1) * db_c] - (j * sb_c - halo_x)
+        for t in range(ntx):
+            for r in range(min(TX, db_c - t * TX)):
+                off = int(loc[t * TX + r]) - int(col_base[j, t])
+                wx_blocks[j, t, r, off: off + kx] = xw[j * db_c + t * TX + r]
+    # kernel consumes x blocks as (ntx, SX, TX)
+    wx_blocks = np.ascontiguousarray(np.swapaxes(wx_blocks, 2, 3))
+    return dict(TY=TY, TX=TX, SY=SY, SX=SX, nty=nty, ntx=ntx,
+                Hloc=Hloc, Hpad=Hpad, Wloc=Wloc, Wpad=Wpad,
+                db_r=db_r, sb_r=sb_r, db_c=db_c, sb_c=sb_c, ky=ky,
+                row_base=row_base.astype(np.int32), wy_blocks=wy_blocks,
+                col_base=col_base.astype(np.int32), wx_blocks=wx_blocks)
+
+
+def sharded_apply_banded_2d_pallas(
+    frames: jax.Array,
+    y_band,
+    x_band,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    interpret: bool = False,
+) -> jax.Array:
+    """2-D-sharded apply with the Pallas MXU kernel per shard.
+
+    Same collective structure as sharded_apply_banded_2d (one ring-halo
+    exchange per mesh axis), but each chip's local contraction runs the
+    separable Pallas kernel on its zero-padded halo-extended block —
+    per-(row-chip) y tables and per-(col-chip) x tables ride as sharded
+    kernel inputs (see _sharded_pallas_plan_2d).  Raises ValueError off
+    the plan envelope — callers fall back to sharded_apply_banded_2d.
+    """
+    from ..ops.pallas_apply import _build_separable_kernel
+
+    n_r = mesh.shape[row_axis]
+    n_c = mesh.shape[col_axis]
+    qH, Hd = y_band.n_src, y_band.n_dst
+    W, Wd = x_band.n_src, x_band.n_dst
+    halo_y = _row_halo(y_band.start, y_band.band, qH, Hd, n_r)
+    halo_x = _row_halo(x_band.start, x_band.band, W, Wd, n_c)
+    plan = _sharded_pallas_plan_2d(y_band, x_band, n_r, n_c, halo_y, halo_x)
+    if plan is None:
+        raise ValueError("geometry off the 2-D sharded Pallas kernel "
+                         "envelope")
+
+    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+        frames = frames.astype(jnp.float32)
+    lead = frames.ndim - 2
+    assert lead in (0, 1)
+    Bloc = 1
+    if lead:
+        n_data = mesh.shape[data_axis] if data_axis else 1
+        Bloc = frames.shape[0] // n_data
+    TY, TX, SY, SX = plan["TY"], plan["TX"], plan["SY"], plan["SX"]
+    nty, ntx = plan["nty"], plan["ntx"]
+    db_r, db_c = plan["db_r"], plan["db_c"]
+    Hloc, Hpad = plan["Hloc"], plan["Hpad"]
+    Wloc, Wpad = plan["Wloc"], plan["Wpad"]
+    ky = plan["ky"]
+    dname = jnp.dtype(frames.dtype).name
+    n_rows = nty * TY
+
+    call = _build_separable_kernel(
+        Bloc, Hpad, Wpad, db_r, db_c, TY, TX, SY, SX, nty, ntx, ky, SY,
+        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret)
+
+    row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
+    yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
+    row_base = jnp.asarray(plan["row_base"])      # (n_r, nty)
+    wy_blocks = jnp.asarray(plan["wy_blocks"])    # (n_r, nty, TY, SY)
+    col_base = jnp.asarray(plan["col_base"])      # (n_c, ntx)
+    wx_blocks = jnp.asarray(plan["wx_blocks"])    # (n_c, ntx, SX, TX)
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local_fn(frames_blk, rb, wyb, cb, wxb, ro, ywf):
+        ext = _halo_extend(frames_blk, halo_y, row_axis, n_r, axis=-2)
+        ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
+        # zero rows/cols so the 8-/128-aligned band spans stay DMA-in-
+        # range; they only ever meet zero weights (_sharded_pallas_plan_2d)
+        if Hpad > Hloc or Wpad > Wloc:
+            pad = ([(0, 0)] * (ext.ndim - 2)
+                   + [(0, Hpad - Hloc), (0, Wpad - Wloc)])
+            ext = jnp.pad(ext, pad)
+        squeeze = frames_blk.ndim == 2
+        if squeeze:
+            ext = ext[None]
+        out = call(rb[0], cb[0], ro, ywf, ext, wyb[0], wxb[0])
+        out = out[:, :db_r, :db_c]
+        return out[0] if squeeze else out
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(img2d, P(row_axis, None), P(row_axis, None, None, None),
+                  P(col_axis, None), P(col_axis, None, None, None),
+                  P(None), P(None)),
+        out_specs=img2d,
+        check_rep=False,
+    )
+    return fn(frames, row_base, wy_blocks, col_base, wx_blocks,
+              row_off, yw_flat)
+
+
 def sharded_apply_banded_2d(
     frames: jax.Array,
     y_band,
@@ -546,6 +731,8 @@ def sharded_apply_separable_2d(
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
     col_axis: str = "cols",
+    impl: str = "auto",
+    interpret: bool = False,
     conserve: bool = False,
 ):
     """Apply a separable operator with BOTH image axes sharded — rows over
@@ -560,9 +747,13 @@ def sharded_apply_separable_2d(
     row-extended block, so corner regions arrive transitively through
     the edge neighbour (chip (i, j+-1)'s block already contains its own
     row halo from (i+-1, j+-1)); both rides are neighbour ppermutes over
-    ICI, never an all-gather.  Each chip then runs the XLA banded local
-    apply on its (sb_r + 2*halo_y) x (sb_c + 2*halo_x) block with BOTH
-    band tables rebased by its mesh coordinates.
+    ICI, never an all-gather.  Each chip then runs the local contraction
+    on its (sb_r + 2*halo_y) x (sb_c + 2*halo_x) block with BOTH band
+    tables rebased by its mesh coordinates.
+
+    impl: 'auto' uses the per-shard Pallas MXU kernel on TPU (falling
+    back to the XLA banded local apply off its envelope); 'pallas' /
+    'banded' force.
 
     quadrant != 0 folds the rot90 into the band tables
     (_folded_sharded_bands_2d): the source stays sharded in its original
@@ -585,9 +776,23 @@ def sharded_apply_separable_2d(
         fold = dict(y=op.wy, x=op.wx, post=None, post_inv=None,
                     measures=op.raw_row_sums)
     y_band, x_band, post = fold["y"], fold["x"], fold["post"]
-    out = sharded_apply_banded_2d(
-        frames, y_band, x_band, mesh, data_axis=data_axis,
-        row_axis=row_axis, col_axis=col_axis)
+    forced = impl != "auto"
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "banded")
+    out = None
+    if impl == "pallas":
+        try:
+            out = sharded_apply_banded_2d_pallas(
+                frames, y_band, x_band, mesh, data_axis=data_axis,
+                row_axis=row_axis, col_axis=col_axis, interpret=interpret)
+        except ValueError:
+            if forced:
+                raise
+    if out is None:
+        out = sharded_apply_banded_2d(
+            frames, y_band, x_band, mesh, data_axis=data_axis,
+            row_axis=row_axis, col_axis=col_axis)
     if conserve:
         from .conserve import sharded_flux_separable_2d
 
@@ -619,6 +824,8 @@ def sharded_apply_separable_2d_transpose(
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
     col_axis: str = "cols",
+    impl: str = "auto",
+    interpret: bool = False,
 ) -> jax.Array:
     """2-D-sharded adjoint apply: (B, Hd, Wd) -> (B, H, W).
 
@@ -655,9 +862,23 @@ def sharded_apply_separable_2d_transpose(
             t_y, t_x = tx, flip(rr(ty))
         if fold["post_inv"] is not None:
             cot = fold["post_inv"](cot)
-    out = sharded_apply_banded_2d(
-        cot, t_y, t_x, mesh, data_axis=data_axis, row_axis=row_axis,
-        col_axis=col_axis)
+    forced = impl != "auto"
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "banded")
+    out = None
+    if impl == "pallas":
+        try:
+            out = sharded_apply_banded_2d_pallas(
+                cot, t_y, t_x, mesh, data_axis=data_axis, row_axis=row_axis,
+                col_axis=col_axis, interpret=interpret)
+        except ValueError:
+            if forced:
+                raise
+    if out is None:
+        out = sharded_apply_banded_2d(
+            cot, t_y, t_x, mesh, data_axis=data_axis, row_axis=row_axis,
+            col_axis=col_axis)
     if unfold_after and op.spec.quadrant:
         out = apply_ops.quadrant_rotate(out, -op.spec.quadrant)
     return out
@@ -670,12 +891,15 @@ def make_sharded_separable_2d_linear(
     data_axis: Optional[str] = "data",
     row_axis: str = "rows",
     col_axis: str = "cols",
+    impl: str = "auto",
+    interpret: bool = False,
 ):
     """Custom-vjp'd 2-D-sharded separable apply: jit(grad(...)) over the
     (data, rows, cols) mesh is one SPMD program whose backward runs the
     transposed bands through the same two-axis ring halo."""
 
-    kw = dict(data_axis=data_axis, row_axis=row_axis, col_axis=col_axis)
+    kw = dict(data_axis=data_axis, row_axis=row_axis, col_axis=col_axis,
+              impl=impl, interpret=interpret)
 
     @jax.custom_vjp
     def f(frames):

@@ -316,3 +316,102 @@ def test_halo_extend_cols_multihop():
         [padded[..., i * sb: i * sb + sb + 2 * h] for i in range(n_dev)],
         axis=-1)
     np.testing.assert_array_equal(got, exp)
+
+
+# ----------------------------------------------------------------------
+# Per-shard Pallas MXU kernel on the 2-D mesh (interpret mode here; the
+# real-TPU smoke lives in tests/test_tpu_smoke.py)
+# ----------------------------------------------------------------------
+
+
+def test_2d_pallas_matches_unsharded_interpret():
+    spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    frames = RNG.uniform(0, 1, (4, H, W)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_pallas_noninteger_ratio_interpret():
+    spec = aa.make_grid_spec((96, 160), 1.0, 0.5, (13.0, 7.0), 0.0)
+    if spec.dst_shape[0] % 2 or spec.dst_shape[1] % 2:
+        pytest.skip("geometry not divisible for this mesh")
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    frames = RNG.uniform(0, 1, (2, H, W)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("ang", [90.0, 270.0])
+def test_2d_pallas_quadrant_folded_interpret(ang):
+    """Folded quadrant bands feed the per-shard Pallas kernel directly."""
+    spec = aa.make_grid_spec((64, 64), 2.0, 1.0, (4.0, 7.0), ang)
+    assert spec.quadrant != 0
+    H, W = spec.src_shape
+    op = separable_operator(spec)
+    frames = RNG.uniform(0, 1, (2, H, W)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_pallas_transpose_interpret():
+    """Adjoint through the per-shard Pallas kernel (transposed bands are
+    an upsampling banded operator — exercises the kernel's pad spill)."""
+    from aainterp.autodiff import apply_operator_transpose
+    from aainterp.parallel.sharding import (
+        sharded_apply_separable_2d_transpose,
+    )
+
+    spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    Hd, Wd = spec.dst_shape
+    cot = RNG.uniform(-1, 1, (2, Hd, Wd)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    cdev = jax.device_put(jnp.asarray(cot),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda g: sharded_apply_separable_2d_transpose(
+        g, op, mesh, impl="pallas", interpret=True))(cdev)
+    ref = apply_operator_transpose(op, jnp.asarray(cot))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_2d_pallas_forced_raises_off_envelope():
+    """db_r with no multiple-of-8 divisor: forced impl='pallas' raises,
+    auto degrades to the XLA banded local apply with the right answer."""
+    from aainterp.parallel.sharding import _sharded_pallas_plan_2d
+
+    spec = aa.make_grid_spec((108, 72), 150.0, 25.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    Hd, Wd = spec.dst_shape
+    assert Hd % 2 == 0 and (Hd // 2) % 8 != 0  # db_r = 9
+    assert Wd % 2 == 0
+    assert _sharded_pallas_plan_2d(op.wy, op.wx, 2, 2, 8, 8) is None
+    H, W = spec.src_shape
+    frames = RNG.uniform(0, 1, (2, H, W)).astype(np.float32)
+    mesh = _mesh3(2, 2, 2)
+    fdev = jax.device_put(jnp.asarray(frames),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, interpret=True))(fdev)  # auto: falls back
+    ref = aa.apply_operator(op, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    with pytest.raises(ValueError):
+        jax.jit(lambda f: sharded_apply_separable_2d(
+            f, op, mesh, impl="pallas", interpret=True))(fdev)

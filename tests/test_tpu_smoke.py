@@ -139,6 +139,33 @@ print('sharded pallas TPU smoke OK', out.shape)
 """)
 
 
+def test_sharded_2d_pallas_on_tpu():
+    """Per-shard Pallas kernel on a 2-D (rows x cols) mesh: the local
+    block width is NOT 128-aligned (W=360), so this proves the in-shard
+    zero-pad + per-col-chip x plan on real Mosaic (1x1x1 mesh; the
+    two-axis collective structure is exercised on the virtual CPU
+    mesh in tests/test_sharded_2d.py)."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import aainterp as aa
+from aainterp.ops.weights import separable_operator
+from aainterp.parallel.sharding import sharded_apply_separable_2d
+
+spec = aa.make_grid_spec((256, 360), 2.0, 1.0, (0.0, 0.0), 0.0)
+op = separable_operator(spec)
+x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 256, 360)),
+                dtype=jnp.float32)
+mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+            ("data", "rows", "cols"))
+out = jax.jit(lambda f: sharded_apply_separable_2d(
+    f, op, mesh, impl="pallas"))(x)
+ref = aa.apply_operator(op, x, impl="xla")
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+print('sharded 2-D pallas TPU smoke OK', out.shape)
+""")
+
+
 def test_sharded_ell_pallas_on_tpu():
     """Per-shard pallas_shear-under-shard_map (VERDICT r2 item 1): the
     three rotated kernels compile and match on the real chip under a
