@@ -1,0 +1,330 @@
+"""Flagship (config 1: 4K->1080p bf16) engine decomposition.
+
+The copy-ceiling probe (copy_ceiling.py) measures reads and writes
+OVERLAPPING on this chip (1.18 TB/s combined at (128,1024) bf16 tiles),
+which puts the flagship's one-way read floor at ~16.6 MB / ~750 GB/s
+= ~22 us/frame — below the production kernel's 26.7 us.  These probes
+time the production pipeline's stages in isolation at the exact flagship
+geometry (TY=120, SY=248, nty=9, ntx=15, SX=384) to locate the gap:
+
+  dma    the band-DMA schedule only (double-buffered (SY, W) fetches) +
+         a production-sized (TY, Wd) store — the kernel's traffic floor
+  ypass  dma + the densified y matmul (store (TY, Wd) slice of tmp)
+  full   production apply_separable_pallas (reference point)
+  full3  production pipeline with a 3-slot band buffer (one extra DMA in
+         flight) — tests whether 2-slot ping-pong stalls the read stream
+
+Run on the real TPU: python benchmarks/flagship_experiments.py --exp dma
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bench import timed_scan  # noqa: E402
+
+H, W = 2160, 3840
+TY = 120  # apply_separable_pallas auto-picks 120 (1080 % 128 != 0)
+TX = 128
+
+
+def _geometry():
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.pallas_apply import _densify_row_band
+    from aainterp.ops.weights import separable_operator
+
+    spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec, mode="exact")
+    ys = np.asarray(op.wy.start)
+    yw = np.asarray(op.wy.weights, np.float32)
+    xs = np.asarray(op.wx.start)
+    xw = np.asarray(op.wx.weights, np.float32)
+    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
+    col_base, wx_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
+    wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
+    return op, row_base, wy_blocks, SY, col_base, wx_blocks, SX
+
+
+def _frames(K, B, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(np.float32),
+                    dtype=dtype)
+    b = jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(np.float32),
+                    dtype=dtype)
+    return a, b
+
+
+@functools.lru_cache(maxsize=8)
+def _build_band_probe(F, SY, nty, Wd, dtype_name, with_y):
+    """Band-DMA schedule of the production kernel; optional y matmul.
+
+    Unlike the rgb1024 probe this stores only a production-sized
+    (TY, Wd) tile, so write traffic matches the real kernel's 4:1
+    read:write ratio.
+    """
+    dtype = jnp.dtype(dtype_name)
+
+    def kernel(row_base_ref, src_ref, wy_ref, out_ref, src_buf, sem):
+        t = pl.program_id(0)
+
+        def band_dma(step, slot_i):
+            tr = jax.lax.rem(step, nty)
+            fr = jax.lax.div(step, nty)
+            return pltpu.make_async_copy(
+                src_ref.at[fr, pl.ds(
+                    pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                src_buf.at[slot_i],
+                sem.at[slot_i],
+            )
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            band_dma(t, slot).start()
+
+        @pl.when(t + 1 < F * nty)
+        def _():
+            band_dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+        band_dma(t, slot).wait()
+        if with_y:
+            tmp = jnp.dot(
+                wy_ref[0], src_buf[slot].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            out_ref[0] = tmp[:, :Wd].astype(dtype)
+        else:
+            out_ref[0] = src_buf[slot, :TY, :Wd].astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(F * nty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, TY, SY),
+                         lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, Wd),
+            lambda t, *_: (jax.lax.div(t, nty), jax.lax.rem(t, nty), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, SY, W), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, nty * TY, Wd), dtype),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _build_full_nslot(F, SY, SX, nty, ntx, Wd, dtype_name, nslot,
+                      interpret=False):
+    """Production separable pipeline with an `nslot`-deep band buffer."""
+    dtype = jnp.dtype(dtype_name)
+    total = F * nty
+
+    def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
+               out_ref, src_buf, tmp_buf, sem):
+        t = pl.program_id(0)
+
+        def band_dma(step, slot_i):
+            tr = jax.lax.rem(step, nty)
+            fr = jax.lax.div(step, nty)
+            return pltpu.make_async_copy(
+                src_ref.at[fr, pl.ds(
+                    pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                src_buf.at[slot_i],
+                sem.at[slot_i],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            # fill the pipeline: slots 0 .. nslot-2
+            for s in range(nslot - 1):
+                if s == 0:
+                    band_dma(t, 0).start()
+                else:
+                    @pl.when(t + s < total)
+                    def _(s=s):
+                        band_dma(t + s, s).start()
+
+        ahead = nslot - 1
+
+        @pl.when(t + ahead < total)
+        def _():
+            band_dma(t + ahead, jax.lax.rem(t + ahead, nslot)).start()
+
+        slot = jax.lax.rem(t, nslot)
+        band_dma(t, slot).wait()
+        tmp_buf[:] = jnp.dot(wy_ref[0], src_buf[slot].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        for c in range(ntx):
+            cb = pl.multiple_of(col_base_ref[c], 128)
+            seg = tmp_buf[:, pl.ds(cb, SX)]
+            # match production: f32 operands at DEFAULT precision (the MXU
+            # truncates to bf16 internally for bf16 pixel paths)
+            out_ref[0, :, c * TX: (c + 1) * TX] = jnp.dot(
+                seg, wx_ref[c],
+                preferred_element_type=jnp.float32).astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, TY, SY),
+                         lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, ntx * TX),
+            lambda t, *_: (jax.lax.div(t, nty), jax.lax.rem(t, nty), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nslot, SY, W), dtype),
+            pltpu.VMEM((TY, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslot,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, nty * TY, ntx * TX), dtype),
+        interpret=interpret,
+    )
+
+
+def check_nslot(nslot, dtype=jnp.bfloat16):
+    """Interpret-mode equality of the nslot pipeline vs production (CPU)."""
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry()
+    nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
+    probe = _build_full_nslot(1, SY, SX, nty, ntx, 1920,
+                              jnp.dtype(dtype).name, nslot, interpret=True)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32),
+                    dtype=dtype)
+    got = probe(jnp.asarray(row_base), jnp.asarray(col_base), f,
+                jnp.asarray(wy_blocks), jnp.asarray(wx_blocks))[:, :1080, :]
+    want = apply_separable_pallas(
+        f, jnp.asarray(op.wy.start),
+        jnp.asarray(np.asarray(op.wy.weights, np.float32)),
+        jnp.asarray(op.wx.start),
+        jnp.asarray(np.asarray(op.wx.weights, np.float32)),
+        interpret=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    print(f"check nslot={nslot}: max abs err {err:.2e}")
+    assert err < 1e-2, err
+
+
+def _band_exp(batch, dtype, with_y):
+    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry()
+    nty = wy_blocks.shape[0]
+    Wd = 1920
+    probe = _build_band_probe(batch, SY, nty, Wd, jnp.dtype(dtype).name,
+                              with_y)
+    rb = jnp.asarray(row_base)
+    wy = jnp.asarray(wy_blocks)
+    frames, warm = _frames(8, batch, dtype)
+    dt = timed_scan(lambda f, r, w: probe(r, f, w), frames, warm,
+                    consts=(rb, wy))
+    return batch * H * W / dt / 1e9, dt / batch
+
+
+def exp_dma(batch, dtype):
+    return _band_exp(batch, dtype, with_y=False)
+
+
+def exp_ypass(batch, dtype):
+    return _band_exp(batch, dtype, with_y=True)
+
+
+def exp_full(batch, dtype):
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    op, *_ = _geometry()
+    ys = jnp.asarray(op.wy.start)
+    yw = jnp.asarray(op.wy.weights, jnp.float32)
+    xs = jnp.asarray(op.wx.start)
+    xw = jnp.asarray(op.wx.weights, jnp.float32)
+    frames, warm = _frames(8, batch, dtype)
+    dt = timed_scan(
+        lambda f: apply_separable_pallas(f, ys, yw, xs, xw), frames, warm)
+    return batch * H * W / dt / 1e9, dt / batch
+
+
+def _full_nslot_exp(batch, dtype, nslot):
+    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry()
+    nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
+    probe = _build_full_nslot(batch, SY, SX, nty, ntx, 1920,
+                              jnp.dtype(dtype).name, nslot)
+    rb = jnp.asarray(row_base)
+    cb = jnp.asarray(col_base)
+    wy = jnp.asarray(wy_blocks)
+    wx = jnp.asarray(wx_blocks)
+    frames, warm = _frames(8, batch, dtype)
+    dt = timed_scan(lambda f, r, c, a, b: probe(r, c, f, a, b),
+                    frames, warm, consts=(rb, cb, wy, wx))
+    return batch * H * W / dt / 1e9, dt / batch
+
+
+def exp_full2(batch, dtype):
+    """2-slot replica of production built HERE (control for full3)."""
+    return _full_nslot_exp(batch, dtype, 2)
+
+
+def exp_full3(batch, dtype):
+    return _full_nslot_exp(batch, dtype, 3)
+
+
+def exp_full4(batch, dtype):
+    return _full_nslot_exp(batch, dtype, 4)
+
+
+EXPS = {
+    "dma": exp_dma,
+    "ypass": exp_ypass,
+    "full": exp_full,
+    "full2": exp_full2,
+    "full3": exp_full3,
+    "full4": exp_full4,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", required=True, choices=sorted(EXPS))
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--check", action="store_true",
+                    help="interpret-mode correctness check (CPU) for "
+                    "full2/full3/full4 instead of timing")
+    args = ap.parse_args()
+    if args.check:
+        jax.config.update("jax_platforms", "cpu")
+        check_nslot({"full2": 2, "full3": 3, "full4": 4}[args.exp],
+                    jnp.dtype(args.dtype))
+        return
+    g, per_frame = EXPS[args.exp](args.batch, jnp.dtype(args.dtype))
+    print(f"{args.exp}: {g:.2f} Gpixel/s  ({per_frame * 1e6:.1f} us/frame)")
+
+
+if __name__ == "__main__":
+    main()
