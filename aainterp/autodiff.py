@@ -87,7 +87,13 @@ def _sep_apply(kind: str, q, ys, yw, xs, xw, interpret: bool):
 
     lead = q.shape[:-2]
     q3 = q.reshape((-1,) + q.shape[-2:]) if len(lead) != 1 else q
-    out = apply_separable_pallas(q3, ys, yw, xs, xw, interpret=interpret)
+    # uint8 pixels ride the kernel's native 8-bit band DMAs (half the
+    # read traffic) but the api-level contract stays float32 output on
+    # every route (XLA promotes u8 @ f32 to f32); uint8-in/uint8-out is
+    # the ops-level apply_separable_pallas(out_dtype=...) surface
+    out_dtype = jnp.float32 if q3.dtype == jnp.uint8 else None
+    out = apply_separable_pallas(q3, ys, yw, xs, xw, out_dtype=out_dtype,
+                                 interpret=interpret)
     return out.reshape(lead + out.shape[-2:])
 
 

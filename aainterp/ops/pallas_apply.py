@@ -96,8 +96,19 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     # pixels run HIGHEST (bf16x3) to keep true f32 accuracy; for the bf16
     # production path keep the cheap single pass (pixel operands are bf16-
     # exact and the ~0.5-ulp weight truncation vanishes in bf16 output).
+    # uint8 pixels are integers <= 255, hence bf16-exact too.
     prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    # 8-bit VMEM tiles pack (32, 128): band DMA bases are 32-aligned for
+    # uint8 sources (the wrapper densifies with align=32), 8 otherwise
+    row_hint = 32 if in_dtype == jnp.uint8 else 8
+
+    def to_out(blk):
+        if out_dtype == jnp.uint8:
+            # round-to-nearest with saturation: the operator rows are
+            # normalised (weights.py), so the average stays in [0, 255]
+            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
+        return blk.astype(out_dtype)
 
     # strided mode geometry: the caller reshapes the source to
     # (F, H/m, m, W) — free for row-major layouts — so parity j of the
@@ -159,7 +170,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 fr = jax.lax.div(step, nty)
                 return pltpu.make_async_copy(
                     src_ref.at[fr, pl.ds(
-                        pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                        pl.multiple_of(row_base_ref[tr], row_hint), SY), :],
                     src_buf.at[slot_i],
                     sem.at[slot_i],
                 )
@@ -178,7 +189,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         else:
             dma = pltpu.make_async_copy(
                 src_ref.at[frame, pl.ds(
-                    pl.multiple_of(row_base_ref[tile_row], 8), SY), :],
+                    pl.multiple_of(row_base_ref[tile_row], row_hint), SY), :],
                 src_buf,
                 sem.at[0],
             )
@@ -233,7 +244,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                     seg, wx_ref[c], precision=prec,
                     preferred_element_type=jnp.float32,
                 )
-            out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(out_dtype)
+            out_ref[0, :, c * TX: (c + 1) * TX] = to_out(blk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -293,6 +304,7 @@ def apply_separable_pallas(
     x_static: bool = False,
     bf16_x: bool = False,
     double_buffer: bool = True,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas separable banded apply: (F, H, W) -> (F, Hd, Wd).
@@ -300,12 +312,19 @@ def apply_separable_pallas(
     Drop-in equivalent of ops.apply.apply_separable_banded for 3-D inputs
     (use vmap/reshape for higher batch ranks).  y_pass: 'vpu' (exact band
     taps, ky FMAs/row) or 'mxu' (densified band matmul).
+
+    uint8 pixels are first-class: the band DMA moves 8-bit rows (half the
+    HBM read traffic of bf16 on a traffic-bound kernel), the contraction
+    accumulates f32, and the output is rounded/saturated back to uint8
+    (or any `out_dtype`).  The rows of a normalised operator sum to 1, so
+    the result is the exact area average quantised once at the end.
     """
     if frames.ndim == 2:
         return apply_separable_pallas(
             frames[None], y_start, y_w, x_start, x_w,
             tile_y=tile_y, tile_x=tile_x, y_pass=y_pass,
-            double_buffer=double_buffer, interpret=interpret,
+            double_buffer=double_buffer, out_dtype=out_dtype,
+            interpret=interpret,
         )[0]
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
@@ -325,38 +344,56 @@ def apply_separable_pallas(
     xs = np.asarray(x_start)
     xw = np.asarray(x_w, dtype=np.float32)
 
+    u8 = frames.dtype == jnp.uint8
+    if u8:
+        # 8-bit VMEM tiles pack (32, 128) sublanes x lanes: band bases must
+        # be 32-aligned and the strided/vpu y passes don't apply
+        y_pass = "mxu"
+    row_align = 32 if u8 else 8
+    if out_dtype is None:
+        out_dtype = frames.dtype if (u8 or frames.dtype in (
+            jnp.bfloat16, jnp.float32)) else jnp.float32
+    out_dtype = jnp.dtype(out_dtype)
+
     # cache the host-side densify/shift prep per operator content (eager
     # callers would otherwise redo ~ms of numpy per frame batch)
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
         F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer,
-        str(frames.dtype),
+        str(frames.dtype), str(out_dtype),
     )
     cached = _PREP_CACHE.get(prep_key)
     if cached is not None:
         return _finish_separable_pallas(frames, cached, interpret)
 
-    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
+    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
+                                                align=row_align)
     col_base, wx_blocks_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
     if SY > H or SX > W or W % 128 != 0:
         # off the 1-D kernel's envelope: full-width row bands need
         # W % 128 == 0 (the HBM band DMA slices the full last dim) and a
         # band that fits VMEM at full width.  Try the 2-D banded-tile
         # kernel (per-tile (SY, SX) block DMAs) before the XLA fallback.
+        # (Those paths take f32; uint8 callers get quantised back.)
+        ffall = frames.astype(jnp.float32) if u8 else frames
         out = apply_separable_pallas_2d(
-            frames, y_start, y_w, x_start, x_w, interpret=interpret)
-        if out is not None:
-            return out
-        from .apply import apply_separable_banded
+            ffall, y_start, y_w, x_start, x_w, interpret=interpret)
+        if out is None:
+            from .apply import apply_separable_banded
 
-        return apply_separable_banded(frames, y_start, y_w, x_start, x_w)
+            out = apply_separable_banded(ffall, y_start, y_w,
+                                         x_start, x_w)
+        if out.dtype != out_dtype:
+            if out_dtype == jnp.uint8:
+                out = jnp.clip(jnp.round(out), 0.0, 255.0)
+            out = out.astype(out_dtype)
+        return out
     # x blocks are used as (SX, TX): transpose the densified (TX, SX)
     wx_blocks = np.ascontiguousarray(np.swapaxes(wx_blocks_t, 1, 2))
     nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
 
-    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+    if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
-    out_dtype = frames.dtype
 
     # per-row band offsets/weights for the VPU y-pass (padded rows: weight 0)
     ky = yw.shape[1]

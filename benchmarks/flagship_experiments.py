@@ -58,11 +58,14 @@ def _geometry():
 
 def _frames(K, B, dtype, seed=0):
     rng = np.random.default_rng(seed)
-    a = jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(np.float32),
-                    dtype=dtype)
-    b = jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(np.float32),
-                    dtype=dtype)
-    return a, b
+
+    def mk():
+        x = rng.uniform(0, 1, (K, B, H, W))
+        if jnp.dtype(dtype) == jnp.uint8:
+            return jnp.asarray((x * 255.0).astype(np.uint8))
+        return jnp.asarray(x.astype(np.float32), dtype=dtype)
+
+    return mk(), mk()
 
 
 @functools.lru_cache(maxsize=8)

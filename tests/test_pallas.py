@@ -65,6 +65,56 @@ def test_pallas_small_image_fallback():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("out_name", ["uint8", "bfloat16"])
+def test_pallas_uint8_pixels(out_name):
+    """uint8 frames ride the kernel natively (8-bit band DMAs, f32 accum,
+    round+saturate back to uint8 or any requested out_dtype)."""
+    spec = aa.make_grid_spec((256, 512), 150.0, 60.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (2, 256, 512), dtype=np.uint8))
+    out_dtype = jnp.dtype(out_name)
+    got = apply_separable_pallas(u8, ys, yw, xs, xw,
+                                 out_dtype=out_dtype, interpret=True)
+    assert got.dtype == out_dtype
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    ref = np.asarray(ref)
+    if out_dtype == jnp.uint8:
+        # fp summation-order differences can flip a .5-boundary rounding
+        assert np.abs(got.astype(np.int32) -
+                      np.clip(np.round(ref), 0, 255).astype(np.int32)).max() <= 1
+    else:
+        np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=1.0)
+
+
+def test_pallas_uint8_default_out_and_fallback():
+    # default out_dtype is uint8-in -> uint8-out; odd widths (off the 1-D
+    # envelope) quantise the f32 fallback path identically
+    spec = aa.make_grid_spec((128, 250), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (1, 128, 250), dtype=np.uint8))
+    got = apply_separable_pallas(u8, ys, yw, xs, xw, interpret=True)
+    assert got.dtype == jnp.uint8
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(got.astype(np.int32) - want).max() <= 1
+
+
+def test_pallas_uint8_api_route_returns_float32():
+    # the api-level custom-VJP pallas route keeps the float32 output
+    # contract for uint8 sources (native 8-bit DMAs inside the kernel)
+    from aainterp.autodiff import separable_linear_for
+
+    spec = aa.make_grid_spec((256, 512), 150.0, 60.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (1, 256, 512), dtype=np.uint8))
+    got = separable_linear_for(op, jnp.float32, "pallas",
+                               interpret=True)(u8)
+    assert got.dtype == jnp.float32
+    ys, yw, xs, xw = _bands(spec)
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
 # ----------------------------------------------------------------------
 # 2-D banded-tile kernel (apply_separable_pallas_2d)
 # ----------------------------------------------------------------------
