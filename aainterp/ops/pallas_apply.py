@@ -88,7 +88,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                             ky, wy_width, out_dtype_name, in_dtype_name,
                             y_pass="mxu", stride_m=0, x_bases=None,
                             c0_static=-1, buf_rows=0, bf16_x=False,
-                            double_buffer=True, interpret=False):
+                            double_buffer=True, n_slots=2, interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
     # TPU f32 matmuls at DEFAULT precision silently truncate operands to
@@ -119,12 +119,13 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     PPAD = 8  # zeroed pad rows per parity buffer (residue + structural)
     if y_pass == "strided":
         rows_per_par = buf_rows
-    # cross-grid-step double buffering of the band DMA (mxu path): grid
-    # steps run sequentially per core and scratch/semaphores persist, so
-    # step t issues step t+1's band fetch before waiting on its own —
-    # overlapping the HBM read with the y/x matmuls
+    # cross-grid-step buffering of the band DMA (mxu path): grid steps
+    # run sequentially per core and scratch/semaphores persist, so step t
+    # issues the next slots' band fetches before waiting on its own —
+    # overlapping the HBM read with the y/x matmuls.  n_slots=2 is the
+    # classic ping-pong; deeper buffers keep more DMAs in flight
     db = bool(double_buffer) and y_pass == "mxu"
-    NSLOT = 2 if db else 1
+    NSLOT = max(2, int(n_slots)) if db else 1
 
     def kernel(row_base_ref, col_base_ref, row_off_ref, yw_flat_ref,
                src_ref, wy_ref, wx_ref, out_ref, src_buf, tmp_buf, sem):
@@ -175,15 +176,23 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                     sem.at[slot_i],
                 )
 
-            slot = jax.lax.rem(t, 2)
+            slot = jax.lax.rem(t, NSLOT)
 
             @pl.when(t == 0)
             def _():
-                band_dma(t, slot).start()
+                # fill the pipeline: this step's fetch + NSLOT-2 ahead
+                for s in range(NSLOT - 1):
+                    if s == 0:
+                        band_dma(t, 0).start()
+                    else:
+                        @pl.when(t + s < F * nty)
+                        def _(s=s):
+                            band_dma(t + s, s).start()
 
-            @pl.when(t + 1 < F * nty)
+            @pl.when(t + (NSLOT - 1) < F * nty)
             def _():
-                band_dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+                band_dma(t + (NSLOT - 1),
+                         jax.lax.rem(t + (NSLOT - 1), NSLOT)).start()
 
             band_dma(t, slot).wait()
         else:
@@ -304,6 +313,7 @@ def apply_separable_pallas(
     x_static: bool = False,
     bf16_x: bool = False,
     double_buffer: bool = True,
+    n_slots: int = 2,
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -323,8 +333,8 @@ def apply_separable_pallas(
         return apply_separable_pallas(
             frames[None], y_start, y_w, x_start, x_w,
             tile_y=tile_y, tile_x=tile_x, y_pass=y_pass,
-            double_buffer=double_buffer, out_dtype=out_dtype,
-            interpret=interpret,
+            double_buffer=double_buffer, n_slots=n_slots,
+            out_dtype=out_dtype, interpret=interpret,
         )[0]
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
@@ -357,9 +367,13 @@ def apply_separable_pallas(
 
     # cache the host-side densify/shift prep per operator content (eager
     # callers would otherwise redo ~ms of numpy per frame batch)
+    # clamp the band-buffer depth to a VMEM budget (the deep slots only
+    # pay off when the DMA stream, not VMEM, is the constraint)
+    isize = 1 if u8 else (2 if frames.dtype == jnp.bfloat16 else 4)
+    n_slots = max(2, int(n_slots))
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
-        F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer,
+        F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer, n_slots,
         str(frames.dtype), str(out_dtype),
     )
     cached = _PREP_CACHE.get(prep_key)
@@ -513,11 +527,14 @@ def apply_separable_pallas(
             wy_in = wy_blocks  # never mix shifted weights with the mxu path
             wy_width = SY
 
+    while n_slots > 2 and n_slots * SY * W * isize > 10 * 1024 * 1024:
+        n_slots -= 1
+
     plan = dict(
         build_args=(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
                     jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
                     y_pass, stride_m, x_bases, c0_static, buf_rows,
-                    bf16_x, double_buffer),
+                    bf16_x, double_buffer, n_slots),
         row_base=jnp.asarray(row_base),
         col_base=jnp.asarray(col_base),
         row_off=jnp.asarray(row_off),

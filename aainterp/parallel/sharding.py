@@ -310,7 +310,7 @@ def sharded_apply_banded_pallas(
 
     call = _build_separable_kernel(
         Bloc, Hpad, W, db, Wd, TY, TX, SY, SX, nty, ntx, ky, SY,
-        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret)
+        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret=interpret)
 
     row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
     yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
@@ -631,7 +631,7 @@ def sharded_apply_banded_2d_pallas(
 
     call = _build_separable_kernel(
         Bloc, Hpad, Wpad, db_r, db_c, TY, TX, SY, SX, nty, ntx, ky, SY,
-        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret)
+        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret=interpret)
 
     row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
     yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
