@@ -70,6 +70,39 @@ print('separable TPU smoke OK', got.shape)
 """)
 
 
+def test_separable_uint8_on_tpu():
+    """Native u8 pixel path: 8-bit band DMAs (32-aligned bases), f32
+    accumulation, round+saturate store — Mosaic compile + numerics, plus
+    a deeper (3-slot) band buffer variant."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+import aainterp as aa
+from aainterp.ops.pallas_apply import apply_separable_pallas
+from aainterp.ops.apply import apply_separable_banded
+from aainterp.ops.weights import separable_operator
+
+spec = aa.make_grid_spec((256, 512), 150.0, 60.0, (0.0, 0.0), 0.0)
+op = separable_operator(spec)
+args = (jnp.asarray(op.wy.start), jnp.asarray(op.wy.weights, jnp.float32),
+        jnp.asarray(op.wx.start), jnp.asarray(op.wx.weights, jnp.float32))
+x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 256, 512),
+                dtype=np.uint8))
+ref = np.asarray(apply_separable_banded(x.astype(jnp.float32), *args))
+want = np.clip(np.round(ref), 0, 255).astype(np.int32)
+for ns in (2, 3):
+    got = np.asarray(apply_separable_pallas(x, *args, n_slots=ns))
+    assert got.dtype == np.uint8
+    # DEFAULT-precision MXU truncates f32 weights to bf16 (same as the
+    # production bf16 path): ~2^-9 relative ~ 0.5 gray level at 255,
+    # plus .5-boundary rounding flips -> allow 1
+    assert np.abs(got.astype(np.int32) - want).max() <= 1, ns
+gb = np.asarray(apply_separable_pallas(x, *args, out_dtype=jnp.bfloat16))
+assert gb.dtype == jnp.bfloat16
+assert np.abs(gb.astype(np.float32) - ref).max() <= 1.0
+print('uint8 TPU smoke OK')
+""")
+
+
 def test_rotated_shear_kernels_on_tpu():
     """Three-kernel rotated apply: Mosaic compile + 1-ulp numerics."""
     _run_on_tpu("""
