@@ -59,18 +59,32 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
     """
     n_dst, band = weights.shape
     n_tiles = _round_up(n_dst, tile) // tile
-    base = np.zeros(n_tiles, dtype=np.int32)
-    spans = np.zeros(n_tiles, dtype=np.int64)
+    lo_arr = np.zeros(n_tiles, dtype=np.int64)
+    hi_arr = np.zeros(n_tiles, dtype=np.int64)
     for t in range(n_tiles):
         rows = slice(t * tile, min((t + 1) * tile, n_dst))
-        lo = int(start[rows].min())
-        lo = (lo // align) * align
-        hi = int(start[rows].max()) + band
-        base[t] = lo
-        spans[t] = hi - lo
-    span = _round_up(int(spans.max()), align)
-    span = min(span, _round_up(n_src, align))
-    base = np.clip(base, 0, max(n_src - span, 0))
+        lo_arr[t] = (int(start[rows].min()) // align) * align
+        hi_arr[t] = int(start[rows].max()) + band
+    # clamp bases to ALIGNED positions inside [0, n_src - span]: the DMA
+    # base alignment is a hard Mosaic contract (the kernel hints
+    # multiple_of(align)), so the upper clamp must be floored to align
+    # too — n_src - span itself need not be aligned.  Clamping a base
+    # down grows its tile's required span, so iterate to a fixpoint
+    # (grows monotonically; bounded by n_src).
+    span = _round_up(int((hi_arr - lo_arr).max()), align)
+    base = lo_arr
+    while True:
+        max_base = ((n_src - span) // align) * align
+        if max_base < 0:
+            base = np.zeros(n_tiles, dtype=np.int64)
+            span = _round_up(n_src, align)  # > n_src: caller falls back
+            break
+        base = np.clip(lo_arr, 0, max_base)
+        need = int((hi_arr - base).max())
+        if need <= span:
+            break
+        span = _round_up(need, align)
+    base = base.astype(np.int32)
     blocks = np.zeros((n_tiles, tile, span), dtype=np.float32)
     for t in range(n_tiles):
         for r in range(tile):
