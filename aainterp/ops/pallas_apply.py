@@ -402,13 +402,18 @@ def apply_separable_pallas(
         # W % 128 == 0 (the HBM band DMA slices the full last dim) and a
         # band that fits VMEM at full width.  Try the 2-D banded-tile
         # kernel (per-tile (SY, SX) block DMAs) before the XLA fallback.
-        # (Those paths take f32; uint8 callers get quantised back.)
-        ffall = frames.astype(jnp.float32) if u8 else frames
+        # The 2-D kernel rides u8 natively for the u8->u8 contract; other
+        # out dtypes (and the XLA path) compute in f32 and quantise back.
+        ffall = frames
+        if u8 and out_dtype != jnp.uint8:
+            ffall = frames.astype(jnp.float32)
         out = apply_separable_pallas_2d(
             ffall, y_start, y_w, x_start, x_w, interpret=interpret)
         if out is None:
             from .apply import apply_separable_banded
 
+            if ffall.dtype == jnp.uint8:
+                ffall = ffall.astype(jnp.float32)
             out = apply_separable_banded(ffall, y_start, y_w,
                                          x_start, x_w)
         if out.dtype != out_dtype:
@@ -622,7 +627,13 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     in_dtype = jnp.dtype(in_dtype_name)
     prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    row_hint = 32 if in_dtype == jnp.uint8 else 8
     npr = nty * ntx  # programs per frame
+
+    def to_out(blk):
+        if out_dtype == jnp.uint8:
+            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
+        return blk.astype(out_dtype)
 
     def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
                out_ref, band_buf, sem):
@@ -635,7 +646,8 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             tx = jax.lax.rem(r, ntx)
             return pltpu.make_async_copy(
                 src_ref.at[fr,
-                           pl.ds(pl.multiple_of(row_base_ref[ty], 8), SY),
+                           pl.ds(pl.multiple_of(row_base_ref[ty],
+                                                row_hint), SY),
                            pl.ds(pl.multiple_of(col_base_ref[tx], 128),
                                  SX)],
                 band_buf.at[slot_i],
@@ -658,10 +670,10 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             wy_ref[0], band.astype(jnp.float32),
             precision=prec, preferred_element_type=jnp.float32,
         )  # (TY, SX)
-        out_ref[0] = jnp.dot(
+        out_ref[0] = to_out(jnp.dot(
             tmp, wx_ref[0], precision=prec,
             preferred_element_type=jnp.float32,
-        ).astype(out_dtype)
+        ))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -747,20 +759,23 @@ def apply_separable_pallas_2d(
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
     Wd = int(x_w.shape[0])
-    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+    if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
     in_dtype = frames.dtype
-    isize = 2 if in_dtype == jnp.bfloat16 else 4
+    u8 = in_dtype == jnp.uint8
+    row_align = 32 if u8 else 8
+    isize = 1 if u8 else (2 if in_dtype == jnp.bfloat16 else 4)
 
     ys = np.asarray(y_start)
     yw = np.asarray(y_w, dtype=np.float32)
     xs = np.asarray(x_start)
     xw = np.asarray(x_w, dtype=np.float32)
 
-    # plan against (8, 128)-aligned padded source dims: aligned block
-    # bases clamped inside an unaligned W would otherwise force the last
-    # tile's span past the array (zero pad, zero weights there)
-    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    # plan against aligned padded source dims (8 or 32 sublanes by pixel
+    # width, 128 lanes): aligned block bases clamped inside an unaligned
+    # W would otherwise force the last tile's span past the array (zero
+    # pad, zero weights there)
+    Hp, Wp = _round_up(H, row_align), _round_up(W, 128)
 
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
@@ -781,7 +796,7 @@ def apply_separable_pallas_2d(
     # TX is pinned to 128: the out BlockSpec's last dim must be divisible
     # by 128 (or equal the full array dim); TY only needs 8-divisibility
     for TY, TX in ((128, 128), (64, 128), (32, 128), (16, 128), (8, 128)):
-        by = _banded_blocks_2d(ys, yw, Hp, TY, align=8)
+        by = _banded_blocks_2d(ys, yw, Hp, TY, align=row_align)
         bx = _banded_blocks_2d(xs, xw, Wp, TX, align=128)
         if by is None or bx is None:
             continue

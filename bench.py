@@ -270,12 +270,14 @@ def bench_rgb1024(batch: int, iters: int, dtype):
     op = separable_operator(spec, mode="exact")
     rng = np.random.default_rng(0)
     K = 64
-    frames = jnp.asarray(
-        rng.uniform(0, 1, (K, batch * 3, H, W)).astype(np.float32),
-        dtype=dtype)  # batched RGB flattened over channels
-    warm = jnp.asarray(
-        rng.uniform(0, 1, (K, batch * 3, H, W)).astype(np.float32),
-        dtype=dtype)
+
+    def mk():  # batched RGB flattened over channels
+        x = rng.uniform(0, 1, (K, batch * 3, H, W))
+        if jnp.dtype(dtype) == jnp.uint8:
+            return jnp.asarray((x * 255.0).astype(np.uint8))
+        return jnp.asarray(x.astype(np.float32), dtype=dtype)
+
+    frames, warm = mk(), mk()
     ys = jnp.asarray(op.wy.start)
     yw = jnp.asarray(op.wy.weights, jnp.float32)
     xs = jnp.asarray(op.wx.start)
@@ -459,8 +461,9 @@ def main():
 
     if args.case == "rgb1024":
         g = bench_rgb1024(args.batch, args.iters, jnp.dtype(args.dtype))
+        dsfx = "" if args.dtype == "bfloat16" else f"_{args.dtype}"
         print(json.dumps({
-            "metric": f"gpixel_per_s_rgb1024_ratio2.5_x{args.batch}",
+            "metric": f"gpixel_per_s_rgb1024_ratio2.5_x{args.batch}{dsfx}",
             "value": round(g, 3), "unit": "Gpixel/s",
             "vs_baseline": round(g / 5.0, 3)}))
         return

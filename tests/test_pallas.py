@@ -155,6 +155,19 @@ def test_pallas_2d_regrid_bands():
                                rtol=1e-6, atol=1e-3)
 
 
+def test_pallas_2d_uint8_native():
+    # the 2-D banded-tile kernel rides u8 natively (32-aligned row bases,
+    # round+saturate store); odd width keeps it off the 1-D kernel
+    spec = aa.make_grid_spec((200, 500), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (2, 200, 500), dtype=np.uint8))
+    got = apply_separable_pallas_2d(u8, ys, yw, xs, xw, interpret=True)
+    assert got is not None and got.dtype == jnp.uint8
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(np.asarray(got).astype(np.int32) - want).max() <= 1
+
+
 def test_pallas_1d_falls_back_to_2d_on_odd_width():
     # apply_separable_pallas routes W % 128 != 0 to the 2-D kernel
     spec = aa.make_grid_spec((128, 250), 2.0, 1.0, (0.0, 0.0), 0.0)

@@ -99,6 +99,20 @@ for ns in (2, 3):
 gb = np.asarray(apply_separable_pallas(x, *args, out_dtype=jnp.bfloat16))
 assert gb.dtype == jnp.bfloat16
 assert np.abs(gb.astype(np.float32) - ref).max() <= 1.0
+
+# 2-D banded-tile kernel at an odd width (u8 native, 32-aligned bases)
+from aainterp.ops.pallas_apply import apply_separable_pallas_2d
+spec2 = aa.make_grid_spec((200, 500), 2.0, 1.0, (0.0, 0.0), 0.0)
+op2 = separable_operator(spec2)
+args2 = (jnp.asarray(op2.wy.start), jnp.asarray(op2.wy.weights, jnp.float32),
+         jnp.asarray(op2.wx.start), jnp.asarray(op2.wx.weights, jnp.float32))
+x2 = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 200, 500),
+                 dtype=np.uint8))
+g2 = apply_separable_pallas_2d(x2, *args2)
+assert g2 is not None and g2.dtype == jnp.uint8
+r2 = np.asarray(apply_separable_banded(x2.astype(jnp.float32), *args2))
+w2 = np.clip(np.round(r2), 0, 255).astype(np.int32)
+assert np.abs(np.asarray(g2).astype(np.int32) - w2).max() <= 1
 print('uint8 TPU smoke OK')
 """)
 
