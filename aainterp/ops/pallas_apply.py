@@ -620,13 +620,28 @@ def _banded_blocks_2d(start: np.ndarray, weights: np.ndarray, n: int,
     return base.astype(np.int32), blocks, span
 
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 @functools.lru_cache(maxsize=32)
 def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
-                               out_dtype_name, in_dtype_name, interpret):
+                               out_dtype_name, in_dtype_name, precision,
+                               interpret):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
-    prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    # "auto": f32 pixels need multi-pass MXU accuracy (DEFAULT silently
+    # truncates operands to bf16, ~1e-3 error); bf16/u8 operands are
+    # exact in one pass.  An explicit precision overrides (the regrid
+    # probe measures HIGH-vs-HIGHEST accuracy/speed on the real chip).
+    if precision == "auto":
+        prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+    else:
+        prec = _PRECISIONS[precision]
     row_hint = 32 if in_dtype == jnp.uint8 else 8
     npr = nty * ntx  # programs per frame
 
@@ -733,6 +748,7 @@ def apply_separable_pallas_2d(
     x_w: jax.Array,
     *,
     vmem_budget: int = 12 * 1024 * 1024,
+    precision: str = "auto",
     interpret: bool = False,
 ):
     """2-D banded-tile Pallas apply: (F, H, W) -> (F, Hd, Wd) or None.
@@ -754,13 +770,17 @@ def apply_separable_pallas_2d(
     if frames.ndim == 2:
         out = apply_separable_pallas_2d(
             frames[None], y_start, y_w, x_start, x_w,
-            vmem_budget=vmem_budget, interpret=interpret)
+            vmem_budget=vmem_budget, precision=precision,
+            interpret=interpret)
         return None if out is None else out[0]
     F, H, W = frames.shape
     Hd = int(y_w.shape[0])
     Wd = int(x_w.shape[0])
     if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
+    if precision != "auto" and precision not in _PRECISIONS:
+        raise ValueError(f"precision must be auto/default/high/highest, "
+                         f"got {precision!r}")
     in_dtype = frames.dtype
     u8 = in_dtype == jnp.uint8
     row_align = 32 if u8 else 8
@@ -779,7 +799,7 @@ def apply_separable_pallas_2d(
 
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
-        F, H, W, str(in_dtype), vmem_budget, "2d",
+        F, H, W, str(in_dtype), vmem_budget, precision, "2d",
     )
     cached = _PREP_CACHE.get(prep_key)
     if cached is not None:
@@ -816,7 +836,8 @@ def apply_separable_pallas_2d(
     TY, TX, row_base, wy_blocks, SY, col_base, wx_blocks, SX = plan
     nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
     build_args = (F, Hp, Wp, Hd, Wd, TY, TX, SY, SX, nty, ntx,
-                  jnp.dtype(in_dtype).name, jnp.dtype(in_dtype).name)
+                  jnp.dtype(in_dtype).name, jnp.dtype(in_dtype).name,
+                  precision)
     cached = dict(
         build_args=build_args,
         row_base=jnp.asarray(row_base),

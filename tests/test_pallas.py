@@ -168,6 +168,23 @@ def test_pallas_2d_uint8_native():
     assert np.abs(np.asarray(got).astype(np.int32) - want).max() <= 1
 
 
+def test_pallas_2d_precision_knob():
+    # explicit MXU precisions plumb through the plan cache and match in
+    # interpret mode (which is exact at any precision); bad names raise
+    spec = aa.make_grid_spec((200, 500), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 200, 500)).astype(np.float32))
+    ref = apply_separable_banded(x, ys, yw, xs, xw)
+    for prec in ("default", "high", "highest"):
+        got = apply_separable_pallas_2d(x, ys, yw, xs, xw,
+                                        precision=prec, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="precision"):
+        apply_separable_pallas_2d(x, ys, yw, xs, xw, precision="bogus",
+                                  interpret=True)
+
+
 def test_pallas_1d_falls_back_to_2d_on_odd_width():
     # apply_separable_pallas routes W % 128 != 0 to the 2-D kernel
     spec = aa.make_grid_spec((128, 250), 2.0, 1.0, (0.0, 0.0), 0.0)
