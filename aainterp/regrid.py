@@ -110,17 +110,38 @@ def conservative_regrid_operator(
     return _norm(by), _norm(bx)
 
 
-def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid):
+def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
+                        impl: str = "auto", precision: str = "auto",
+                        interpret: bool = False):
     """Regrid (..., n_lat, n_lon) fields conservatively (non-periodic lon
-    seam handled by construction since both grids share the 0/360 seam)."""
+    seam handled by construction since both grids share the 0/360 seam).
+
+    impl: 'auto' routes to the 2-D banded-tile Pallas kernel on TPU (the
+    path the config-5 bench measures — the wide 10x bands fall off the
+    1-D kernel's full-width-row envelope) and the XLA banded apply
+    elsewhere; 'pallas'/'xla' force, with pallas falling back to XLA off
+    its envelope.  precision: MXU precision for the Pallas dots
+    ('auto' = HIGHEST for f32 fields; see ops/pallas_apply.py).
+    ``interpret`` runs the Pallas route in interpret mode (tests).
+    """
     from .ops.apply import apply_separable_banded
 
     by, bx = conservative_regrid_operator(src, dst)
-    return apply_separable_banded(
-        jnp.asarray(field),
-        jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
-        jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32),
-    )
+    field = jnp.asarray(field)
+    args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
+            jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl == "pallas":
+        from .ops.pallas_apply import apply_separable_pallas_2d
+
+        lead = field.shape[:-2]
+        f3 = field.reshape((-1,) + field.shape[-2:])
+        out = apply_separable_pallas_2d(f3, *args, precision=precision,
+                                        interpret=interpret)
+        if out is not None:
+            return out.reshape(lead + out.shape[-2:])
+    return apply_separable_banded(field, *args)
 
 
 def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
