@@ -55,6 +55,20 @@ def test_pallas_bf16_output_rounding_only():
     )
 
 
+@pytest.mark.parametrize("ns", [3, 4])
+def test_pallas_n_slot_band_buffer(ns):
+    """Deeper cross-grid-step DMA pipelines (n_slots > 2) stay exact —
+    the pipeline-fill/steady-state slot rotation must never let a step
+    read a band another step is still fetching."""
+    spec = aa.make_grid_spec((256, 512), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    frames = jnp.asarray(RNG.uniform(0, 1, (3, 256, 512)).astype(np.float32))
+    ref = apply_separable_banded(frames, ys, yw, xs, xw)
+    got = apply_separable_pallas(frames, ys, yw, xs, xw, n_slots=ns,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_pallas_small_image_fallback():
     """Tiny images (band span exceeds image) route to the XLA path."""
     spec = aa.make_grid_spec((24, 24), 2.0, 1.0, (4.0, 4.0), 0.0)
