@@ -18,6 +18,7 @@ from .api import (
 )
 from .autodiff import apply_operator_transpose
 from .grids import GridSpec, ValidationError, make_grid_spec
+from .ops.weights import compose_separable
 
 __version__ = "0.1.0"
 
@@ -30,6 +31,7 @@ __all__ = [
     "area_average_interpolate",
     "area_average_interpolation",
     "build_operator",
+    "compose_separable",
     "fast_area_average_interpolation",
     "make_grid_spec",
     "__version__",

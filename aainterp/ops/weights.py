@@ -97,6 +97,53 @@ def separable_operator(spec: GridSpec, mode: str = "exact") -> SeparableOperator
                              raw_row_sums=(sy, sx), mode=mode)
 
 
+def compose_separable(outer: SeparableOperator,
+                      inner: SeparableOperator) -> SeparableOperator:
+    """Fuse two axis-aligned resampling stages into ONE operator.
+
+    ``inner`` maps the source grid to an intermediate grid, ``outer``
+    maps that intermediate to the final grid; the returned operator is
+    their exact matrix product per axis (overlap1d.compose_band, float64
+    host arithmetic), so a chained pipeline runs as a single banded
+    apply: one pass over the pixels, the intermediate image never
+    materialised, every apply/autodiff/sharding path available
+    unchanged.  Row-normalised stages compose to a row-normalised
+    operator (rows of W2 @ W1 sum to 1).
+
+    Both stages must be quadrant-0 (fold a quadrant rotation into one of
+    the stages before composing).  Metadata: dst-side fields (shape,
+    side, isocenter, raw_row_sums, mode) come from ``outer``; source-
+    side fields from ``inner``.
+    """
+    if inner.spec.quadrant != 0 or outer.spec.quadrant != 0:
+        raise ValueError(
+            "compose_separable requires quadrant-0 stages (fold the "
+            "rot90 into a single stage before composing)")
+    if (outer.wy.n_src, outer.wx.n_src) != (inner.wy.n_dst,
+                                            inner.wx.n_dst):
+        raise ValueError(
+            f"stage shapes don't chain: outer source "
+            f"{(outer.wy.n_src, outer.wx.n_src)} != inner dst "
+            f"{(inner.wy.n_dst, inner.wx.n_dst)}")
+    spec = dataclasses.replace(
+        outer.spec,
+        src_shape=inner.spec.src_shape,
+        src_resolution=inner.spec.src_resolution,
+        src_isocenter=inner.spec.src_isocenter,
+        scale=inner.spec.scale,
+        qrot_shape=inner.spec.qrot_shape,
+        mod_shape=inner.spec.mod_shape,
+        mod_isocenter=inner.spec.mod_isocenter,
+    )
+    return SeparableOperator(
+        spec=spec,
+        wy=overlap1d.compose_band(outer.wy, inner.wy),
+        wx=overlap1d.compose_band(outer.wx, inner.wx),
+        raw_row_sums=outer.raw_row_sums,
+        mode=outer.mode,
+    )
+
+
 # ----------------------------------------------------------------------
 # ELL operator (rotated)
 # ----------------------------------------------------------------------
