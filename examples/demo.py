@@ -77,6 +77,18 @@ def main():
           f"{float(area_weighted_mean(field, src_g)):.4f} -> "
           f"{float(area_weighted_mean(coarse, dst_g)):.4f} (conserved)")
 
+    # 6. Operator composition: fuse chained stages into ONE exact
+    #    operator — one pass over the pixels, intermediate never built.
+    op1 = aa.build_operator(aa.make_grid_spec((256, 256), 4.0, 2.0,
+                                              (0.0, 0.0), 0.0))
+    op2 = aa.build_operator(aa.make_grid_spec((128, 128), 150.0, 60.0,
+                                              (0.0, 0.0), 0.0))
+    fused = aa.compose_separable(op2, op1)
+    two = aa.apply_operator(op2, aa.apply_operator(op1, frames))
+    one = aa.apply_operator(fused, frames)
+    print(f"fused 2-stage pipeline {frames.shape} -> {one.shape}, "
+          f"max diff vs chained {np.abs(np.asarray(one - two)).max():.2e}")
+
 
 if __name__ == "__main__":
     main()
