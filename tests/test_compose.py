@@ -96,6 +96,35 @@ def test_compose_band_identity():
     np.testing.assert_allclose(comp2.dense(), op.wy.dense(), atol=0)
 
 
+def test_compose_sharded_and_adjoint():
+    """Composed operators ride the sharded apply and the exact adjoint
+    unchanged (they are ordinary SeparableOperators)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from aainterp.parallel.sharding import sharded_apply_separable
+
+    op1 = _op((128, 64), 2.0, 1.0)          # 128 -> 64 rows
+    op2 = _op((64, 32), 2.0, 1.0)           # 64 -> 32 rows (divisible by 4)
+    fused = compose_separable(op2, op1)
+    frames = RNG.uniform(0, 1, (4, 128, 64)).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "rows"))
+    fdev = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("data", "rows", None)))
+    out = jax.jit(lambda f: sharded_apply_separable(f, fused, mesh))(fdev)
+    ref = aa.apply_operator(fused, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # exact adjoint: <W x, y> == <x, W^T y>
+    cot = RNG.uniform(0, 1, ref.shape).astype(np.float32)
+    splat = aa.apply_operator_transpose(fused, jnp.asarray(cot))
+    lhs = float(np.sum(np.asarray(ref, np.float64) * cot))
+    rhs = float(np.sum(frames.astype(np.float64) * np.asarray(splat)))
+    assert lhs == pytest.approx(rhs, rel=1e-5)
+
+
 def test_compose_regrid_chain():
     """Regrid chains fuse too: 0.5deg -> 1deg -> 2deg in one pass."""
     from aainterp.regrid import (
