@@ -28,6 +28,7 @@ CASES = [
     ("rot30", []),               # config 3: 2048^2 rotation 30 deg
     ("regrid", []),              # config 5: conservative lat-lon regrid
     ("sharded", []),             # multi-chip scaffolding (mesh 1x1 here)
+    ("compose", []),             # fused 2-stage pipeline vs chained
 ]
 
 
