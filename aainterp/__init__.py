@@ -13,6 +13,7 @@ from .api import (
     apply_operator,
     area_average_interpolate,
     area_average_interpolation,
+    area_resize,
     build_operator,
     fast_area_average_interpolation,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "apply_operator_transpose",
     "area_average_interpolate",
     "area_average_interpolation",
+    "area_resize",
     "build_operator",
     "compose_separable",
     "fast_area_average_interpolation",

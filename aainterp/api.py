@@ -438,6 +438,52 @@ def area_average_interpolate(
     return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter, spec=spec)
 
 
+def area_resize(
+    image,
+    dst_shape: Tuple[int, int],
+    *,
+    impl: str = "auto",
+    precision: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Conservative (area-average) resize of (..., H, W) to ANY shape.
+
+    Convenience entry for the everyday case: each destination pixel is
+    the exact area-weighted mean of the source pixels its footprint
+    covers, with the two axes resized INDEPENDENTLY — anisotropic
+    targets allowed, which the reference program cannot express (it
+    rejects anisotropic resolutions, Source.cpp:111-117; this is new
+    capability, not reference parity — use area_average_interpolate for
+    reference semantics incl. isocenter and rotation).  Conserves total
+    flux: ``out.mean() == image.mean()`` to float tolerance at any
+    ratio, up or down.  Runs the same banded applies as everything else
+    (Pallas 2-D banded-tile kernel on TPU; impl/precision/interpret per
+    regrid.apply_band_operators).
+    """
+    from .ops.overlap1d import Band1D
+    from .regrid import _interval_overlap_band, apply_band_operators
+
+    H, W = int(image.shape[-2]), int(image.shape[-1])
+    Hd, Wd = int(dst_shape[0]), int(dst_shape[1])
+    if Hd <= 0 or Wd <= 0:
+        raise ValueError(f"dst_shape must be positive, got {dst_shape!r}")
+
+    def _axis_band(n_src: int, n_dst: int) -> Band1D:
+        band = max(2, -(-n_src // n_dst) + 2)
+        b = _interval_overlap_band(
+            np.linspace(0.0, float(n_src), n_src + 1),
+            np.linspace(0.0, float(n_src), n_dst + 1),
+            band,
+        )
+        s = b.weights.sum(axis=1, keepdims=True)  # == n_src/n_dst exactly
+        return Band1D(start=b.start, weights=b.weights / s,
+                      n_src=n_src, n_dst=n_dst)
+
+    return apply_band_operators(
+        image, _axis_band(H, Hd), _axis_band(W, Wd),
+        impl=impl, precision=precision, interpret=interpret)
+
+
 # ----------------------------------------------------------------------
 # Reference-named convenience wrappers (Source.cpp API surface)
 # ----------------------------------------------------------------------

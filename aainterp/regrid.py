@@ -110,23 +110,21 @@ def conservative_regrid_operator(
     return _norm(by), _norm(bx)
 
 
-def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
-                        impl: str = "auto", precision: str = "auto",
-                        interpret: bool = False):
-    """Regrid (..., n_lat, n_lon) fields conservatively (non-periodic lon
-    seam handled by construction since both grids share the 0/360 seam).
+def apply_band_operators(field, by: Band1D, bx: Band1D, *,
+                         impl: str = "auto", precision: str = "auto",
+                         interpret: bool = False):
+    """Apply a (y, x) Band1D pair to (..., H, W) fields on device.
 
-    impl: 'auto' routes to the 2-D banded-tile Pallas kernel on TPU (the
-    path the config-5 bench measures — the wide 10x bands fall off the
-    1-D kernel's full-width-row envelope) and the XLA banded apply
-    elsewhere; 'pallas'/'xla' force, with pallas falling back to XLA off
-    its envelope.  precision: MXU precision for the Pallas dots
-    ('auto' = HIGHEST for f32 fields; see ops/pallas_apply.py).
-    ``interpret`` runs the Pallas route in interpret mode (tests).
+    impl: 'auto' routes to the 2-D banded-tile Pallas kernel on TPU (wide
+    bands and unaligned widths fall off the 1-D kernel's full-width-row
+    envelope) and the XLA banded apply elsewhere; 'pallas'/'xla' force,
+    with pallas falling back to XLA off its envelope.  precision: MXU
+    precision for the Pallas dots ('auto' = HIGHEST for f32 fields; see
+    ops/pallas_apply.py).  ``interpret`` runs the Pallas route in
+    interpret mode (tests).
     """
     from .ops.apply import apply_separable_banded
 
-    by, bx = conservative_regrid_operator(src, dst)
     field = jnp.asarray(field)
     args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
             jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
@@ -142,6 +140,17 @@ def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
         if out is not None:
             return out.reshape(lead + out.shape[-2:])
     return apply_separable_banded(field, *args)
+
+
+def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
+                        impl: str = "auto", precision: str = "auto",
+                        interpret: bool = False):
+    """Regrid (..., n_lat, n_lon) fields conservatively (non-periodic lon
+    seam handled by construction since both grids share the 0/360 seam).
+    Routing knobs are documented on apply_band_operators."""
+    by, bx = conservative_regrid_operator(src, dst)
+    return apply_band_operators(field, by, bx, impl=impl,
+                                precision=precision, interpret=interpret)
 
 
 def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,

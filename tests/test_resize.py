@@ -1,0 +1,69 @@
+"""aa.area_resize: conservative resize to arbitrary (anisotropic) shapes.
+
+New capability vs the reference (it rejects anisotropic resolutions,
+Source.cpp:111-117).  Ground truth: dense float64 interval-overlap
+operators.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import aainterp as aa
+
+RNG = np.random.default_rng(11)
+
+
+def _dense_axis(n_src, n_dst):
+    """(n_dst, n_src) exact interval-overlap row-mean operator, f64."""
+    se = np.linspace(0.0, n_src, n_src + 1)
+    de = np.linspace(0.0, n_src, n_dst + 1)
+    w = np.maximum(
+        0.0,
+        np.minimum(de[1:, None], se[None, 1:])
+        - np.maximum(de[:-1, None], se[None, :-1]),
+    )
+    return w / w.sum(axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("shape,dst", [
+    ((64, 96), (32, 32)),     # anisotropic downscale
+    ((50, 70), (21, 33)),     # ragged non-integer ratios
+    ((16, 16), (40, 24)),     # anisotropic upscale
+    ((37, 53), (37, 20)),     # one axis identity
+])
+def test_area_resize_matches_dense(shape, dst):
+    img = RNG.uniform(0, 1, shape)
+    out = np.asarray(aa.area_resize(jnp.asarray(img, jnp.float32), dst))
+    want = _dense_axis(shape[0], dst[0]) @ img @ _dense_axis(shape[1], dst[1]).T
+    assert out.shape == dst
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_area_resize_integer_box_mean():
+    img = RNG.uniform(0, 1, (8, 48, 64)).astype(np.float32)
+    out = np.asarray(aa.area_resize(jnp.asarray(img), (24, 16)))
+    ref = img.reshape(8, 24, 2, 16, 4).mean(axis=(2, 4))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_area_resize_conserves_mean():
+    img = RNG.uniform(0, 1, (33, 47))
+    for dst in ((11, 13), (66, 94), (5, 120)):
+        out = np.asarray(aa.area_resize(jnp.asarray(img, jnp.float32), dst))
+        assert float(out.mean()) == pytest.approx(float(img.mean()),
+                                                  rel=1e-5)
+
+
+def test_area_resize_pallas_route_interpret():
+    img = jnp.asarray(RNG.uniform(0, 1, (2, 200, 300)).astype(np.float32))
+    ref = np.asarray(aa.area_resize(img, (80, 120), impl="xla"))
+    got = np.asarray(aa.area_resize(img, (80, 120), impl="pallas",
+                                    interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_area_resize_rejects_bad_shape():
+    img = jnp.zeros((8, 8))
+    with pytest.raises(ValueError, match="positive"):
+        aa.area_resize(img, (0, 4))
