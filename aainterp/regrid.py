@@ -126,6 +126,7 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
     from .ops.apply import apply_separable_banded
 
     field = jnp.asarray(field)
+    u8 = field.dtype == jnp.uint8  # u8 in -> u8 out on EVERY route
     args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
             jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
     if impl == "auto":
@@ -139,7 +140,11 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
                                         interpret=interpret)
         if out is not None:
             return out.reshape(lead + out.shape[-2:])
-    return apply_separable_banded(field, *args)
+    out = apply_separable_banded(
+        field.astype(jnp.float32) if u8 else field, *args)
+    if u8:
+        out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    return out
 
 
 def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,

@@ -63,6 +63,17 @@ def test_area_resize_pallas_route_interpret():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_area_resize_uint8_contract():
+    """u8 in -> u8 out on BOTH routes (native Pallas path on TPU, rounded
+    XLA fallback elsewhere), within 1 quantisation step of each other."""
+    img = jnp.asarray(RNG.integers(0, 256, (2, 96, 128), dtype=np.uint8))
+    xla = aa.area_resize(img, (48, 32))            # CPU: XLA fallback
+    pal = aa.area_resize(img, (48, 32), impl="pallas", interpret=True)
+    assert xla.dtype == jnp.uint8 and pal.dtype == jnp.uint8
+    d = np.abs(np.asarray(xla, np.int32) - np.asarray(pal, np.int32))
+    assert d.max() <= 1
+
+
 def test_area_resize_rejects_bad_shape():
     img = jnp.zeros((8, 8))
     with pytest.raises(ValueError, match="positive"):
