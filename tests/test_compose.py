@@ -83,6 +83,33 @@ def test_compose_separable_rejects_mismatch_and_quadrant():
         compose_separable(op_q, op_q)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_compose_band_fuzz_random_bands(seed):
+    """Random bands (random starts incl. clamped/OOB entries, zero rows)
+    compose to exactly the dense product."""
+    rng = np.random.default_rng(seed)
+    n_src = int(rng.integers(5, 60))
+    n_mid = int(rng.integers(5, 60))
+    n_dst = int(rng.integers(5, 60))
+    ki = int(rng.integers(1, 7))
+    ko = int(rng.integers(1, 7))
+
+    def rand_band(n_d, n_s, k):
+        start = rng.integers(-2, n_s + 2, size=n_d).astype(np.int32)
+        w = rng.uniform(-1, 1, (n_d, k))
+        w[rng.uniform(size=n_d) < 0.15] = 0.0       # empty rows
+        # zero the weights of out-of-range cells (the Band1D contract)
+        j = start[:, None] + np.arange(k)[None, :]
+        w[(j < 0) | (j >= n_s)] = 0.0
+        return Band1D(start=start, weights=w, n_src=n_s, n_dst=n_d)
+
+    inner = rand_band(n_mid, n_src, ki)
+    outer = rand_band(n_dst, n_mid, ko)
+    comp = compose_band(outer, inner)
+    np.testing.assert_allclose(comp.dense(),
+                               outer.dense() @ inner.dense(), atol=1e-12)
+
+
 def test_compose_band_identity():
     """Composing with an identity band is a no-op."""
     op = _op((80, 80), 2.0, 1.0)
