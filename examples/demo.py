@@ -89,6 +89,13 @@ def main():
     print(f"fused 2-stage pipeline {frames.shape} -> {one.shape}, "
           f"max diff vs chained {np.abs(np.asarray(one - two)).max():.2e}")
 
+    # 7. Everyday conservative resize to any (even anisotropic) shape —
+    #    something the reference rejects (isotropic resolutions only):
+    wide = aa.area_resize(frames, (100, 180))
+    print(f"area_resize {frames.shape} -> {wide.shape}: mean "
+          f"{float(frames.mean()):.6f} -> {float(wide.mean()):.6f} "
+          "(flux conserved)")
+
 
 if __name__ == "__main__":
     main()
