@@ -20,6 +20,7 @@ from .api import (
 from .autodiff import apply_operator_transpose
 from .grids import GridSpec, ValidationError, make_grid_spec
 from .ops.weights import compose_separable
+from .pipeline import stream_apply
 
 __version__ = "0.1.0"
 
@@ -36,5 +37,6 @@ __all__ = [
     "compose_separable",
     "fast_area_average_interpolation",
     "make_grid_spec",
+    "stream_apply",
     "__version__",
 ]

@@ -266,6 +266,48 @@ def bench_compose(batch: int, dtype):
     return g_chain, g_fused, err
 
 
+def bench_stream(batch: int, dtype, n_frames: int = 48, depth: int = 3):
+    """End-to-end host->device->host streaming at the flagship geometry
+    (aainterp.pipeline.stream_apply): wall-clock over n_frames DISTINCT
+    host frames (distinct input bytes also defeat the relay's execute
+    dedup), pipelined depth-k vs the reference-style serial depth-1 loop.
+
+    This measures the whole serving path — H2D copy, device apply, D2H
+    fetch — not just the kernel, so on this box it includes the axon
+    relay's ~30 ms synchronised round trips; on locally-attached TPU the
+    transfers ride PCIe/DMA and the pipeline hides them under compute.
+    """
+    import time
+
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.weights import separable_operator
+    from aainterp.pipeline import stream_apply
+
+    H, W = 2160, 3840
+    spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec, mode="exact")
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (n_frames, H, W))
+    frames = list((x * 1.0).astype(np.uint8)) if jnp.dtype(dtype) == \
+        jnp.uint8 else list(x.astype(np.float32).astype(dtype))
+
+    def run(d):
+        # warm (compile + caches) on a short prefix, then time the lot
+        for _ in stream_apply(op, frames[: 2 * batch], batch=batch, depth=d):
+            pass
+        t0 = time.perf_counter()
+        n = sum(1 for _ in stream_apply(op, frames, batch=batch, depth=d))
+        dt = time.perf_counter() - t0
+        assert n == n_frames
+        return n_frames * H * W / dt / 1e9
+
+    g_serial = run(1)
+    g_piped = run(depth)
+    print(f"# stream x{n_frames} frames: depth=1 {g_serial:.2f} "
+          f"Gpixel/s, depth={depth} {g_piped:.2f} Gpixel/s")
+    return g_serial, g_piped
+
+
 def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
     """Config 3: 2048x2048 rotation by 30 deg via polygon-clip ELL weights.
 
@@ -499,8 +541,19 @@ def main():
                     help="benchmark every impl and report the best")
     ap.add_argument("--case", default="resize4k",
                     choices=("resize4k", "rot30", "regrid", "rgb1024",
-                             "sharded", "compose"))
+                             "sharded", "compose", "stream"))
     args = ap.parse_args()
+
+    if args.case == "stream":
+        g1, gk = bench_stream(args.batch, jnp.dtype(args.dtype))
+        dsfx = "" if args.dtype == "bfloat16" else f"_{args.dtype}"
+        print(json.dumps({
+            "metric": f"gpixel_per_s_stream_e2e_4k_x{args.batch}{dsfx}",
+            "value": round(gk, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(gk / 5.0, 3),
+            "depth1_serial": round(g1, 3),
+            "pipeline_speedup": round(gk / g1, 3)}))
+        return
 
     if args.case == "compose":
         g_chain, g_fused, err = bench_compose(args.batch,

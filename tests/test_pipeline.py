@@ -1,0 +1,117 @@
+"""Streaming executor (aainterp.pipeline.stream_apply).
+
+Correctness model: streaming must equal the direct one-shot apply,
+frame for frame, in input order, at every (n_frames, batch, depth)
+combination — the padding/trim and in-flight bookkeeping must never
+show through.  The reference analogue is Source.cpp:1216-1320's serial
+read/compute/write loop (depth=1 degenerates to it).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import aainterp as aa
+from aainterp.pipeline import stream_apply
+from aainterp.regrid import apply_band_operators
+
+RNG = np.random.default_rng(11)
+
+
+def _sep_op(shape=(48, 64), quadrant_angle=0.0):
+    spec = aa.make_grid_spec(shape, 2.0, 3.0, (0.0, 0.0), quadrant_angle)
+    return aa.build_operator(spec, mode="exact")
+
+
+def _direct(op, frame):
+    return np.asarray(aa.apply_operator(op, jnp.asarray(frame)))
+
+
+@pytest.mark.parametrize("n_frames", [1, 3, 4, 9])
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_stream_matches_direct_apply(n_frames, depth):
+    op = _sep_op()
+    frames = [RNG.uniform(0, 1, (48, 64)).astype(np.float32)
+              for _ in range(n_frames)]
+    got = list(stream_apply(op, frames, batch=4, depth=depth))
+    assert len(got) == n_frames
+    for f, g in zip(frames, got):
+        np.testing.assert_allclose(g, _direct(op, f), rtol=1e-6, atol=1e-6)
+
+
+def test_stream_accepts_generator_and_leading_dims():
+    op = _sep_op()
+    ref = [RNG.uniform(0, 1, (3, 48, 64)).astype(np.float32)
+           for _ in range(5)]
+    got = list(stream_apply(op, (f for f in ref), batch=2, depth=2))
+    assert len(got) == 5
+    for f, g in zip(ref, got):
+        assert g.shape[:-2] == (3,)
+        np.testing.assert_allclose(g, _direct(op, f), rtol=1e-6, atol=1e-6)
+
+
+def test_stream_uint8_contract():
+    """u8 frames keep the u8-in -> u8-out video contract (round+saturate),
+    matching apply_band_operators on the folded tables."""
+    op = _sep_op()
+    frames = [RNG.integers(0, 256, (48, 64), dtype=np.uint8)
+              for _ in range(3)]
+    got = list(stream_apply(op, frames, batch=2, depth=2))
+    from aainterp.ops.weights import fold_quadrant_separable
+
+    yb, xb, out_t = fold_quadrant_separable(op)
+    assert not out_t
+    for f, g in zip(frames, got):
+        assert g.dtype == np.uint8
+        ref = np.asarray(apply_band_operators(jnp.asarray(f), yb, xb))
+        np.testing.assert_array_equal(g, ref)
+
+
+@pytest.mark.parametrize("angle,quad", [(90.0, 1), (180.0, 2), (270.0, 3)])
+def test_stream_quadrants_fold(angle, quad):
+    op = _sep_op(quadrant_angle=angle)
+    assert op.spec.quadrant == quad
+    frames = [RNG.uniform(0, 1, (48, 64)).astype(np.float32)
+              for _ in range(3)]
+    got = list(stream_apply(op, frames, batch=2, depth=2))
+    for f, g in zip(frames, got):
+        np.testing.assert_allclose(g, _direct(op, f), rtol=1e-5, atol=1e-6)
+
+
+def test_stream_band_pair_regrid():
+    """A raw (Band1D, Band1D) pair (regrid / area_resize operators)
+    streams through the same executor."""
+    from aainterp.regrid import LatLonGrid, conservative_regrid_operator
+
+    src, dst = LatLonGrid(24, 36), LatLonGrid(12, 18)
+    by, bx = conservative_regrid_operator(src, dst)
+    frames = [RNG.uniform(0, 1, (24, 36)).astype(np.float32)
+              for _ in range(5)]
+    got = list(stream_apply((by, bx), frames, batch=2, depth=2))
+    assert len(got) == 5
+    for f, g in zip(frames, got):
+        ref = np.asarray(apply_band_operators(jnp.asarray(f), by, bx))
+        np.testing.assert_allclose(g, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_stream_rotated_ell():
+    spec = aa.make_grid_spec((40, 40), 1.0, 0.8, (20.0, 20.0), 30.0)
+    op = aa.build_operator(spec, mode="exact", method="ell")
+    frames = [RNG.uniform(0, 1, (40, 40)).astype(np.float32)
+              for _ in range(3)]
+    got = list(stream_apply(op, frames, batch=2, depth=2))
+    for f, g in zip(frames, got):
+        np.testing.assert_allclose(g, _direct(op, f), rtol=1e-5, atol=1e-6)
+
+
+def test_stream_rejects_ragged_frames():
+    op = _sep_op()
+    frames = [np.zeros((48, 64), np.float32), np.zeros((48, 63), np.float32)]
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        list(stream_apply(op, frames, batch=4))
+    with pytest.raises(ValueError, match="at least 2-D"):
+        list(stream_apply(op, [np.zeros(48, np.float32)], batch=4))
+    with pytest.raises(ValueError, match="batch"):
+        list(stream_apply(op, [], batch=0))
+    with pytest.raises(TypeError, match="Band1D"):
+        list(stream_apply((1, 2), [np.zeros((4, 4), np.float32)]))
