@@ -147,20 +147,72 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
     return out
 
 
+def apply_band_operators_masked(field, mask, by: Band1D, bx: Band1D, *,
+                                fill_value: float = float("nan"),
+                                min_coverage: float = 1e-6,
+                                impl: str = "auto", precision: str = "auto",
+                                interpret: bool = False):
+    """Masked (valid-cell-renormalised) banded apply.
+
+    Each destination cell averages only over VALID source cells:
+    ``out = A(field * mask) / A(mask)`` with the same row-normalised
+    operator A for both passes (the row normalisation cancels in the
+    ratio, so the result is the overlap-area-weighted mean over valid
+    cells — the standard conservative treatment of missing data, e.g.
+    land/ocean masks; nothing like it exists in the reference, which
+    averages whatever numbers the CSV holds).  Destination cells whose
+    valid coverage fraction is <= ``min_coverage`` get ``fill_value``.
+
+    mask: (H, W) or broadcastable to ``field``'s trailing dims; nonzero
+    = valid.  Output is float (the u8 contract does not apply: masked
+    cells need a fill value).  Returns (out, coverage) where coverage =
+    A(mask) in [0, 1] per destination cell.
+    """
+    field = jnp.asarray(field)
+    m = jnp.asarray(mask, jnp.float32)
+    f = field.astype(jnp.float32) if field.dtype == jnp.uint8 else field
+    kw = dict(impl=impl, precision=precision, interpret=interpret)
+    num = apply_band_operators(f * m, by, bx, **kw)
+    den = apply_band_operators(jnp.broadcast_to(m, f.shape)
+                               if m.ndim < f.ndim else m, by, bx, **kw)
+    out = jnp.where(den > min_coverage, num / jnp.where(den > min_coverage,
+                                                        den, 1.0),
+                    jnp.asarray(fill_value, num.dtype))
+    return out, den
+
+
 def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
+                        src_mask=None, fill_value: float = float("nan"),
+                        min_coverage: float = 1e-6,
                         impl: str = "auto", precision: str = "auto",
                         interpret: bool = False):
     """Regrid (..., n_lat, n_lon) fields conservatively (non-periodic lon
     seam handled by construction since both grids share the 0/360 seam).
-    Routing knobs are documented on apply_band_operators."""
+    Routing knobs are documented on apply_band_operators.
+
+    src_mask: optional (n_lat, n_lon) validity mask (nonzero = valid,
+    e.g. an ocean mask for SST).  With a mask the result is the
+    valid-cell-renormalised conservative mean (apply_band_operators_
+    masked) and destination cells with coverage <= min_coverage get
+    fill_value; the coverage field is not returned here — call
+    apply_band_operators_masked directly if you need it."""
     by, bx = conservative_regrid_operator(src, dst)
+    if src_mask is not None:
+        out, _ = apply_band_operators_masked(
+            field, src_mask, by, bx, fill_value=fill_value,
+            min_coverage=min_coverage, impl=impl, precision=precision,
+            interpret=interpret)
+        return out
     return apply_band_operators(field, by, bx, impl=impl,
                                 precision=precision, interpret=interpret)
 
 
 def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
                                 mesh, *, data_axis="data", row_axis="rows",
-                                col_axis=None, conserve: bool = False):
+                                col_axis=None, conserve: bool = False,
+                                src_mask=None,
+                                fill_value: float = float("nan"),
+                                min_coverage: float = 1e-6):
     """Multi-chip conservative regrid: latitude rows sharded over the mesh
     with ring halo exchange (BASELINE config 5).  field: (B, n_lat, n_lon)
     sharded (data_axis, row_axis, None) — or, with ``col_axis`` given,
@@ -180,16 +232,33 @@ def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
 
     by, bx = conservative_regrid_operator(src, dst)
     field = jnp.asarray(field)
-    if col_axis is None:
-        out = sharded_apply_banded(
-            field, by, bx, mesh,
-            data_axis=data_axis, row_axis=row_axis,
-        )
-    else:
-        out = sharded_apply_banded_2d(
-            field, by, bx, mesh,
-            data_axis=data_axis, row_axis=row_axis, col_axis=col_axis,
-        )
+
+    def _apply(f):
+        if col_axis is None:
+            return sharded_apply_banded(
+                f, by, bx, mesh, data_axis=data_axis, row_axis=row_axis)
+        return sharded_apply_banded_2d(
+            f, by, bx, mesh,
+            data_axis=data_axis, row_axis=row_axis, col_axis=col_axis)
+
+    if src_mask is not None:
+        # valid-cell renormalisation under sharding: the mask rides the
+        # SAME halo-exchange apply as the field (broadcast to the batch —
+        # redundant across frames but keeps the shard_map schedule
+        # identical; see apply_band_operators_masked for semantics)
+        if conserve:
+            raise ValueError("conserve=True with src_mask is not supported: "
+                             "the masked result is a renormalised mean, not "
+                             "a flux-conserving map of the raw field")
+        m = jnp.broadcast_to(jnp.asarray(src_mask, jnp.float32), field.shape)
+        f = field.astype(jnp.float32)
+        num = _apply(f * m)
+        den = _apply(m)
+        return jnp.where(den > min_coverage,
+                         num / jnp.where(den > min_coverage, den, 1.0),
+                         jnp.asarray(fill_value, num.dtype))
+
+    out = _apply(field)
     if not conserve:
         return out
     from .parallel.conserve import (

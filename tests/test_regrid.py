@@ -81,3 +81,104 @@ def test_pallas_route_matches_xla():
     hi = np.asarray(conservative_regrid(field, src, dst, impl="pallas",
                                         precision="high", interpret=True))
     np.testing.assert_allclose(hi, ref, rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Masked (valid-cell-renormalised) regrid
+# ----------------------------------------------------------------------
+
+RNG_M = np.random.default_rng(42)
+
+
+def _dense_masked_ref(field, mask, by, bx, min_cov=1e-6):
+    """float64 ground truth: dense A(x*m)/A(m) with NaN fill."""
+    wy, wx = by.dense().astype(np.float64), bx.dense().astype(np.float64)
+    num = wy @ (field.astype(np.float64) * mask) @ wx.T
+    den = wy @ mask.astype(np.float64) @ wx.T
+    out = np.where(den > min_cov, num / np.where(den > min_cov, den, 1.0),
+                   np.nan)
+    return out, den
+
+
+def test_masked_regrid_matches_dense_reference():
+    src, dst = LatLonGrid(60, 90), LatLonGrid(15, 18)
+    field = RNG_M.uniform(-2, 3, (60, 90)).astype(np.float32)
+    mask = (RNG_M.uniform(0, 1, (60, 90)) > 0.35).astype(np.float32)
+    by, bx = conservative_regrid_operator(src, dst)
+    out = np.asarray(conservative_regrid(field, src, dst, src_mask=mask))
+    ref, den = _dense_masked_ref(field, mask, by, bx)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+    # fully-masked destination cells get the fill value
+    assert np.isnan(out).sum() == (den <= 1e-6).sum()
+
+
+def test_masked_regrid_constant_field_and_insensitivity():
+    """A constant valid field stays constant wherever coverage > 0, and
+    values under the mask NEVER leak into the output."""
+    src, dst = LatLonGrid(40, 60), LatLonGrid(10, 12)
+    mask = np.ones((40, 60), np.float32)
+    mask[:, 20:40] = 0.0  # a masked longitude stripe
+    a = np.full((40, 60), 1.75, np.float32)
+    b = a.copy()
+    b[:, 20:40] = 999.0  # garbage under the mask
+    out_a = np.asarray(conservative_regrid(a, src, dst, src_mask=mask))
+    out_b = np.asarray(conservative_regrid(b, src, dst, src_mask=mask))
+    np.testing.assert_array_equal(out_a, out_b)
+    valid = ~np.isnan(out_a)
+    np.testing.assert_allclose(out_a[valid], 1.75, rtol=1e-6)
+
+
+def test_masked_regrid_coverage_and_fill_knobs():
+    from aainterp.regrid import apply_band_operators_masked
+
+    src, dst = LatLonGrid(40, 60), LatLonGrid(10, 12)
+    by, bx = conservative_regrid_operator(src, dst)
+    field = RNG_M.uniform(0, 1, (40, 60)).astype(np.float32)
+    mask = np.zeros((40, 60), np.float32)
+    mask[:20] = 1.0
+    out, cov = apply_band_operators_masked(field, mask, by, bx,
+                                           fill_value=-7.0)
+    assert np.asarray(cov).min() >= 0.0 and np.asarray(cov).max() <= 1.0 + 1e-6
+    o = np.asarray(out)
+    assert (o[np.asarray(cov) <= 1e-6] == -7.0).all()
+    # u8 fields take the masked (float) route without the u8 contract
+    u8 = (field * 255).astype(np.uint8)
+    out8, _ = apply_band_operators_masked(u8, mask, by, bx)
+    assert np.asarray(out8).dtype == np.float32
+
+
+def test_masked_regrid_batched_and_per_frame_mask():
+    src, dst = LatLonGrid(24, 36), LatLonGrid(6, 9)
+    by, bx = conservative_regrid_operator(src, dst)
+    from aainterp.regrid import apply_band_operators_masked
+
+    fields = RNG_M.uniform(0, 1, (3, 24, 36)).astype(np.float32)
+    masks = (RNG_M.uniform(0, 1, (3, 24, 36)) > 0.3).astype(np.float32)
+    out, _ = apply_band_operators_masked(fields, masks, by, bx)
+    for i in range(3):
+        ref, _ = _dense_masked_ref(fields[i], masks[i], by, bx)
+        np.testing.assert_allclose(np.asarray(out)[i], ref, rtol=2e-5,
+                                   atol=1e-6)
+
+
+def test_masked_regrid_sharded_matches_unsharded():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aainterp.regrid import conservative_regrid_sharded
+
+    src, dst = LatLonGrid(48, 72), LatLonGrid(12, 18)
+    fields = RNG_M.uniform(0, 1, (4, 48, 72)).astype(np.float32)
+    mask = (RNG_M.uniform(0, 1, (48, 72)) > 0.4).astype(np.float32)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "rows"))
+    fdev = jax.device_put(jnp.asarray(fields),
+                          NamedSharding(mesh, P("data", "rows", None)))
+    out = np.asarray(conservative_regrid_sharded(fdev, src, dst, mesh,
+                                                 src_mask=mask))
+    ref = np.asarray(conservative_regrid(fields, src, dst, src_mask=mask))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="conserve"):
+        conservative_regrid_sharded(fdev, src, dst, mesh, src_mask=mask,
+                                    conserve=True)
