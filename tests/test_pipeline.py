@@ -115,3 +115,52 @@ def test_stream_rejects_ragged_frames():
         list(stream_apply(op, [], batch=0))
     with pytest.raises(TypeError, match="Band1D"):
         list(stream_apply((1, 2), [np.zeros((4, 4), np.float32)]))
+
+
+# ----------------------------------------------------------------------
+# File streaming (iter_files / stream_apply_files)
+# ----------------------------------------------------------------------
+
+
+def test_iter_files_order_threads_and_errors(tmp_path):
+    from aainterp.pipeline import iter_files
+    from aainterp.utils.io import csv_write
+
+    mats = [RNG.uniform(0, 1, (8, 9)) for _ in range(7)]
+    paths = []
+    for i, m in enumerate(mats):
+        p = tmp_path / f"f{i}.csv"
+        csv_write(str(p), m)
+        paths.append(str(p))
+    got = list(iter_files(paths, threads=3, prefetch=2))
+    assert len(got) == 7
+    for m, g in zip(mats, got):
+        np.testing.assert_allclose(g, m, rtol=1e-12)
+    # a missing file raises on ITS yield, after the earlier ones arrive
+    it = iter_files(paths[:2] + [str(tmp_path / "missing.csv")], threads=2)
+    next(it), next(it)
+    with pytest.raises((IOError, OSError)):
+        next(it)
+
+
+def test_stream_apply_files_end_to_end(tmp_path):
+    """read -> pipelined apply -> write equals the one-shot CLI-style
+    path, with the reference's _mod naming and 6-digit precision."""
+    from aainterp.pipeline import stream_apply_files
+    from aainterp.utils.io import csv_read, csv_write
+
+    op = _sep_op((32, 40))
+    mats = [RNG.uniform(0, 1, (32, 40)) for _ in range(5)]
+    paths = []
+    for i, m in enumerate(mats):
+        p = tmp_path / f"in{i}.csv"
+        csv_write(str(p), m)
+        paths.append(str(p))
+    outs = stream_apply_files(op, paths, batch=2, depth=2, threads=2)
+    assert outs == [str(tmp_path / f"in{i}_mod.csv") for i in range(5)]
+    for m, o in zip(mats, outs):
+        ref = _direct(op, m.astype(np.float32))
+        got = csv_read(o)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="outputs"):
+        stream_apply_files(op, paths, [str(tmp_path / "x.csv")])
