@@ -31,7 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="aainterp",
         description="TPU-native area-average (conservative) image resampling",
     )
-    p.add_argument("input", help="source image path (*.csv only)")
+    p.add_argument("input", nargs="+",
+                   help="source image path(s) (*.csv only).  With several "
+                        "paths the files stream through ONE pipelined "
+                        "operator (pipeline.stream_apply_files): threaded "
+                        "reads/writes overlapped with device compute; all "
+                        "files must share the first file's shape")
     p.add_argument("--src-resolution", type=float, default=150.0,
                    help="source resolution [pixel/mm or dpi] (x == y)")
     p.add_argument("--dst-resolution", type=float, default=25.4,
@@ -59,20 +64,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true",
                    help="also print dstIsocenter (extra over the reference's "
                         "stdout)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per device batch when streaming several "
+                        "inputs (multi-input only)")
+    p.add_argument("--depth", type=int, default=2,
+                   help="device batches kept in flight when streaming "
+                        "several inputs (multi-input only)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    _, _, ext = iom.split_path(args.input)
-    if ext not in (".csv", ".CSV"):
-        print("As for the image format, only csv format can be used.")
-        print("Run terminated abnormally.")
-        return -1
+    for path in args.input:
+        _, _, ext = iom.split_path(path)
+        if ext not in (".csv", ".CSV"):
+            print("As for the image format, only csv format can be used.")
+            print("Run terminated abnormally.")
+            return -1
 
     try:
-        src = iom.csv_read(args.input)
+        src = iom.csv_read(args.input[0])
     except (OSError, ValueError) as e:
         print(f"Failed to read csv file. ({e})")
         print("Run terminated abnormally.")
@@ -81,6 +93,8 @@ def main(argv=None) -> int:
     mode = "exact" if args.mode == 1 else "fast"
     if args.compat and args.mode == 1:
         mode = "compat"
+    if len(args.input) > 1:
+        return _main_stream(args, src, mode)
     if not args.no_banner:
         # the reference prints this from inside each driver
         # (Source.cpp:59-75 exact, 588-604 fast)
@@ -121,8 +135,56 @@ def main(argv=None) -> int:
         print(f"dstIsocenter : {result.dst_isocenter[0]}, "
               f"{result.dst_isocenter[1]}")
 
-    out_path = args.output or iom.default_output_path(args.input)
+    out_path = args.output or iom.default_output_path(args.input[0])
     iom.csv_write(out_path, dst, sig_digits=args.sig_digits)
+    print("Run terminated correctly.")
+    return 0
+
+
+def _main_stream(args, src0: np.ndarray, mode: str) -> int:
+    """Multi-input path: one operator, pipelined file serving
+    (pipeline.stream_apply_files).  New capability over the reference —
+    its main() handles exactly one hard-coded file per run
+    (Source.cpp:1528-1534) — so stdout here is not parity-constrained
+    beyond the shared banner."""
+    from .grids import make_grid_spec
+    from .pipeline import stream_apply_files
+
+    if args.output:
+        print("--output is single-input only; streamed outputs use "
+              "<base>_mod.csv naming.")
+        print("Run terminated abnormally.")
+        return -1
+    if not args.no_banner:
+        fn_name = ("AreaAverageInterpolation::areaAverageInterpolation"
+                   if args.mode == 1 else
+                   "AreaAverageInterpolation::fastAreaAverageInterpolation")
+        print(log.banner(fn_name, args.src_resolution, args.dst_resolution,
+                         tuple(args.isocenter), args.angle))
+    start = time.perf_counter()
+    try:
+        spec = make_grid_spec(
+            (src0.shape[-2], src0.shape[-1]), args.src_resolution,
+            args.dst_resolution, tuple(args.isocenter), args.angle,
+        )
+        if args.cache_dir:
+            from .utils.cache import build_operator_cached
+
+            op = build_operator_cached(spec, mode=mode,
+                                       cache_dir=args.cache_dir)
+        else:
+            op = api.build_operator(spec, mode=mode)
+        outs = stream_apply_files(op, args.input, batch=args.batch,
+                                  depth=args.depth,
+                                  sig_digits=args.sig_digits)
+    except (ValidationError, ValueError, OSError) as e:
+        print(str(e))
+        print("Run terminated abnormally.")
+        return -1
+    elapsed_ms = (time.perf_counter() - start) * 1000.0
+    print(f"Calculation time : {elapsed_ms:g} [ms]")
+    print(f"Streamed {len(outs)} files "
+          f"({elapsed_ms / len(outs):.3g} ms/file).")
     print("Run terminated correctly.")
     return 0
 

@@ -164,3 +164,32 @@ def test_stream_apply_files_end_to_end(tmp_path):
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
     with pytest.raises(ValueError, match="outputs"):
         stream_apply_files(op, paths, [str(tmp_path / "x.csv")])
+
+
+def test_cli_multi_input_streams(tmp_path, capsys):
+    """Multi-input CLI: one operator, <base>_mod.csv per input, outputs
+    equal the single-input CLI run on each file."""
+    from aainterp.cli import main
+    from aainterp.utils.io import csv_read, csv_write
+
+    mats = [RNG.uniform(0, 1, (24, 24)) for _ in range(3)]
+    paths = []
+    for i, m in enumerate(mats):
+        p = tmp_path / f"s{i}.csv"
+        csv_write(str(p), m)
+        paths.append(str(p))
+    common = ["--src-resolution", "150", "--dst-resolution", "25.4",
+              "--isocenter", "12", "12", "--angle", "1.5", "--mode", "2"]
+    assert main(paths + common) == 0
+    out = capsys.readouterr().out
+    assert "Streamed 3 files" in out and "Run terminated correctly." in out
+    multi = [csv_read(str(tmp_path / f"s{i}_mod.csv")) for i in range(3)]
+    # reference: the single-input path on each file
+    for i in range(3):
+        (tmp_path / f"s{i}_mod.csv").unlink()
+        assert main([paths[i]] + common + ["--no-banner"]) == 0
+        single = csv_read(str(tmp_path / f"s{i}_mod.csv"))
+        np.testing.assert_array_equal(multi[i], single)
+    # --output is single-input only
+    assert main(paths + common + ["--output", str(tmp_path / "x.csv")]) == -1
+    assert "Run terminated abnormally." in capsys.readouterr().out
