@@ -96,6 +96,25 @@ def main():
           f"{float(frames.mean()):.6f} -> {float(wide.mean()):.6f} "
           "(flux conserved)")
 
+    # 8. Masked conservative regrid: destination cells average VALID
+    #    source cells only (e.g. SST over an ocean mask) — values under
+    #    the mask never leak into the output.
+    ocean = (rng.uniform(0, 1, field.shape) > 0.3).astype(np.float32)
+    sst = conservative_regrid(field, src_g, dst_g, src_mask=ocean)
+    print(f"masked regrid: {int((1 - ocean).sum())} land cells ignored, "
+          f"{int(np.isnan(np.asarray(sst)).sum())} dst cells fully masked")
+
+    # 9. Streaming executor: host->device->host serving with depth-k
+    #    batches in flight (H2D/compute/D2H overlap; the reference's
+    #    main loop is strictly serial).
+    op = aa.build_operator(aa.make_grid_spec((256, 256), 4.0, 2.0,
+                                             (0.0, 0.0), 0.0))
+    outs = list(aa.stream_apply(
+        op, (rng.uniform(0, 1, (256, 256)).astype(np.float32)
+             for _ in range(10)), batch=4, depth=2))
+    print(f"stream_apply: 10 frames -> {len(outs)} outputs of "
+          f"shape {outs[0].shape} (pipelined)")
+
 
 if __name__ == "__main__":
     main()
