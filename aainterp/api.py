@@ -442,6 +442,9 @@ def area_resize(
     image,
     dst_shape: Tuple[int, int],
     *,
+    mask=None,
+    fill_value: float = float("nan"),
+    min_coverage: float = 1e-6,
     impl: str = "auto",
     precision: str = "auto",
     interpret: bool = False,
@@ -459,6 +462,13 @@ def area_resize(
     ratio, up or down.  Runs the same banded applies as everything else
     (Pallas 2-D banded-tile kernel on TPU; impl/precision/interpret per
     regrid.apply_band_operators).
+
+    mask: optional validity mask broadcastable to the trailing (H, W)
+    dims (nonzero = valid, e.g. an alpha channel or a defective-pixel
+    map): the result becomes the valid-cell-renormalised mean
+    (regrid.apply_band_operators_masked) — masked pixels never
+    contribute, and destination pixels whose valid coverage is <=
+    min_coverage get fill_value.  Masked output is float.
     """
     from .ops.overlap1d import Band1D
     from .regrid import _interval_overlap_band, apply_band_operators
@@ -479,9 +489,17 @@ def area_resize(
         return Band1D(start=b.start, weights=b.weights / s,
                       n_src=n_src, n_dst=n_dst)
 
+    by, bx = _axis_band(H, Hd), _axis_band(W, Wd)
+    if mask is not None:
+        from .regrid import apply_band_operators_masked
+
+        out, _ = apply_band_operators_masked(
+            image, mask, by, bx, fill_value=fill_value,
+            min_coverage=min_coverage, impl=impl, precision=precision,
+            interpret=interpret)
+        return out
     return apply_band_operators(
-        image, _axis_band(H, Hd), _axis_band(W, Wd),
-        impl=impl, precision=precision, interpret=interpret)
+        image, by, bx, impl=impl, precision=precision, interpret=interpret)
 
 
 # ----------------------------------------------------------------------

@@ -68,8 +68,16 @@ def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
         from .api import apply_operator
 
         ell_impl = "auto" if impl in ("auto", "pallas", "xla") else impl
-        return lambda x: apply_operator(op, x, weight_dtype=weight_dtype,
-                                        impl=ell_impl)
+
+        def step(x):
+            # the rotated kernels are not u8-native; rotated streams are
+            # float-out by contract
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32)
+            return apply_operator(op, x, weight_dtype=weight_dtype,
+                                  impl=ell_impl)
+
+        return step
     raise TypeError(f"unknown operator type {type(op)!r}")
 
 

@@ -29,6 +29,7 @@ CASES = [
     ("regrid", []),              # config 5: conservative lat-lon regrid
     ("sharded", []),             # multi-chip scaffolding (mesh 1x1 here)
     ("compose", []),             # fused 2-stage pipeline vs chained
+    ("stream", ["--dtype", "uint8"]),  # end-to-end host->host serving loop
 ]
 
 

@@ -193,3 +193,17 @@ def test_cli_multi_input_streams(tmp_path, capsys):
     # --output is single-input only
     assert main(paths + common + ["--output", str(tmp_path / "x.csv")]) == -1
     assert "Run terminated abnormally." in capsys.readouterr().out
+
+
+def test_stream_rotated_u8_casts_to_float():
+    """u8 into a rotated (ELL) stream: the shear kernels are not
+    u8-native, so the executor casts to f32 — float output by contract."""
+    spec = aa.make_grid_spec((40, 40), 1.0, 0.8, (20.0, 20.0), 30.0)
+    op = aa.build_operator(spec, mode="exact", method="ell")
+    frames = [RNG.integers(0, 256, (40, 40), dtype=np.uint8)
+              for _ in range(2)]
+    got = list(stream_apply(op, frames, batch=2, depth=1))
+    for f, g in zip(frames, got):
+        assert g.dtype != np.uint8
+        ref = _direct(op, f.astype(np.float32))
+        np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)

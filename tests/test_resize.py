@@ -78,3 +78,34 @@ def test_area_resize_rejects_bad_shape():
     img = jnp.zeros((8, 8))
     with pytest.raises(ValueError, match="positive"):
         aa.area_resize(img, (0, 4))
+
+
+def test_area_resize_masked():
+    """mask=: valid-cell renormalisation — masked pixels never leak, a
+    constant valid field stays constant, fully-masked dst pixels fill."""
+    rng = np.random.default_rng(5)
+    img = np.full((40, 60), 3.25, np.float32)
+    garbage = img.copy()
+    mask = np.ones((40, 60), np.float32)
+    mask[10:30, :20] = 0.0
+    garbage[10:30, :20] = -500.0
+    a = np.asarray(aa.area_resize(img, (10, 12), mask=mask))
+    b = np.asarray(aa.area_resize(garbage, (10, 12), mask=mask))
+    np.testing.assert_array_equal(a, b)
+    valid = ~np.isnan(a)
+    np.testing.assert_allclose(a[valid], 3.25, rtol=1e-6)
+    # fully-masked destination region gets the fill value
+    mask2 = np.zeros((40, 60), np.float32)
+    mask2[:, 30:] = 1.0
+    c = np.asarray(aa.area_resize(img, (10, 12), mask=mask2, fill_value=-1.0))
+    assert (c[:, :5] == -1.0).all() and np.isfinite(c[:, 7:]).all()
+    # dense float64 reference on random data: A(f*m)/A(m) with the
+    # unmasked resize supplying the operator action A
+    f = rng.uniform(0, 1, (40, 60)).astype(np.float32)
+    m = (rng.uniform(0, 1, (40, 60)) > 0.4).astype(np.float32)
+    got = np.asarray(aa.area_resize(f, (10, 12), mask=m))
+    num = np.asarray(aa.area_resize((f * m).astype(np.float64), (10, 12)))
+    den = np.asarray(aa.area_resize(m.astype(np.float64), (10, 12)))
+    with np.errstate(invalid="ignore"):
+        ref = np.where(den > 1e-6, num / den, np.nan)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
