@@ -32,7 +32,8 @@ from .ops.overlap1d import Band1D
 
 OperatorLike = Union["weights_ops.SeparableOperator",
                      "weights_ops.EllOperator",
-                     Tuple[Band1D, Band1D]]
+                     Tuple[Band1D, Band1D],
+                     Callable]
 
 
 def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
@@ -46,6 +47,9 @@ def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
     """
     from .regrid import apply_band_operators
 
+    if not isinstance(op, (weights_ops.SeparableOperator,
+                           weights_ops.EllOperator, tuple)) and callable(op):
+        return op  # user-supplied step: any jittable batch -> batch fn
     if isinstance(op, tuple):
         by, bx = op
         if not (isinstance(by, Band1D) and isinstance(bx, Band1D)):

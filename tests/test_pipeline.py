@@ -207,3 +207,29 @@ def test_stream_rotated_u8_casts_to_float():
         assert g.dtype != np.uint8
         ref = _direct(op, f.astype(np.float32))
         np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stream_through_callable_sharded_step():
+    """op may be ANY batch->batch callable — here the multi-chip sharded
+    apply on the virtual 8-device mesh, so a host frame stream feeds a
+    sharded serving step directly."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aainterp.parallel.sharding import sharded_apply_separable
+
+    H, W, B = 64, 32, 4
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = aa.build_operator(spec)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "rows"))
+    sharding = NamedSharding(mesh, P("data", "rows", None))
+
+    def step(x):
+        return sharded_apply_separable(jax.device_put(x, sharding), op, mesh)
+
+    frames = [RNG.uniform(0, 1, (H, W)).astype(np.float32)
+              for _ in range(6)]
+    got = list(stream_apply(step, frames, batch=B, depth=2))
+    for f, g in zip(frames, got):
+        np.testing.assert_allclose(g, _direct(op, f), rtol=1e-5, atol=1e-6)
