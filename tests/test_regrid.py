@@ -182,3 +182,21 @@ def test_masked_regrid_sharded_matches_unsharded():
     with pytest.raises(ValueError, match="conserve"):
         conservative_regrid_sharded(fdev, src, dst, mesh, src_mask=mask,
                                     conserve=True)
+
+
+def test_masked_regrid_pallas_route_interpret():
+    """The masked apply rides the Pallas 2-D banded-tile route like the
+    unmasked one (interpret mode mirrors the TPU routing)."""
+    from aainterp.regrid import apply_band_operators_masked
+
+    src, dst = LatLonGrid(40, 256), LatLonGrid(10, 64)
+    by, bx = conservative_regrid_operator(src, dst)
+    f = RNG_M.uniform(0, 1, (2, 40, 256)).astype(np.float32)
+    m = (RNG_M.uniform(0, 1, (40, 256)) > 0.3).astype(np.float32)
+    ref, cov_ref = apply_band_operators_masked(f, m, by, bx, impl="xla")
+    got, cov = apply_band_operators_masked(f, m, by, bx, impl="pallas",
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
