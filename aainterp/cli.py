@@ -83,8 +83,16 @@ def main(argv=None) -> int:
             print("Run terminated abnormally.")
             return -1
 
+    multi = len(args.input) > 1
     try:
-        src = iom.csv_read(args.input[0])
+        # multi-input: the stream re-reads every file with the (native,
+        # GIL-free) default reader — probe only file 0 here, same reader
+        if multi:
+            from .pipeline import _default_reader
+
+            src = _default_reader(args.input[0])
+        else:
+            src = iom.csv_read(args.input[0])
     except (OSError, ValueError) as e:
         print(f"Failed to read csv file. ({e})")
         print("Run terminated abnormally.")
@@ -93,7 +101,7 @@ def main(argv=None) -> int:
     mode = "exact" if args.mode == 1 else "fast"
     if args.compat and args.mode == 1:
         mode = "compat"
-    if len(args.input) > 1:
+    if multi:
         return _main_stream(args, src, mode)
     if not args.no_banner:
         # the reference prints this from inside each driver

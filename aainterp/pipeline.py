@@ -111,8 +111,10 @@ def stream_apply(
         the reference's serial read/compute/write loop; ``depth>=2``
         overlaps the H2D copy and dispatch of newer batches with the
         blocking D2H fetch of the oldest.
-    impl / weight_dtype / precision : forwarded to the underlying apply
-        (see ``regrid.apply_band_operators`` / ``api.apply_operator``).
+    impl / precision : forwarded to the underlying apply (see
+        ``regrid.apply_band_operators`` / ``api.apply_operator``).
+        weight_dtype applies to the EllOperator route only; the banded
+        routes run float32 weights (their fixed contract).
 
     Results come back in input order; output dtype follows the
     underlying route (uint8 for uint8 separable input, else the apply's
@@ -123,7 +125,11 @@ def stream_apply(
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     step = _make_step(op, impl, weight_dtype, precision)
+    # validate eagerly; the generator itself starts lazily
+    return _stream_run(step, frames, batch, depth)
 
+
+def _stream_run(step, frames, batch: int, depth: int):
     inflight: deque = deque()  # (device_out, n_valid)
     shape = dtype = None
     buf = []
@@ -153,8 +159,8 @@ def stream_apply(
         if len(buf) == batch:
             _submit(np.stack(buf), batch)
             buf = []
-            if len(inflight) > depth:
-                yield from _drain_oldest()
+            if len(inflight) >= depth:  # at most `depth` in flight;
+                yield from _drain_oldest()  # depth=1 is truly serial
     if buf:  # zero-pad the tail to the compiled batch shape
         n = len(buf)
         stack = np.zeros((batch,) + shape, dtype)

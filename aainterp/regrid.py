@@ -147,6 +147,13 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
     return out
 
 
+def _masked_ratio(num, den, fill_value: float, min_coverage: float):
+    """num/den where den > min_coverage, else fill_value (safe divide)."""
+    keep = den > min_coverage
+    return jnp.where(keep, num / jnp.where(keep, den, 1.0),
+                     jnp.asarray(fill_value, num.dtype))
+
+
 def apply_band_operators_masked(field, mask, by: Band1D, bx: Band1D, *,
                                 fill_value: float = float("nan"),
                                 min_coverage: float = 1e-6,
@@ -173,12 +180,10 @@ def apply_band_operators_masked(field, mask, by: Band1D, bx: Band1D, *,
     f = field.astype(jnp.float32) if field.dtype == jnp.uint8 else field
     kw = dict(impl=impl, precision=precision, interpret=interpret)
     num = apply_band_operators(f * m, by, bx, **kw)
-    den = apply_band_operators(jnp.broadcast_to(m, f.shape)
-                               if m.ndim < f.ndim else m, by, bx, **kw)
-    out = jnp.where(den > min_coverage, num / jnp.where(den > min_coverage,
-                                                        den, 1.0),
-                    jnp.asarray(fill_value, num.dtype))
-    return out, den
+    # a shared (H, W) mask needs ONE denominator apply — it broadcasts
+    # against the batched numerator in the ratio
+    den = apply_band_operators(m, by, bx, **kw)
+    return _masked_ratio(num, den, fill_value, min_coverage), den
 
 
 def conservative_regrid(field, src: LatLonGrid, dst: LatLonGrid, *,
@@ -251,12 +256,10 @@ def conservative_regrid_sharded(field, src: LatLonGrid, dst: LatLonGrid,
                              "the masked result is a renormalised mean, not "
                              "a flux-conserving map of the raw field")
         m = jnp.broadcast_to(jnp.asarray(src_mask, jnp.float32), field.shape)
-        f = field.astype(jnp.float32)
+        f = field.astype(jnp.float32) if field.dtype == jnp.uint8 else field
         num = _apply(f * m)
         den = _apply(m)
-        return jnp.where(den > min_coverage,
-                         num / jnp.where(den > min_coverage, den, 1.0),
-                         jnp.asarray(fill_value, num.dtype))
+        return _masked_ratio(num, den, fill_value, min_coverage)
 
     out = _apply(field)
     if not conserve:

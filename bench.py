@@ -287,14 +287,25 @@ def bench_stream(batch: int, dtype, n_frames: int = 48, depth: int = 3):
     spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
     op = separable_operator(spec, mode="exact")
     rng = np.random.default_rng(0)
-    x = rng.uniform(0, 255, (n_frames, H, W))
-    frames = list((x * 1.0).astype(np.uint8)) if jnp.dtype(dtype) == \
-        jnp.uint8 else list(x.astype(np.float32).astype(dtype))
+
+    def mk_frames(n):
+        # per-frame generation at target dtype: no (n, H, W) float64
+        # staging array, and every run gets DISTINCT bytes — the relay
+        # dedupes repeated identical execute requests (CLAUDE.md), so
+        # reusing one frame set across warm/serial/piped runs would time
+        # cache hits, not TPU work
+        if jnp.dtype(dtype) == jnp.uint8:
+            return [rng.integers(0, 256, (H, W), dtype=np.uint8)
+                    for _ in range(n)]
+        return [rng.uniform(0, 1, (H, W)).astype(np.float32).astype(dtype)
+                for _ in range(n)]
 
     def run(d):
-        # warm (compile + caches) on a short prefix, then time the lot
-        for _ in stream_apply(op, frames[: 2 * batch], batch=batch, depth=d):
+        # warm (compile + caches) on its own frames, then time fresh ones
+        for _ in stream_apply(op, mk_frames(2 * batch), batch=batch,
+                              depth=d):
             pass
+        frames = mk_frames(n_frames)
         t0 = time.perf_counter()
         n = sum(1 for _ in stream_apply(op, frames, batch=batch, depth=d))
         dt = time.perf_counter() - t0
