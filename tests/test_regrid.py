@@ -200,3 +200,30 @@ def test_masked_regrid_pallas_route_interpret():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_masked_regrid_differentiable_xla_route():
+    """The masked apply is traced jnp ops on the XLA route, so grads
+    flow: check jax.grad against the dense float64 closed form
+    d/df sum(c * A(f*m)/A(m)) = m * A^T(c / A(m))."""
+    import jax
+    import jax.numpy as jnp
+    from aainterp.regrid import apply_band_operators_masked
+
+    src, dst = LatLonGrid(20, 30), LatLonGrid(5, 6)
+    by, bx = conservative_regrid_operator(src, dst)
+    f = RNG_M.uniform(0, 1, (20, 30)).astype(np.float32)
+    m = (RNG_M.uniform(0, 1, (20, 30)) > 0.3).astype(np.float32)
+    c = RNG_M.uniform(0, 1, (5, 6)).astype(np.float32)
+
+    def loss(field):
+        out, _ = apply_band_operators_masked(field, m, by, bx,
+                                             fill_value=0.0, impl="xla")
+        return jnp.sum(out * c)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(f)))
+    wy, wx = by.dense(), bx.dense()
+    den = wy @ m.astype(np.float64) @ wx.T
+    cd = np.where(den > 1e-6, c / np.where(den > 1e-6, den, 1.0), 0.0)
+    want = m * (wy.T @ cd @ wx)
+    np.testing.assert_allclose(g, want, rtol=2e-5, atol=1e-6)
