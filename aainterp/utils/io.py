@@ -37,7 +37,31 @@ def split_path(full_path: str) -> Tuple[str, str, str]:
 
 
 def csv_read(path: str) -> np.ndarray:
-    """Read a CSV image; invalid tokens skipped, rows padded to max width."""
+    """Read a CSV image; invalid tokens skipped, rows padded to max width.
+
+    Dispatches to the buffered native C++ decoder when built (same
+    token-skip/pad semantics, proven in tests/test_native.py; ctypes
+    drops the GIL so threaded loaders overlap device work), falling back
+    to the pure-Python reference reader (Source.cpp:1450-1495
+    semantics)."""
+    from .. import native
+
+    if native.available():
+        try:
+            out = native.csv_read_native(path)
+        except OSError:
+            if os.path.exists(path):
+                raise  # real decode failure on an existing file
+            # missing file: the Python open() error message is the
+            # contract (CLI prints it)
+        else:
+            if out.size == 0:
+                raise ValueError("There is no data in src array.")
+            return out
+    return _csv_read_py(path)
+
+
+def _csv_read_py(path: str) -> np.ndarray:
     rows = []
     width = 0
     with open(path, "r") as f:
@@ -65,10 +89,19 @@ def csv_write(path: str, data, sig_digits: int = 0) -> None:
 
     sig_digits=6 reproduces the reference's default stream precision
     (Source.cpp:1508); 0 means full float64 repr.
+
+    Dispatches to the native C++ writer when built — byte-identical
+    output proven at both precisions (tests/test_io_cli_cache.py), and
+    GIL-free so pooled writers overlap device work.
     """
     arr = np.asarray(data, dtype=np.float64)
     if arr.ndim != 2 or arr.size == 0:
         raise ValueError("There is no data in src array.")
+    from .. import native
+
+    if native.available():
+        native.csv_write_native(path, arr, sig_digits=sig_digits)
+        return
     fmt = f"%.{sig_digits}g" if sig_digits > 0 else "%.17g"
     np.savetxt(path, arr, delimiter=",", fmt=fmt)
 

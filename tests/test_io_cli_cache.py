@@ -354,3 +354,37 @@ def test_lru_plan_caches_bounded():
     assert isinstance(api._SHEAR_CACHE, LruDict)
     assert isinstance(api._STENCIL_CACHE, LruDict)
     assert isinstance(pallas_apply._PREP_CACHE, LruDict)
+
+
+@pytest.mark.skipif(not __import__("aainterp.native", fromlist=["x"])
+                    .available(), reason="native library not built")
+def test_csv_write_native_byte_identical():
+    """csv_write dispatches to the native writer — its bytes must equal
+    the numpy %g formatting at both precisions (the CLI stdout/output
+    parity rests on this)."""
+    import numpy as np
+    import tempfile, os
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1e6, 1e6, (25, 19))
+    a[0, 0], a[1, 1], a[2, 2] = 0.0, 1e-12, -3.25
+    d = tempfile.mkdtemp()
+    for sd in (6, 0):
+        p_nat = os.path.join(d, f"n{sd}.csv")
+        p_py = os.path.join(d, f"p{sd}.csv")
+        iom.csv_write(p_nat, a, sig_digits=sd)   # native dispatch
+        fmt = f"%.{sd}g" if sd > 0 else "%.17g"
+        np.savetxt(p_py, a, delimiter=",", fmt=fmt)
+        assert open(p_nat, "rb").read() == open(p_py, "rb").read()
+
+
+def test_csv_read_empty_and_missing_messages(tmp_path):
+    """The reference's error contracts survive the native dispatch:
+    empty file -> 'There is no data in src array.', missing file ->
+    OSError (the CLI prints both)."""
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(ValueError, match="no data"):
+        iom.csv_read(str(p))
+    with pytest.raises(OSError):
+        iom.csv_read(str(tmp_path / "missing.csv"))
