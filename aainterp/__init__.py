@@ -14,8 +14,10 @@ from .api import (
     area_average_interpolate,
     area_average_interpolation,
     area_resize,
+    area_rotate,
     build_operator,
     fast_area_average_interpolation,
+    propagate_variance,
 )
 from .autodiff import apply_operator_transpose
 from .grids import GridSpec, ValidationError, make_grid_spec
@@ -33,10 +35,12 @@ __all__ = [
     "area_average_interpolate",
     "area_average_interpolation",
     "area_resize",
+    "area_rotate",
     "build_operator",
     "compose_separable",
     "fast_area_average_interpolation",
     "make_grid_spec",
+    "propagate_variance",
     "stream_apply",
     "__version__",
 ]

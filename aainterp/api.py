@@ -502,6 +502,48 @@ def area_resize(
         image, by, bx, impl=impl, precision=precision, interpret=interpret)
 
 
+def area_rotate(image, angle: float, *, isocenter=None, mode: str = "exact",
+                **kwargs) -> jax.Array:
+    """Flux-conserving rotation of (..., H, W) about ``isocenter``
+    (default: the image center, (W/2, H/2) in (x, y) source pixels).
+
+    Sugar for ``area_average_interpolate`` at equal source/destination
+    resolution — each output pixel is the exact overlap-area-weighted
+    mean of the input pixels under the rotated footprint, the property
+    the reference exists for (its README positions this against
+    bilinear/bicubic rotation; see baselines.compare_rotation_roundtrip
+    for the PSNR comparison).  Returns the rotated array; use
+    area_average_interpolate directly if you need the destination
+    isocenter (e.g. to invert the rotation about the same point).
+    """
+    image = jnp.asarray(image)
+    H, W = image.shape[-2], image.shape[-1]
+    if isocenter is None:
+        isocenter = (W / 2.0, H / 2.0)
+    return area_average_interpolate(
+        image, 1.0, 1.0, isocenter, angle, mode=mode, **kwargs
+    ).dst
+
+
+def propagate_variance(op: Operator, var, *, impl: str = "auto",
+                       weight_dtype=jnp.float32) -> jax.Array:
+    """Exact variance map of a resampled image: ``Var(out) = A2 @ var``
+    where A2 is ``op`` with elementwise-squared weights
+    (ops/weights.squared_operator) — valid for independent input pixels
+    (diagonal input covariance), the standard assumption for detector /
+    dose-grid noise.  Correlated inputs need the full A Σ A^T, which
+    this deliberately does not compute.
+
+    Rides the same apply kernels as the mean (banded/Pallas/ELL), so a
+    (mean, variance) pair costs two applies.  New capability vs the
+    reference (it propagates no uncertainty; relevant to its dosimetry
+    use case, README.md context).
+    """
+    return apply_operator(weights_ops.squared_operator(op),
+                          jnp.asarray(var), weight_dtype=weight_dtype,
+                          impl=impl)
+
+
 # ----------------------------------------------------------------------
 # Reference-named convenience wrappers (Source.cpp API surface)
 # ----------------------------------------------------------------------

@@ -443,6 +443,28 @@ def ell_operator(
                        raw_row_sums=sums, mode=mode)
 
 
+def squared_operator(op):
+    """The same operator with elementwise-SQUARED weights.
+
+    For a linear resampling ``out = sum_j w_j x_j`` of independent
+    pixels, ``Var(out) = sum_j w_j^2 Var(x_j)`` — and the squared
+    operator stays banded/separable (the combined separable weight
+    wy*wx squares to wy^2 * wx^2), so variance maps ride the exact same
+    apply kernels.  Row sums are intentionally NOT renormalised (they
+    are < 1 for any genuine average); do not validate_operator the
+    result.  raw_row_sums are kept from the parent (unused by applies).
+    """
+    if isinstance(op, SeparableOperator):
+        def sq(b: overlap1d.Band1D) -> overlap1d.Band1D:
+            return overlap1d.Band1D(start=b.start, weights=b.weights ** 2,
+                                    n_src=b.n_src, n_dst=b.n_dst)
+
+        return dataclasses.replace(op, wy=sq(op.wy), wx=sq(op.wx))
+    if isinstance(op, EllOperator):
+        return dataclasses.replace(op, weights=op.weights ** 2)
+    raise TypeError(f"unknown operator type {type(op)!r}")
+
+
 def fold_quadrant_separable(op: SeparableOperator):
     """(y_band, x_band, out_transpose): quadrant folded into the tables.
 
