@@ -115,6 +115,15 @@ def main():
     print(f"stream_apply: 10 frames -> {len(outs)} outputs of "
           f"shape {outs[0].shape} (pipelined)")
 
+    # 10. Uncertainty propagation: the squared-weight operator gives the
+    #     EXACT output variance for independent input noise — one extra
+    #     apply next to the mean.
+    sigma2 = rng.uniform(0.5, 1.5, (256, 256)).astype(np.float32)
+    var_out = aa.propagate_variance(op, sigma2)
+    print(f"propagate_variance: {sigma2.shape} -> {var_out.shape}, "
+          f"max var ratio {float(var_out.max() / sigma2.max()):.3f} "
+          "(averaging never amplifies noise)")
+
 
 if __name__ == "__main__":
     main()
