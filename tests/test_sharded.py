@@ -545,3 +545,22 @@ class TestShardedQuadrantFold:
         ref = aa.apply_operator(op, jnp.asarray(frames), impl="xla")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_sharded_variance_propagation():
+    """Uncertainty maps scale out for free: the squared-weight operator
+    (aa.propagate_variance) is just another SeparableOperator, so it
+    rides the sharded apply unchanged."""
+    from aainterp.ops.weights import squared_operator
+
+    H, W, B = 128, 64, 4
+    var = RNG.uniform(0.5, 2.0, (B, H, W)).astype(np.float32)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh(2, 4)
+    sharding = NamedSharding(mesh, P("data", "rows", None))
+    vdev = jax.device_put(jnp.asarray(var), sharding)
+    out = jax.jit(lambda v: sharded_apply_separable(
+        v, squared_operator(op), mesh))(vdev)
+    ref = aa.propagate_variance(op, jnp.asarray(var))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
