@@ -56,11 +56,15 @@ def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
             raise TypeError(
                 "operator tuple must be a (Band1D, Band1D) pair, got "
                 f"({type(by).__name__}, {type(bx).__name__})")
-        return lambda x: apply_band_operators(
-            x, by, bx, impl=impl, precision=precision)
+        # jit so each batch is ONE dispatch (band tables are small — safe
+        # to close over; the eager u8 round/clip tail would otherwise
+        # cost extra per-batch round trips)
+        return jax.jit(lambda x: apply_band_operators(
+            x, by, bx, impl=impl, precision=precision))
     if isinstance(op, weights_ops.SeparableOperator):
         yb, xb, out_t = weights_ops.fold_quadrant_separable(op)
 
+        @jax.jit
         def step(x):
             out = apply_band_operators(x, yb, xb, impl=impl,
                                        precision=precision)
