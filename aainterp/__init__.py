@@ -13,7 +13,9 @@ from .api import (
     apply_operator,
     area_average_interpolate,
     area_average_interpolation,
+    area_pyramid,
     area_resize,
+    area_resize_nd,
     area_rotate,
     build_operator,
     fast_area_average_interpolation,
@@ -34,7 +36,9 @@ __all__ = [
     "apply_operator_transpose",
     "area_average_interpolate",
     "area_average_interpolation",
+    "area_pyramid",
     "area_resize",
+    "area_resize_nd",
     "area_rotate",
     "build_operator",
     "compose_separable",

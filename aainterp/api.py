@@ -438,6 +438,24 @@ def area_average_interpolate(
     return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter, spec=spec)
 
 
+def _unit_resize_band(n_src: int, n_dst: int):
+    """Row-normalised interval-overlap band for resizing a unit-cell axis
+    of ``n_src`` cells to ``n_dst`` equal destination cells (each dst
+    weight row is the exact area-average stencil; rows sum to 1)."""
+    from .ops.overlap1d import Band1D
+    from .regrid import _interval_overlap_band
+
+    band = max(2, -(-n_src // n_dst) + 2)
+    b = _interval_overlap_band(
+        np.linspace(0.0, float(n_src), n_src + 1),
+        np.linspace(0.0, float(n_src), n_dst + 1),
+        band,
+    )
+    s = b.weights.sum(axis=1, keepdims=True)  # == n_src/n_dst exactly
+    return Band1D(start=b.start, weights=b.weights / s,
+                  n_src=n_src, n_dst=n_dst)
+
+
 def area_resize(
     image,
     dst_shape: Tuple[int, int],
@@ -470,26 +488,14 @@ def area_resize(
     contribute, and destination pixels whose valid coverage is <=
     min_coverage get fill_value.  Masked output is float.
     """
-    from .ops.overlap1d import Band1D
-    from .regrid import _interval_overlap_band, apply_band_operators
+    from .regrid import apply_band_operators
 
     H, W = int(image.shape[-2]), int(image.shape[-1])
     Hd, Wd = int(dst_shape[0]), int(dst_shape[1])
     if Hd <= 0 or Wd <= 0:
         raise ValueError(f"dst_shape must be positive, got {dst_shape!r}")
 
-    def _axis_band(n_src: int, n_dst: int) -> Band1D:
-        band = max(2, -(-n_src // n_dst) + 2)
-        b = _interval_overlap_band(
-            np.linspace(0.0, float(n_src), n_src + 1),
-            np.linspace(0.0, float(n_src), n_dst + 1),
-            band,
-        )
-        s = b.weights.sum(axis=1, keepdims=True)  # == n_src/n_dst exactly
-        return Band1D(start=b.start, weights=b.weights / s,
-                      n_src=n_src, n_dst=n_dst)
-
-    by, bx = _axis_band(H, Hd), _axis_band(W, Wd)
+    by, bx = _unit_resize_band(H, Hd), _unit_resize_band(W, Wd)
     if mask is not None:
         from .regrid import apply_band_operators_masked
 
@@ -500,6 +506,128 @@ def area_resize(
         return out
     return apply_band_operators(
         image, by, bx, impl=impl, precision=precision, interpret=interpret)
+
+
+def area_resize_nd(
+    volume,
+    dst_shape,
+    *,
+    axes=None,
+    mask=None,
+    fill_value: float = float("nan"),
+    min_coverage: float = 1e-6,
+    impl: str = "auto",
+    precision: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Conservative (area-average) resize along ANY set of axes of an
+    N-D array — volumetric CT/dose grids, hyperspectral stacks, video
+    cubes.  New capability: the reference is strictly 2-D
+    (``IMG = vector<vector<double>>``, Source.cpp:30), so volumetric
+    users must slice; here each destination cell along every resized
+    axis is the exact interval-overlap-weighted mean, and the global
+    mean is conserved to float tolerance (the N-D operator is the outer
+    product of the per-axis bands, each row-normalised and with unit
+    column coverage).
+
+    dst_shape: target sizes for ``axes``; ``axes`` defaults to the LAST
+    ``len(dst_shape)`` axes (so ``area_resize_nd(vol, (D2, H2, W2))``
+    resizes a trailing (D, H, W) volume).  Axes whose size does not
+    change are skipped.  When the two trailing axes are both resized
+    they ride ``apply_band_operators`` (the Pallas 2-D banded-tile
+    kernel on TPU); every other axis runs one banded contraction
+    (ops/apply.apply_band_axis).  uint8 input quantises ONCE at the
+    end (round + saturate back to uint8), except the pure trailing-2-D
+    case which delegates to the native u8 kernel path.
+
+    mask: optional validity mask broadcastable to ``volume`` (nonzero =
+    valid): the result is the valid-cell-renormalised mean R(x*m)/R(m)
+    — exact because R is linear — with cells whose valid coverage is
+    <= min_coverage set to fill_value.  Masked output is float32.
+    """
+    from .regrid import _masked_ratio, apply_band_operators
+    from .ops.apply import apply_band_axis
+
+    volume = jnp.asarray(volume)
+    nd = volume.ndim
+    dst_shape = tuple(int(s) for s in dst_shape)
+    if axes is None:
+        if len(dst_shape) > nd:
+            raise ValueError(
+                f"dst_shape has {len(dst_shape)} entries for a {nd}-D array")
+        axes = tuple(range(nd - len(dst_shape), nd))
+    axes = tuple(a % nd for a in axes)
+    if len(axes) != len(dst_shape):
+        raise ValueError(
+            f"axes {axes!r} and dst_shape {dst_shape!r} length mismatch")
+    if len(set(axes)) != len(axes):
+        raise ValueError(f"duplicate axis in {axes!r}")
+    if any(s <= 0 for s in dst_shape):
+        raise ValueError(f"dst_shape must be positive, got {dst_shape!r}")
+
+    # per-axis bands, skipping no-op axes
+    bands = {
+        ax: _unit_resize_band(int(volume.shape[ax]), s)
+        for ax, s in zip(axes, dst_shape)
+        if int(volume.shape[ax]) != s
+    }
+
+    def _resize(x):
+        todo = dict(bands)
+        if nd - 2 in todo and nd - 1 in todo:
+            by, bx = todo.pop(nd - 2), todo.pop(nd - 1)
+            x = apply_band_operators(x, by, bx, impl=impl,
+                                     precision=precision,
+                                     interpret=interpret)
+        for ax in sorted(todo):
+            b = todo[ax]
+            x = apply_band_axis(x, jnp.asarray(b.start),
+                                jnp.asarray(b.weights, jnp.float32), ax)
+        return x
+
+    if mask is not None:
+        m = jnp.broadcast_to(
+            jnp.asarray(mask, jnp.float32) != 0, volume.shape
+        ).astype(jnp.float32)
+        num = _resize(volume.astype(jnp.float32) * m)
+        den = _resize(m)
+        return _masked_ratio(num, den, fill_value, min_coverage)
+
+    if not bands:
+        return volume
+    u8 = volume.dtype == jnp.uint8
+    if u8 and set(bands) == {nd - 2, nd - 1}:
+        return _resize(volume)  # native u8 kernel path, rounds once
+    out = _resize(volume.astype(jnp.float32) if u8 else volume)
+    if u8:
+        out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    return out
+
+
+def area_pyramid(image, num_levels: int, *, factor: int = 2,
+                 min_size: int = 1, **kwargs):
+    """Flux-conserving image pyramid: successive ``area_resize`` by
+    ``1/factor`` per level (ceil division, floored at ``min_size``).
+
+    Returns ``[image, level1, ...]`` with at most ``num_levels``
+    entries (fewer once both axes reach ``min_size``).  Every level has
+    the same mean as the input to float tolerance — the property that
+    makes this the correct pyramid for photometric / dosimetric data,
+    where strided or bilinear pyramids alias and drift.  kwargs pass to
+    ``area_resize`` (impl/precision/interpret/mask...).
+    """
+    if num_levels < 1:
+        raise ValueError(f"num_levels must be >= 1, got {num_levels}")
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+    levels = [jnp.asarray(image)]
+    while len(levels) < num_levels:
+        H, W = int(levels[-1].shape[-2]), int(levels[-1].shape[-1])
+        nxt = (max(min_size, -(-H // factor)), max(min_size, -(-W // factor)))
+        if nxt == (H, W):
+            break
+        levels.append(area_resize(levels[-1], nxt, **kwargs))
+    return levels
 
 
 def area_rotate(image, angle: float, *, isocenter=None, mode: str = "exact",

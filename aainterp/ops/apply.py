@@ -66,6 +66,38 @@ def apply_separable_banded(
     return out
 
 
+def apply_band_axis(
+    q: jax.Array,
+    start: jax.Array,  # (n_dst,) int32
+    w: jax.Array,      # (n_dst, k)
+    axis: int,
+) -> jax.Array:
+    """Banded contraction along ONE axis of an N-D array.
+
+    Generalises the two trailing-axis contractions of
+    ``apply_separable_banded`` to any axis: out[..., i, ...] =
+    sum_k w[i, k] * q[..., clip(start[i] + k), ...] along ``axis``.
+    Same clamp semantics (out-of-range band entries carry zero weight).
+    This is the building block for volumetric / N-D conservative
+    resizing (api.area_resize_nd) — the reference program is strictly
+    2-D (Source.cpp IMG = vector<vector<double>>).
+    """
+    acc_dtype = w.dtype
+    k = w.shape[1]
+    axis = axis % q.ndim
+    v = jnp.moveaxis(q, axis, -1)
+    idx = jnp.clip(
+        start[:, None] + jnp.arange(k, dtype=start.dtype),
+        0, v.shape[-1] - 1,
+    )  # (n_dst, k)
+    g = jnp.take(v, idx, axis=-1)                  # (..., n_dst, k)
+    out = jnp.einsum(
+        "nk,...nk->...n", w, g.astype(acc_dtype),
+        preferred_element_type=acc_dtype,
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
 def uniform_box_params(y_start, y_w, x_start, x_w, H: int, W: int):
     """(my, mx) if the banded separable operator is an exact uniform integer
     box filter; None otherwise.
