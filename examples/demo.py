@@ -124,6 +124,22 @@ def main():
           f"max var ratio {float(var_out.max() / sigma2.max()):.3f} "
           "(averaging never amplifies noise)")
 
+    # 11. Volumetric: conservative N-D resize (the reference is strictly
+    #     2-D) — a CT/dose cube downsampled along all three axes, with a
+    #     validity mask; plus a flux-conserving pyramid.
+    ct = rng.uniform(0, 1, (40, 96, 96)).astype(np.float32)
+    small = aa.area_resize_nd(ct, (10, 48, 48))
+    print(f"area_resize_nd {ct.shape} -> {small.shape}: mean "
+          f"{float(ct.mean()):.6f} -> {float(small.mean()):.6f}")
+    body = np.ones_like(ct)
+    body[:, :10, :] = 0.0  # couch rows excluded from the average
+    masked = aa.area_resize_nd(ct, (10, 48, 48), mask=body)
+    print(f"masked volumetric resize: {int(np.isnan(np.asarray(masked)).sum())}"
+          " fully-outside cells")
+    levels = aa.area_pyramid(frames, 4)
+    print("area_pyramid levels:", [tuple(l.shape[-2:]) for l in levels],
+          f"means all {float(levels[-1].mean()):.6f}")
+
 
 if __name__ == "__main__":
     main()
