@@ -20,6 +20,7 @@ from .api import (
     build_operator,
     fast_area_average_interpolation,
     propagate_variance,
+    resize_bands,
 )
 from .autodiff import apply_operator_transpose
 from .grids import GridSpec, ValidationError, make_grid_spec
@@ -45,6 +46,7 @@ __all__ = [
     "fast_area_average_interpolation",
     "make_grid_spec",
     "propagate_variance",
+    "resize_bands",
     "stream_apply",
     "__version__",
 ]

@@ -508,6 +508,22 @@ def area_resize(
         image, by, bx, impl=impl, precision=precision, interpret=interpret)
 
 
+def resize_bands(src_shape: Tuple[int, int], dst_shape: Tuple[int, int]):
+    """The ``(by, bx)`` Band1D pair behind ``area_resize`` as a public,
+    reusable operator: feed it to ``stream_apply`` (banded u8->u8
+    streaming route), fuse stages with ``ops.overlap1d.compose_band``,
+    apply directly via ``regrid.apply_band_operators``, or shard it with
+    ``parallel.sharding.sharded_apply_banded`` — everything a built
+    Operator's bands can do, for the plain resize geometry (unit square
+    cells, no isocenter/rotation)."""
+    H, W = int(src_shape[0]), int(src_shape[1])
+    Hd, Wd = int(dst_shape[0]), int(dst_shape[1])
+    if H <= 0 or W <= 0 or Hd <= 0 or Wd <= 0:
+        raise ValueError(
+            f"shapes must be positive, got {src_shape!r} -> {dst_shape!r}")
+    return _unit_resize_band(H, Hd), _unit_resize_band(W, Wd)
+
+
 def area_resize_nd(
     volume,
     dst_shape,

@@ -109,3 +109,36 @@ def test_area_resize_masked():
     with np.errstate(invalid="ignore"):
         ref = np.where(den > 1e-6, num / den, np.nan)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_resize_bands_public_pair_matches_area_resize():
+    from aainterp.regrid import apply_band_operators
+
+    img = RNG.uniform(0, 1, (3, 40, 56)).astype(np.float32)
+    by, bx = aa.resize_bands((40, 56), (17, 23))
+    out = np.asarray(apply_band_operators(jnp.asarray(img), by, bx))
+    want = np.asarray(aa.area_resize(jnp.asarray(img), (17, 23)))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    with pytest.raises(ValueError):
+        aa.resize_bands((0, 4), (2, 2))
+
+
+def test_resize_bands_stream_and_compose():
+    from aainterp.ops.overlap1d import compose_band
+    from aainterp.regrid import apply_band_operators
+
+    frames = [RNG.uniform(0, 1, (48, 64)).astype(np.float32)
+              for _ in range(5)]
+    pair = aa.resize_bands((48, 64), (24, 32))
+    outs = list(aa.stream_apply(pair, iter(frames), batch=2, depth=2))
+    assert len(outs) == 5 and outs[0].shape == (24, 32)
+    np.testing.assert_allclose(
+        outs[3], np.asarray(aa.area_resize(jnp.asarray(frames[3]),
+                                           (24, 32))), atol=1e-6)
+    # fuse two resize stages into one banded pair: one pass == chained
+    p2 = aa.resize_bands((24, 32), (10, 14))
+    fused = (compose_band(p2[0], pair[0]), compose_band(p2[1], pair[1]))
+    one = np.asarray(apply_band_operators(jnp.asarray(frames[0]), *fused))
+    two = np.asarray(aa.area_resize(
+        aa.area_resize(jnp.asarray(frames[0]), (24, 32)), (10, 14)))
+    np.testing.assert_allclose(one, two, atol=1e-5)
