@@ -49,6 +49,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _as_f32(x):
+    """Cast a VMEM block to f32 inside a kernel.
+
+    Mosaic on this v5e libtpu rejects the direct uint8 -> float32
+    convert ("Unsupported cast", caught by the real-TPU smoke suite);
+    hop through int32, which lowers fine and is exact for u8 values.
+    (Same for the store direction: f32 -> u8 must hop via int32 too.)
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)
+    return x.astype(jnp.float32)
+
+
 def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
                       tile: int, align: int) -> Tuple[np.ndarray, np.ndarray, int]:
     """Per-tile dense blocks of a banded operator.
@@ -121,7 +134,8 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         if out_dtype == jnp.uint8:
             # round-to-nearest with saturation: the operator rows are
             # normalised (weights.py), so the average stays in [0, 255]
-            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
+            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
         return blk.astype(out_dtype)
 
     # strided mode geometry: the caller reshapes the source to
@@ -177,7 +191,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 idx = c0_static + k   # c0_static = cmin + m*PPAD
                 j, q = idx % m, idx // m
                 rows = src_buf[j, q: q + TY, :]
-                acc = acc + wy_ref[0, :, k:k + 1] * rows.astype(jnp.float32)
+                acc = acc + wy_ref[0, :, k:k + 1] * _as_f32(rows)
             tmp_buf[:] = acc
         elif db:
             def band_dma(step, slot_i):
@@ -224,7 +238,7 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             band = src_buf[slot] if db else src_buf[:]
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
-                band.astype(jnp.float32),
+                _as_f32(band),
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )  # (TY, W)
@@ -237,12 +251,12 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                 off = row_off_ref[i]
                 acc = (
                     yw_flat_ref[i * ky]
-                    * src_buf[pl.ds(off, 1), :].astype(jnp.float32)
+                    * _as_f32(src_buf[pl.ds(off, 1), :])
                 )
                 for k in range(1, ky):
                     acc += (
                         yw_flat_ref[i * ky + k]
-                        * src_buf[pl.ds(off + k, 1), :].astype(jnp.float32)
+                        * _as_f32(src_buf[pl.ds(off + k, 1), :])
                     )
                 tmp_buf[pl.ds(r, 1), :] = acc
                 return 0
@@ -647,7 +661,8 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
 
     def to_out(blk):
         if out_dtype == jnp.uint8:
-            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
+            return jnp.clip(jnp.round(blk), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
         return blk.astype(out_dtype)
 
     def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
@@ -682,7 +697,7 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         band_dma(t, slot).wait()
         band = band_buf[slot]
         tmp = jnp.dot(
-            wy_ref[0], band.astype(jnp.float32),
+            wy_ref[0], _as_f32(band),
             precision=prec, preferred_element_type=jnp.float32,
         )  # (TY, SX)
         out_ref[0] = to_out(jnp.dot(

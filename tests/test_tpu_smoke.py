@@ -92,13 +92,21 @@ want = np.clip(np.round(ref), 0, 255).astype(np.int32)
 for ns in (2, 3):
     got = np.asarray(apply_separable_pallas(x, *args, n_slots=ns))
     assert got.dtype == np.uint8
-    # DEFAULT-precision MXU truncates f32 weights to bf16 (same as the
-    # production bf16 path): ~2^-9 relative ~ 0.5 gray level at 255,
-    # plus .5-boundary rounding flips -> allow 1
-    assert np.abs(got.astype(np.int32) - want).max() <= 1, ns
+    # DEFAULT-precision MXU truncates the f32 WEIGHTS to bf16 (u8 pixels
+    # are bf16-exact); rows sum to 1, so each pass contributes up to
+    # sum|w|*2^-9*255 ~ 0.5 gray, two passes ~ 1.0, plus a .5-boundary
+    # rounding flip -> budget 2.  Measured on v5e at this 150x60-tap
+    # config: max err 2 at exactly 1 of 41,820 pixels (f32 result off
+    # 1.07 at a x.43 boundary); typical configs stay at <= 1.
+    err = np.abs(got.astype(np.int32) - want)
+    assert err.max() <= 2, ns
+    assert (err > 1).sum() <= err.size // 1000, ns
 gb = np.asarray(apply_separable_pallas(x, *args, out_dtype=jnp.bfloat16))
 assert gb.dtype == jnp.bfloat16
-assert np.abs(gb.astype(np.float32) - ref).max() <= 1.0
+# same ~1.0 weight-truncation accumulation as above, plus bf16 OUTPUT
+# quantization (ulp = 1.0 for values in [128, 256), so +0.5 on the
+# round) -> budget 2.0.  Measured: max 1.57, mean 0.39.
+assert np.abs(gb.astype(np.float32) - ref).max() <= 2.0
 
 # 2-D banded-tile kernel at an odd width (u8 native, 32-aligned bases)
 from aainterp.ops.pallas_apply import apply_separable_pallas_2d
