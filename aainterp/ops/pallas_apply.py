@@ -50,15 +50,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _as_f32(x):
-    """Cast a VMEM block to f32 inside a kernel.
+    """Cast a VMEM block to a dot-ready dtype inside a kernel.
 
     Mosaic on this v5e libtpu rejects the direct uint8 -> float32
     convert ("Unsupported cast", caught by the real-TPU smoke suite);
     hop through int32, which lowers fine and is exact for u8 values.
     (Same for the store direction: f32 -> u8 must hop via int32 too.)
+
+    u8 goes to BFLOAT16, not f32: values <= 255 are bf16-exact and the
+    MXU consumes bf16 natively (the production bf16 path is dot(f32
+    weights, bf16 band) already), so the materialised intermediate is
+    half the size.  Measured 2026-08-18 (u8 flagship): the cast TARGET
+    makes no difference (84.3 Gpixel/s via bf16 vs 85.2 via f32, noise)
+    — the cost is the u8 -> i32 unpack itself (a (32,128) -> (8,128)
+    sublane relayout over the whole band, ~8.6M elem/frame of VPU
+    restructuring that the saved HBM reads cannot buy back); bf16 kept
+    as the marginally lighter variant.
     """
     if x.dtype == jnp.uint8:
-        x = x.astype(jnp.int32)
+        return x.astype(jnp.int32).astype(jnp.bfloat16)
     return x.astype(jnp.float32)
 
 

@@ -39,7 +39,7 @@ TY = 120  # apply_separable_pallas auto-picks 120 (1080 % 128 != 0)
 TX = 128
 
 
-def _geometry():
+def _geometry(row_align=8):
     from aainterp.grids import make_grid_spec
     from aainterp.ops.pallas_apply import _densify_row_band
     from aainterp.ops.weights import separable_operator
@@ -50,7 +50,8 @@ def _geometry():
     yw = np.asarray(op.wy.weights, np.float32)
     xs = np.asarray(op.wx.start)
     xw = np.asarray(op.wx.weights, np.float32)
-    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=8)
+    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
+                                                align=row_align)
     col_base, wx_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
     wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
     return op, row_base, wy_blocks, SY, col_base, wx_blocks, SX
@@ -77,6 +78,8 @@ def _build_band_probe(F, SY, nty, Wd, dtype_name, with_y):
     read:write ratio.
     """
     dtype = jnp.dtype(dtype_name)
+    from aainterp.ops.pallas_apply import _as_f32
+    row_hint = 32 if dtype == jnp.uint8 else 8
 
     def kernel(row_base_ref, src_ref, wy_ref, out_ref, src_buf, sem):
         t = pl.program_id(0)
@@ -86,7 +89,7 @@ def _build_band_probe(F, SY, nty, Wd, dtype_name, with_y):
             fr = jax.lax.div(step, nty)
             return pltpu.make_async_copy(
                 src_ref.at[fr, pl.ds(
-                    pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                    pl.multiple_of(row_base_ref[tr], row_hint), SY), :],
                 src_buf.at[slot_i],
                 sem.at[slot_i],
             )
@@ -104,9 +107,12 @@ def _build_band_probe(F, SY, nty, Wd, dtype_name, with_y):
         band_dma(t, slot).wait()
         if with_y:
             tmp = jnp.dot(
-                wy_ref[0], src_buf[slot].astype(jnp.float32),
+                wy_ref[0], _as_f32(src_buf[slot]),
                 preferred_element_type=jnp.float32)
-            out_ref[0] = tmp[:, :Wd].astype(dtype)
+            if dtype == jnp.uint8:
+                out_ref[0] = tmp[:, :Wd].astype(jnp.int32).astype(dtype)
+            else:
+                out_ref[0] = tmp[:, :Wd].astype(dtype)
         else:
             out_ref[0] = src_buf[slot, :TY, :Wd].astype(dtype)
 
@@ -140,6 +146,8 @@ def _build_full_nslot(F, SY, SX, nty, ntx, Wd, dtype_name, nslot,
     """Production separable pipeline with an `nslot`-deep band buffer."""
     dtype = jnp.dtype(dtype_name)
     total = F * nty
+    from aainterp.ops.pallas_apply import _as_f32
+    row_hint = 32 if dtype == jnp.uint8 else 8
 
     def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
                out_ref, src_buf, tmp_buf, sem):
@@ -150,7 +158,7 @@ def _build_full_nslot(F, SY, SX, nty, ntx, Wd, dtype_name, nslot,
             fr = jax.lax.div(step, nty)
             return pltpu.make_async_copy(
                 src_ref.at[fr, pl.ds(
-                    pl.multiple_of(row_base_ref[tr], 8), SY), :],
+                    pl.multiple_of(row_base_ref[tr], row_hint), SY), :],
                 src_buf.at[slot_i],
                 sem.at[slot_i],
             )
@@ -174,16 +182,18 @@ def _build_full_nslot(F, SY, SX, nty, ntx, Wd, dtype_name, nslot,
 
         slot = jax.lax.rem(t, nslot)
         band_dma(t, slot).wait()
-        tmp_buf[:] = jnp.dot(wy_ref[0], src_buf[slot].astype(jnp.float32),
+        tmp_buf[:] = jnp.dot(wy_ref[0], _as_f32(src_buf[slot]),
                              preferred_element_type=jnp.float32)
         for c in range(ntx):
             cb = pl.multiple_of(col_base_ref[c], 128)
             seg = tmp_buf[:, pl.ds(cb, SX)]
             # match production: f32 operands at DEFAULT precision (the MXU
             # truncates to bf16 internally for bf16 pixel paths)
-            out_ref[0, :, c * TX: (c + 1) * TX] = jnp.dot(
-                seg, wx_ref[c],
-                preferred_element_type=jnp.float32).astype(dtype)
+            blk = jnp.dot(seg, wx_ref[c],
+                          preferred_element_type=jnp.float32)
+            if dtype == jnp.uint8:
+                blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.int32)
+            out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -238,7 +248,9 @@ def check_nslot(nslot, dtype=jnp.bfloat16):
 
 
 def _band_exp(batch, dtype, with_y):
-    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry()
+    row_align = 32 if jnp.dtype(dtype) == jnp.uint8 else 8
+    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry(
+        row_align)
     nty = wy_blocks.shape[0]
     Wd = 1920
     probe = _build_band_probe(batch, SY, nty, Wd, jnp.dtype(dtype).name,
@@ -274,7 +286,9 @@ def exp_full(batch, dtype):
 
 
 def _full_nslot_exp(batch, dtype, nslot):
-    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry()
+    row_align = 32 if jnp.dtype(dtype) == jnp.uint8 else 8
+    op, row_base, wy_blocks, SY, col_base, wx_blocks, SX = _geometry(
+        row_align)
     nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
     probe = _build_full_nslot(batch, SY, SX, nty, ntx, 1920,
                               jnp.dtype(dtype).name, nslot)
