@@ -72,14 +72,47 @@ def _as_f32(x):
     return x.astype(jnp.float32)
 
 
+def _require_host_geometry(*tables) -> None:
+    """Reject traced band tables with an actionable message.
+
+    The Pallas wrappers plan on the host (numpy densify, content-hash
+    plan caches), so the geometry must be concrete.  Under ``jax.jit``,
+    closed-over *device* arrays are lifted to arguments by current JAX
+    and arrive here as tracers; numpy closures stay concrete.  Callers
+    that jit a step function should hold Band1D tables as numpy (see
+    pipeline._host_band).
+    """
+    for t in tables:
+        if isinstance(t, jax.core.Tracer):
+            raise TypeError(
+                "apply_separable_pallas* needs concrete (host) band "
+                "tables to plan its kernel, but got a traced array. "
+                "Keep operator tables as numpy when closing over them "
+                "inside jax.jit (device-array closures become jit "
+                "arguments), or call the apply outside jit.")
+
+
 def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
-                      tile: int, align: int) -> Tuple[np.ndarray, np.ndarray, int]:
+                      tile: int, align: int, span_align: int = 0,
+                      ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Per-tile dense blocks of a banded operator.
 
     Returns (base (n_tiles,) int32, blocks (n_tiles, tile, span) f32, span).
     base is clamped to [0, n_src - span]; blocks place weights[i, k] at
     column start[i] + k - base[t].
+
+    ``span_align`` (default: same as ``align``) rounds the span
+    separately from the base alignment.  The split matters when n_src is
+    not a multiple of ``align``: with span forced to an align-multiple
+    too, aligned-base + aligned-span can never land exactly on n_src, so
+    the base/span fixpoint below diverges to the give-up branch (span =
+    n_src rounded up, which the caller treats as "off the envelope").
+    DMA *bases* carry the hard Mosaic alignment contract; the copy
+    LENGTH does not, so e.g. the uint8 path (align=32) can use a tight
+    4-multiple span and still cover n_src = 2160 (base 1888 + span 272).
     """
+    if span_align <= 0:
+        span_align = align
     n_dst, band = weights.shape
     n_tiles = _round_up(n_dst, tile) // tile
     lo_arr = np.zeros(n_tiles, dtype=np.int64)
@@ -94,19 +127,20 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
     # too — n_src - span itself need not be aligned.  Clamping a base
     # down grows its tile's required span, so iterate to a fixpoint
     # (grows monotonically; bounded by n_src).
-    span = _round_up(int((hi_arr - lo_arr).max()), align)
+    span = _round_up(int((hi_arr - lo_arr).max()), span_align)
     base = lo_arr
     while True:
         max_base = ((n_src - span) // align) * align
         if max_base < 0:
             base = np.zeros(n_tiles, dtype=np.int64)
-            span = _round_up(n_src, align)  # > n_src: caller falls back
+            # > n_src: caller falls back
+            span = _round_up(n_src, span_align)
             break
         base = np.clip(lo_arr, 0, max_base)
         need = int((hi_arr - base).max())
         if need <= span:
             break
-        span = _round_up(need, align)
+        span = _round_up(need, span_align)
     base = base.astype(np.int32)
     blocks = np.zeros((n_tiles, tile, span), dtype=np.float32)
     for t in range(n_tiles):
@@ -387,6 +421,7 @@ def apply_separable_pallas(
                 TY = cand
                 break
 
+    _require_host_geometry(y_start, y_w, x_start, x_w)
     ys = np.asarray(y_start)
     yw = np.asarray(y_w, dtype=np.float32)
     xs = np.asarray(x_start)
@@ -644,9 +679,14 @@ def _banded_blocks_2d(start: np.ndarray, weights: np.ndarray, n: int,
     return base.astype(np.int32), blocks, span
 
 
+# Mosaic's dot lowering supports only DEFAULT (1 bf16 MXU pass) and
+# HIGHEST (full f32 via bf16x6) on this backend — HIGH (bf16x3) raises
+# NotImplementedError at lowering (measured 2026-08-19; the hoped-for
+# half-cost regrid precision point does not exist on v5e).  "high" is
+# accepted for forward compatibility but runs HIGHEST.
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
@@ -659,8 +699,8 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     in_dtype = jnp.dtype(in_dtype_name)
     # "auto": f32 pixels need multi-pass MXU accuracy (DEFAULT silently
     # truncates operands to bf16, ~1e-3 error); bf16/u8 operands are
-    # exact in one pass.  An explicit precision overrides (the regrid
-    # probe measures HIGH-vs-HIGHEST accuracy/speed on the real chip).
+    # exact in one pass.  An explicit precision overrides (see
+    # _PRECISIONS: "high" runs HIGHEST — Mosaic has no HIGH lowering).
     if precision == "auto":
         prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
@@ -811,6 +851,7 @@ def apply_separable_pallas_2d(
     row_align = 32 if u8 else 8
     isize = 1 if u8 else (2 if in_dtype == jnp.bfloat16 else 4)
 
+    _require_host_geometry(y_start, y_w, x_start, x_w)
     ys = np.asarray(y_start)
     yw = np.asarray(y_w, dtype=np.float32)
     xs = np.asarray(x_start)

@@ -36,6 +36,20 @@ OperatorLike = Union["weights_ops.SeparableOperator",
                      Callable]
 
 
+def _host_band(b: Band1D) -> Band1D:
+    """Band1D with HOST (numpy) tables.
+
+    The banded steps close over their bands inside ``jax.jit``; closed-
+    over *device* arrays are lifted to jit arguments (tracers) by
+    current JAX, which breaks the Pallas routes' host-side plan prep
+    (``np.asarray`` on a traced start vector).  numpy closures stay
+    baked trace-time constants — and band tables are small, so
+    embedding them in HLO is safe.
+    """
+    return Band1D(start=np.asarray(b.start), weights=np.asarray(b.weights),
+                  n_src=b.n_src, n_dst=b.n_dst)
+
+
 def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
     """One-batch apply fn for ``op``; (..., H, W) in, (..., Hd, Wd) out.
 
@@ -59,10 +73,12 @@ def _make_step(op: OperatorLike, impl: str, weight_dtype, precision: str):
         # jit so each batch is ONE dispatch (band tables are small — safe
         # to close over; the eager u8 round/clip tail would otherwise
         # cost extra per-batch round trips)
+        by, bx = _host_band(by), _host_band(bx)
         return jax.jit(lambda x: apply_band_operators(
             x, by, bx, impl=impl, precision=precision))
     if isinstance(op, weights_ops.SeparableOperator):
         yb, xb, out_t = weights_ops.fold_quadrant_separable(op)
+        yb, xb = _host_band(yb), _host_band(xb)
 
         @jax.jit
         def step(x):

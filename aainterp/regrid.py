@@ -127,19 +127,38 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
 
     field = jnp.asarray(field)
     u8 = field.dtype == jnp.uint8  # u8 in -> u8 out on EVERY route
-    args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
-            jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
+    # host-side tables for the Pallas route: its planner (densify, plan
+    # cache keyed by content hash) runs on the host, and under jax.jit
+    # a trace-time jnp.asarray(numpy) is a TRACER in current JAX (the
+    # constants-become-arguments rework), which would blow up the plan
+    # prep.  np.asarray of concrete device arrays is fine (closed-over
+    # jax Arrays stay concrete constants); only genuinely traced tables
+    # are rejected (ops/pallas_apply._require_host_geometry).
+    tracer = any(isinstance(t, jax.core.Tracer)
+                 for t in (by.start, by.weights, bx.start, bx.weights))
+    if not tracer:
+        host_args = (np.asarray(by.start),
+                     np.asarray(by.weights, np.float32),
+                     np.asarray(bx.start),
+                     np.asarray(bx.weights, np.float32))
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if impl == "pallas":
+    elif impl == "pallas" and tracer:
+        # forced Pallas must not silently run the slower XLA path
+        from .ops.pallas_apply import _require_host_geometry
+
+        _require_host_geometry(by.start, by.weights, bx.start, bx.weights)
+    if impl == "pallas" and not tracer:
         from .ops.pallas_apply import apply_separable_pallas_2d
 
         lead = field.shape[:-2]
         f3 = field.reshape((-1,) + field.shape[-2:])
-        out = apply_separable_pallas_2d(f3, *args, precision=precision,
+        out = apply_separable_pallas_2d(f3, *host_args, precision=precision,
                                         interpret=interpret)
         if out is not None:
             return out.reshape(lead + out.shape[-2:])
+    args = (jnp.asarray(by.start), jnp.asarray(by.weights, jnp.float32),
+            jnp.asarray(bx.start), jnp.asarray(bx.weights, jnp.float32))
     out = apply_separable_banded(
         field.astype(jnp.float32) if u8 else field, *args)
     if u8:

@@ -302,6 +302,197 @@ def _full_nslot_exp(batch, dtype, nslot):
     return batch * H * W / dt / 1e9, dt / batch
 
 
+def discover_u8_pack_order(rows, interpret=False):
+    """Mosaic's u8 sublane packing, measured on the live backend.
+
+    Returns perm (rows,) int: perm[b * rows//4 + q] = the u8 source row
+    whose byte lands in byte lane b of i32 row q under
+    ``pltpu.bitcast(u8_block, int32)``.  Interpret mode groups rows
+    contiguously (4q+b); real Mosaic may interleave differently — this
+    probe asks the backend instead of assuming.  Row indices are encoded
+    over two lane columns (lo/hi byte) so rows > 256 work.
+    """
+    assert rows % 4 == 0
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.int32)
+
+    r = np.arange(rows)
+    x = np.zeros((rows, 128), dtype=np.uint8)
+    x[:, 0] = r & 0xFF
+    x[:, 1] = r >> 8
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows // 4, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(x))
+    w = np.asarray(out)[:, :2].astype(np.int64) & 0xFFFFFFFF
+    perm = np.zeros(rows, dtype=np.int64)
+    for q in range(rows // 4):
+        for b in range(4):
+            lo = (w[q, 0] >> (8 * b)) & 0xFF
+            hi = (w[q, 1] >> (8 * b)) & 0xFF
+            perm[b * (rows // 4) + q] = lo | (hi << 8)
+    assert sorted(perm.tolist()) == list(range(rows)), perm
+    return perm
+
+
+@functools.lru_cache(maxsize=8)
+def _build_u8bitcast(F, SY, SX, nty, ntx, Wd, nslot=2, interpret=False):
+    """u8 pipeline with the bitcast byte-split unpack.
+
+    The production u8 path converts the whole (SY, W) u8 band via
+    u8 -> i32 -> bf16 — the u8 -> i32 step is a (32,128) -> (8,128)
+    sublane unpack relayout that dominates the u8 frame time.  Here the
+    band is reinterpreted in place (pltpu.bitcast to i32 — free: vregs
+    are already packed 4 rows per 32-bit word), the four byte lanes are
+    extracted with lanewise shifts/masks (no relayout), and the row
+    scramble this induces is folded into the wy operand host-side
+    (wy columns permuted by discover_u8_pack_order).
+    """
+    dtype = jnp.uint8
+    total = F * nty
+    Q = SY // 4
+
+    def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
+               out_ref, src_buf, tmp_buf, sem):
+        t = pl.program_id(0)
+
+        def band_dma(step, slot_i):
+            tr = jax.lax.rem(step, nty)
+            fr = jax.lax.div(step, nty)
+            return pltpu.make_async_copy(
+                src_ref.at[fr, pl.ds(
+                    pl.multiple_of(row_base_ref[tr], 32), SY), :],
+                src_buf.at[slot_i],
+                sem.at[slot_i],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for s in range(nslot - 1):
+                if s == 0:
+                    band_dma(t, 0).start()
+                else:
+                    @pl.when(t + s < total)
+                    def _(s=s):
+                        band_dma(t + s, s).start()
+
+        ahead = nslot - 1
+
+        @pl.when(t + ahead < total)
+        def _():
+            band_dma(t + ahead, jax.lax.rem(t + ahead, nslot)).start()
+
+        slot = jax.lax.rem(t, nslot)
+        band_dma(t, slot).wait()
+        word = pltpu.bitcast(src_buf[slot], jnp.uint32)  # (Q, W) packed
+        parts = []
+        for b in range(4):
+            v = word if b == 0 else jax.lax.shift_right_logical(
+                word, jnp.uint32(8 * b))
+            if b < 3:
+                v = v & jnp.uint32(0xFF)
+            parts.append(pltpu.bitcast(v, jnp.int32).astype(jnp.bfloat16))
+        xcat = jnp.concatenate(parts, axis=0)  # (SY, W) row-scrambled
+        tmp_buf[:] = jnp.dot(wy_ref[0], xcat,
+                             preferred_element_type=jnp.float32)
+        for c in range(ntx):
+            cb = pl.multiple_of(col_base_ref[c], 128)
+            seg = tmp_buf[:, pl.ds(cb, SX)]
+            blk = jnp.dot(seg, wx_ref[c],
+                          preferred_element_type=jnp.float32)
+            blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.int32)
+            out_ref[0, :, c * TX: (c + 1) * TX] = blk.astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, TY, SY),
+                         lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, ntx * TX),
+            lambda t, *_: (jax.lax.div(t, nty), jax.lax.rem(t, nty), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nslot, SY, W), dtype),
+            pltpu.VMEM((TY, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslot,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, nty * TY, ntx * TX), dtype),
+        interpret=interpret,
+    )
+
+
+def _u8bitcast_setup(interpret=False):
+    # 32-aligned DMA bases but a tight 4-multiple span: H=2160 is not a
+    # 32-multiple, so align=32 span rounding has no in-bounds solution
+    # (the plain _geometry(32) call degenerates to span 2176 = whole
+    # image, which is what made the production u8 route fall off the
+    # 1-D kernel entirely)
+    from aainterp.ops.pallas_apply import _densify_row_band
+
+    op, _, _, _, col_base, wx_blocks, SX = _geometry(8)
+    ys = np.asarray(op.wy.start)
+    yw = np.asarray(op.wy.weights, np.float32)
+    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=32,
+                                                span_align=4)
+    if SY % 4 or SY > H:
+        raise ValueError(f"u8bitcast needs SY % 4 == 0 and SY <= H, "
+                         f"got SY={SY}")
+    perm = discover_u8_pack_order(SY, interpret=interpret)
+    wy_p = np.ascontiguousarray(wy_blocks[:, :, perm])
+    return op, row_base, wy_p, SY, col_base, wx_blocks, SX
+
+
+def exp_u8bitcast(batch, dtype):
+    if jnp.dtype(dtype) != jnp.uint8:
+        raise ValueError("u8bitcast is a uint8 experiment (--dtype uint8)")
+    op, row_base, wy_p, SY, col_base, wx_blocks, SX = _u8bitcast_setup()
+    nty, ntx = wy_p.shape[0], wx_blocks.shape[0]
+    probe = _build_u8bitcast(batch, SY, SX, nty, ntx, 1920)
+    rb = jnp.asarray(row_base)
+    cb = jnp.asarray(col_base)
+    wy = jnp.asarray(wy_p)
+    wx = jnp.asarray(wx_blocks)
+    frames, warm = _frames(8, batch, jnp.uint8)
+    dt = timed_scan(lambda f, r, c, a, b: probe(r, c, f, a, b),
+                    frames, warm, consts=(rb, cb, wy, wx))
+    return batch * H * W / dt / 1e9, dt / batch
+
+
+def check_u8bitcast():
+    """Interpret-mode equality vs the production u8 apply (CPU)."""
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    op, row_base, wy_p, SY, col_base, wx_blocks, SX = _u8bitcast_setup(
+        interpret=True)
+    nty, ntx = wy_p.shape[0], wx_blocks.shape[0]
+    probe = _build_u8bitcast(1, SY, SX, nty, ntx, 1920, interpret=True)
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))
+    got = probe(jnp.asarray(row_base), jnp.asarray(col_base), f,
+                jnp.asarray(wy_p), jnp.asarray(wx_blocks))[:, :1080, :]
+    want = apply_separable_pallas(
+        f, jnp.asarray(op.wy.start),
+        jnp.asarray(np.asarray(op.wy.weights, np.float32)),
+        jnp.asarray(op.wx.start),
+        jnp.asarray(np.asarray(op.wx.weights, np.float32)),
+        interpret=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.int32)
+                                - want.astype(jnp.int32))))
+    print(f"check u8bitcast: max abs err {err} gray")
+    assert err <= 1, err
+
+
 def exp_full2(batch, dtype):
     """2-slot replica of production built HERE (control for full3)."""
     return _full_nslot_exp(batch, dtype, 2)
@@ -322,6 +513,7 @@ EXPS = {
     "full2": exp_full2,
     "full3": exp_full3,
     "full4": exp_full4,
+    "u8bitcast": exp_u8bitcast,
 }
 
 
@@ -336,8 +528,11 @@ def main():
     args = ap.parse_args()
     if args.check:
         jax.config.update("jax_platforms", "cpu")
-        check_nslot({"full2": 2, "full3": 3, "full4": 4}[args.exp],
-                    jnp.dtype(args.dtype))
+        if args.exp == "u8bitcast":
+            check_u8bitcast()
+        else:
+            check_nslot({"full2": 2, "full3": 3, "full4": 4}[args.exp],
+                        jnp.dtype(args.dtype))
         return
     g, per_frame = EXPS[args.exp](args.batch, jnp.dtype(args.dtype))
     print(f"{args.exp}: {g:.2f} Gpixel/s  ({per_frame * 1e6:.1f} us/frame)")

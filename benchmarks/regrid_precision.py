@@ -8,6 +8,14 @@ DEFAULT (1 bf16 pass, ~1e-3 error), HIGH (bf16x3 passes, ~f32 accuracy)
 and HIGHEST (bf16x6) — if HIGH's 3 passes already preserve conservation
 to the BASELINE 1e-5 tolerance, the kernel's MXU work halves.
 
+RESOLVED 2026-08-19 on the real chip: Mosaic's dot lowering has NO HIGH
+strategy on this v5e libtpu (NotImplementedError: "Unsupported dot
+precision: HIGH") — the half-cost precision point does not exist;
+"high" now aliases HIGHEST in ops/pallas_apply._PRECISIONS.  HIGHEST
+measures max rel err 1.867e-07 / flux rel err 2.854e-08 vs the f64
+host apply, comfortably inside the 1e-5 budget; DEFAULT's single pass
+stays available as an explicit opt-in for speed.
+
 This probe measures, on the real chip, for each precision:
   * wall time on the honest harness (bench.timed_scan)
   * max |rel err| vs the float64 HOST apply of the same operator

@@ -233,3 +233,47 @@ def test_stream_through_callable_sharded_step():
     got = list(stream_apply(step, frames, batch=B, depth=2))
     for f, g in zip(frames, got):
         np.testing.assert_allclose(g, _direct(op, f), rtol=1e-5, atol=1e-6)
+
+
+def test_jitted_step_reaches_pallas_plan_with_host_tables():
+    """Regression: the TPU stream route plans a Pallas kernel INSIDE the
+    jitted step.  In current JAX a trace-time jnp.asarray(numpy) is a
+    tracer (constants-become-arguments), so apply_band_operators must
+    hand the planner HOST tables, not jnp conversions — the 2026-08-19
+    bench --case stream crash on the real TPU.  interpret=True runs the
+    same host-side planning on CPU."""
+    import jax
+
+    by, bx = aa.resize_bands((48, 64), (24, 32))
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+
+    @jax.jit
+    def step(f):
+        return apply_band_operators(f, by, bx, impl="pallas",
+                                    interpret=True)
+
+    got = step(x)
+    want = apply_band_operators(x, by, bx, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_traced_band_tables_raise_clearly():
+    """Genuinely traced tables (jit arguments) cannot be planned on the
+    host; a forced impl='pallas' must raise the descriptive TypeError
+    rather than silently running the slower XLA path."""
+    import jax
+
+    from aainterp.ops.overlap1d import Band1D
+
+    by, bx = aa.resize_bands((48, 64), (24, 32))
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+
+    @jax.jit
+    def step(f, ys, yw):
+        byt = Band1D(start=ys, weights=yw, n_src=by.n_src, n_dst=by.n_dst)
+        return apply_band_operators(f, byt, bx, impl="pallas",
+                                    interpret=True)
+
+    with pytest.raises(TypeError, match="concrete"):
+        step(x, jnp.asarray(by.start), jnp.asarray(by.weights))
