@@ -154,12 +154,83 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
     return base, blocks, span
 
 
+def _u8_unpack_bf16(band):
+    """Byte-split a packed u8 VMEM block to bf16 without a relayout.
+
+    ``pltpu.bitcast`` reinterprets the (SY, W) u8 block as (SY/4, W)
+    uint32 for free — vregs already pack 4 sublanes per 32-bit word —
+    then each byte lane is extracted with lanewise shifts/masks and
+    converted i32 -> bf16 (u8 values are bf16-exact).  The result rows
+    are SCRAMBLED by the hardware packing order: callers must permute
+    the wy operand's columns by _u8_pack_order(SY) host-side.
+
+    This replaces the u8 -> i32 convert (a (32,128) -> (8,128) sublane
+    unpack relayout over the whole band) that held the u8 flagship at
+    84 Gpixel/s; the bitcast variant measures 264 (2026-08-19 probe).
+    """
+    word = pltpu.bitcast(band, jnp.uint32)
+    parts = []
+    for b in range(4):
+        v = word if b == 0 else jax.lax.shift_right_logical(
+            word, jnp.uint32(8 * b))
+        if b < 3:
+            v = v & jnp.uint32(0xFF)
+        parts.append(pltpu.bitcast(v, jnp.int32).astype(jnp.bfloat16))
+    return jnp.concatenate(parts, axis=0)
+
+
+@functools.lru_cache(maxsize=16)
+def _u8_pack_order(rows: int, interpret: bool = False) -> tuple:
+    """Row permutation induced by _u8_unpack_bf16, asked of the backend.
+
+    perm[b * rows//4 + q] = the u8 source row whose byte lands in byte
+    lane b of uint32 row q.  Interpret mode groups rows contiguously
+    (4q + b); real Mosaic's packed sublane order may differ, so it is
+    DISCOVERED with a tiny kernel on the live backend (one cheap compile
+    per distinct row count, cached).  Row indices are encoded over two
+    lane columns (lo/hi byte) so rows > 256 work.
+    """
+    assert rows % 4 == 0
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.int32)
+
+    r = np.arange(rows)
+    x = np.zeros((rows, 128), dtype=np.uint8)
+    x[:, 0] = r & 0xFF
+    x[:, 1] = r >> 8
+    # plan prep may run while the caller is TRACING (e.g. a jitted
+    # serving step); the probe's inputs are concrete, so force eager
+    # evaluation — otherwise the probe output is a tracer and the
+    # discovery cannot read it
+    with jax.ensure_compile_time_eval():
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((rows // 4, 128), jnp.int32),
+            interpret=interpret,
+        )(jnp.asarray(x))
+    w = np.asarray(out)[:, :2].astype(np.int64) & 0xFFFFFFFF
+    perm = np.zeros(rows, dtype=np.int64)
+    for q in range(rows // 4):
+        for b in range(4):
+            lo = (w[q, 0] >> (8 * b)) & 0xFF
+            hi = (w[q, 1] >> (8 * b)) & 0xFF
+            perm[b * (rows // 4) + q] = lo | (hi << 8)
+    if sorted(perm.tolist()) != list(range(rows)):
+        raise RuntimeError(
+            f"u8 pack-order probe returned a non-bijection at rows="
+            f"{rows}: {perm[:8]}... — backend packing changed; "
+            "the u8 bitcast route must be disabled for this shape")
+    return tuple(int(p) for p in perm)
+
+
 @functools.lru_cache(maxsize=32)
 def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                             ky, wy_width, out_dtype_name, in_dtype_name,
                             y_pass="mxu", stride_m=0, x_bases=None,
                             c0_static=-1, buf_rows=0, bf16_x=False,
-                            double_buffer=True, n_slots=2, interpret=False):
+                            double_buffer=True, n_slots=2,
+                            u8_bitcast=False, interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
     # TPU f32 matmuls at DEFAULT precision silently truncate operands to
@@ -280,9 +351,14 @@ def _build_separable_kernel(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         if y_pass == "mxu":
             # dense banded block on the MXU: simple but SY/ky x wasted FLOPs
             band = src_buf[slot] if db else src_buf[:]
+            # u8 bands: bitcast byte-split (free reinterpret + lanewise
+            # extract; wy columns are pre-permuted by _u8_pack_order)
+            # instead of the sublane-relayout u8 -> i32 convert
+            operand = (_u8_unpack_bf16(band) if u8_bitcast
+                       else _as_f32(band))
             tmp_buf[:] = jnp.dot(
                 wy_ref[0],
-                _as_f32(band),
+                operand,
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )  # (TY, W)
@@ -447,14 +523,27 @@ def apply_separable_pallas(
     prep_key = (
         hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
         F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer, n_slots,
-        str(frames.dtype), str(out_dtype),
+        str(frames.dtype), str(out_dtype), bool(interpret),
     )
     cached = _PREP_CACHE.get(prep_key)
     if cached is not None:
         return _finish_separable_pallas(frames, cached, interpret)
 
-    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
-                                                align=row_align)
+    u8_bitcast = False
+    if u8:
+        # tight 4-multiple span (32-aligned bases stay the hard Mosaic
+        # contract) so the band window fits H even when H % 32 != 0 —
+        # with span forced to a 32-multiple the 4K flagship degenerated
+        # to whole-image bands and fell off this kernel entirely
+        row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
+                                                    align=32, span_align=4)
+        if SY % 4 == 0 and SY <= H:
+            perm = _u8_pack_order(SY, bool(interpret))
+            wy_blocks = np.ascontiguousarray(wy_blocks[:, :, list(perm)])
+            u8_bitcast = True
+    else:
+        row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
+                                                    align=row_align)
     col_base, wx_blocks_t, SX = _densify_row_band(xs, xw, W, TX, align=128)
     if SY > H or SX > W or W % 128 != 0:
         # off the 1-D kernel's envelope: full-width row bands need
@@ -612,14 +701,15 @@ def apply_separable_pallas(
         build_args=(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx, ky, wy_width,
                     jnp.dtype(out_dtype).name, jnp.dtype(frames.dtype).name,
                     y_pass, stride_m, x_bases, c0_static, buf_rows,
-                    bf16_x, double_buffer, n_slots),
-        row_base=jnp.asarray(row_base),
-        col_base=jnp.asarray(col_base),
-        row_off=jnp.asarray(row_off),
-        yw_flat=jnp.asarray(yw_flat.reshape(-1)),
-        wy=jnp.asarray(wy_in),
-        wx=jnp.asarray(wx_blocks,
-                       dtype=jnp.bfloat16 if bf16_x else jnp.float32),
+                    bf16_x, double_buffer, n_slots, u8_bitcast),
+        # HOST tables only: plans outlive traces, and a jnp.asarray done
+        # while tracing is a tracer in current JAX — caching it leaks
+        # (UnexpectedTracerError on the next batch, hit by the jitted
+        # stream step).  Device upload happens lazily in _plan_tables.
+        tables=(row_base, np.asarray(col_base), row_off,
+                yw_flat.reshape(-1), np.asarray(wy_in),
+                np.asarray(wx_blocks)),
+        wx_dtype=jnp.bfloat16 if bf16_x else jnp.float32,
         Hd=Hd,
         Wd=Wd,
         in_dtype=frames.dtype,
@@ -627,6 +717,25 @@ def apply_separable_pallas(
     )
     _PREP_CACHE.put(prep_key, plan)
     return _finish_separable_pallas(frames, plan, interpret)
+
+
+def _plan_tables(plan) -> tuple:
+    """Device copies of a cached plan's host tables.
+
+    Outside a trace the converted arrays are concrete and memoised on
+    the plan (one upload per process).  Inside a trace jnp.asarray
+    yields tracers — correct as kernel inputs for THAT trace, but never
+    stored (a cached tracer outlives its trace and poisons later calls).
+    """
+    dev = plan.get("_dev")
+    if dev is not None:
+        return dev
+    tabs = plan["tables"]
+    dev = tuple(jnp.asarray(t) for t in tabs[:-1]) + (
+        jnp.asarray(tabs[-1], dtype=plan["wx_dtype"]),)
+    if not any(isinstance(t, jax.core.Tracer) for t in dev):
+        plan["_dev"] = dev
+    return dev
 
 
 # bounded: each plan holds densified f32 band blocks (tens of MB at 4K);
@@ -874,8 +983,8 @@ def apply_separable_pallas_2d(
         if (Hp, Wp) != (H, W):
             frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
         call = _build_separable_kernel_2d(*cached["build_args"], interpret)
-        out = call(cached["row_base"], cached["col_base"], frames,
-                   cached["wy"], cached["wx"])
+        row_base, col_base, wy, wx = _plan_tables(cached)
+        out = call(row_base, col_base, frames, wy, wx)
         return out[:, :Hd, :Wd]
 
     plan = None
@@ -906,17 +1015,17 @@ def apply_separable_pallas_2d(
                   precision)
     cached = dict(
         build_args=build_args,
-        row_base=jnp.asarray(row_base),
-        col_base=jnp.asarray(col_base),
-        wy=jnp.asarray(wy_blocks),
-        wx=jnp.asarray(wx_blocks),
+        # host tables; device upload is lazy and never caches tracers
+        # (see _plan_tables — jitted callers plan inside a trace)
+        tables=(row_base, col_base, wy_blocks, wx_blocks),
+        wx_dtype=jnp.float32,
     )
     _PREP_CACHE.put(prep_key, cached)
     if (Hp, Wp) != (H, W):
         frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
     call = _build_separable_kernel_2d(*build_args, interpret)
-    out = call(cached["row_base"], cached["col_base"], frames,
-               cached["wy"], cached["wx"])
+    row_base_d, col_base_d, wy_d, wx_d = _plan_tables(cached)
+    out = call(row_base_d, col_base_d, frames, wy_d, wx_d)
     return out[:, :Hd, :Wd]
 
 
@@ -929,8 +1038,6 @@ def _finish_separable_pallas(frames, plan, interpret):
         F, H, W = frames.shape
         frames = frames.reshape(F, H // m, m, W)
     call = _build_separable_kernel(*plan["build_args"], interpret)
-    out = call(
-        plan["row_base"], plan["col_base"], plan["row_off"],
-        plan["yw_flat"], frames, plan["wy"], plan["wx"],
-    )
+    row_base, col_base, row_off, yw_flat, wy, wx = _plan_tables(plan)
+    out = call(row_base, col_base, row_off, yw_flat, frames, wy, wx)
     return out[:, : plan["Hd"], : plan["Wd"]]

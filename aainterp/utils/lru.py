@@ -36,6 +36,14 @@ class LruDict:
             self._d.pop(next(iter(self._d)))  # least-recent
         self._d[key] = value
 
+    def values(self):
+        """Snapshot of cached values, oldest first (does not promote)."""
+        return list(self._d.values())
+
+    def items(self):
+        """Snapshot of (key, value) pairs, oldest first (no promotion)."""
+        return list(self._d.items())
+
     def __len__(self) -> int:
         return len(self._d)
 

@@ -207,3 +207,52 @@ def test_pallas_1d_falls_back_to_2d_on_odd_width():
     ref = apply_separable_banded(frames, ys, yw, xs, xw)
     got = apply_separable_pallas(frames, ys, yw, xs, xw, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_uint8_bitcast_route_engaged():
+    """u8 1-D kernel uses the bitcast byte-split unpack (u8_bitcast flag
+    in the cached plan), including at H not a multiple of 32 — the case
+    whose aligned-span fixpoint used to degenerate to whole-image bands
+    and silently push u8 off the 1-D kernel."""
+    from aainterp.ops import pallas_apply as pa
+
+    for shape in [(256, 512), (180, 256)]:
+        spec = aa.make_grid_spec(shape, 2.0, 1.0, (0.0, 0.0), 0.0)
+        ys, yw, xs, xw = _bands(spec)
+        u8 = jnp.asarray(RNG.integers(0, 256, (1,) + shape, dtype=np.uint8))
+        got = apply_separable_pallas(u8, ys, yw, xs, xw, interpret=True)
+        ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+        want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+        assert np.abs(got.astype(np.int32) - want).max() <= 1, shape
+        # the freshest plan for this geometry must carry the bitcast flag
+        flags = [p["build_args"][-1] for p in pa._PREP_CACHE.values()
+                 if isinstance(p, dict)
+                 and tuple(p["build_args"][1:3]) == shape
+                 and p.get("in_dtype") == jnp.uint8]
+        assert flags and flags[-1] is True, (shape, flags)
+
+
+def test_pallas_uint8_h_not_div4_falls_back_cleanly():
+    """H % 4 != 0 cannot host the 4-row bitcast window; the route must
+    fall back (2-D kernel / XLA) and stay exact, not crash."""
+    spec = aa.make_grid_spec((94, 128), 2.0, 1.0, (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (1, 94, 128), dtype=np.uint8))
+    got = apply_separable_pallas(u8, ys, yw, xs, xw, interpret=True)
+    assert got.dtype == jnp.uint8
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(got.astype(np.int32) - want).max() <= 1
+
+
+def test_u8_pack_order_interpret_is_contiguous():
+    """Interpret-mode bitcast groups rows contiguously: perm[b*Q+q] =
+    4q+b.  (Real Mosaic's order is discovered on the live backend by the
+    same probe; the TPU smoke suite covers that path.)"""
+    from aainterp.ops.pallas_apply import _u8_pack_order
+
+    perm = _u8_pack_order(16, True)
+    Q = 4
+    for q in range(Q):
+        for b in range(4):
+            assert perm[b * Q + q] == 4 * q + b
