@@ -108,8 +108,9 @@ def _densify_row_band(start: np.ndarray, weights: np.ndarray, n_src: int,
     the base/span fixpoint below diverges to the give-up branch (span =
     n_src rounded up, which the caller treats as "off the envelope").
     DMA *bases* carry the hard Mosaic alignment contract; the copy
-    LENGTH does not, so e.g. the uint8 path (align=32) can use a tight
-    4-multiple span and still cover n_src = 2160 (base 1888 + span 272).
+    LENGTH only needs sublane-tile (8) alignment, so e.g. the uint8 path
+    (align=32, span_align=8) can use a tight span and still cover
+    n_src = 2160 (base 1888 + span 272).
     """
     if span_align <= 0:
         span_align = align
@@ -531,12 +532,16 @@ def apply_separable_pallas(
 
     u8_bitcast = False
     if u8:
-        # tight 4-multiple span (32-aligned bases stay the hard Mosaic
+        # tight 8-multiple span (32-aligned bases stay the hard Mosaic
         # contract) so the band window fits H even when H % 32 != 0 —
         # with span forced to a 32-multiple the 4K flagship degenerated
-        # to whole-image bands and fell off this kernel entirely
+        # to whole-image bands and fell off this kernel entirely.  The
+        # bitcast itself only needs SY % 4, but Mosaic requires the COPY
+        # LENGTH to be sublane-tile (8) aligned when the source ref is
+        # VMEM-resident ("Slice shape along dimension 1 must be aligned
+        # to tiling (8)", hit by the sharded local blocks on real TPU)
         row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY,
-                                                    align=32, span_align=4)
+                                                    align=32, span_align=8)
         if SY % 4 == 0 and SY <= H:
             perm = _u8_pack_order(SY, bool(interpret))
             wy_blocks = np.ascontiguousarray(wy_blocks[:, :, list(perm)])

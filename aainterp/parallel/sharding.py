@@ -195,7 +195,8 @@ def sharded_apply_banded(
 
 
 def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
-                         tile_y: int = 128, tile_x: int = 128):
+                         tile_y: int = 128, tile_x: int = 128,
+                         u8: bool = False, interpret: bool = False):
     """Host-side per-chip kernel plan for the row-sharded Pallas apply.
 
     Each chip's local y band (rebased into its halo-extended source block
@@ -203,8 +204,14 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
     ONE uniform span SY across chips/tiles, so a single SPMD kernel serves
     every shard; the x plan is chip-independent.  Returns None when the
     geometry is off the 1-D kernel's envelope (W % 128 != 0, span > Hloc).
+
+    ``u8`` builds the uint8 variant: 32-aligned DMA bases, a 4-multiple
+    span, and the wy columns pre-permuted for the kernel's bitcast
+    byte-split unpack (pack order probed from the live backend — pass the
+    caller's ``interpret`` so the probe runs on the same backend).
     """
-    from ..ops.pallas_apply import _densify_row_band, _round_up
+    from ..ops.pallas_apply import (_densify_row_band, _round_up,
+                                    _u8_pack_order)
 
     qH, Hd = y_band.n_src, y_band.n_dst
     W, Wd = x_band.n_src, x_band.n_dst
@@ -224,6 +231,11 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
     ys = np.asarray(y_band.start).astype(np.int64)
     yw = np.asarray(y_band.weights, dtype=np.float32)
     band = yw.shape[1]
+    base_align = 32 if u8 else 8
+    # spans stay 8-aligned even for u8: Mosaic requires copy lengths to
+    # be sublane-tile aligned on VMEM-resident refs (and 8 % 4 == 0
+    # keeps the bitcast's 4-row grouping valid)
+    span_align = 8
 
     # local (rebased) starts per chip; uniform SY across all (chip, tile)
     lo = np.zeros((n_dev, nty), np.int64)
@@ -234,14 +246,14 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
             return None  # halo bound violated (shouldn't happen)
         for t in range(nty):
             rows = loc[t * TY: (t + 1) * TY]
-            lo[i, t] = (int(rows.min()) // 8) * 8
+            lo[i, t] = (int(rows.min()) // base_align) * base_align
             hi[i, t] = int(rows.max()) + band
     base = np.clip(lo, 0, None)
-    SY = _round_up(int((hi - base).max()), 8)
-    # the per-chip block is OURS to shape: when the 8-aligned span spills
+    SY = _round_up(int((hi - base).max()), span_align)
+    # the per-chip block is OURS to shape: when the aligned span spills
     # past the halo-extended height (tiny shards), pad the local block
     # with zero rows instead of rejecting — spill rows carry weight 0
-    Hpad = _round_up(max(Hloc, int((base + SY).max())), 8)
+    Hpad = _round_up(max(Hloc, int((base + SY).max())), base_align)
     wy_blocks = np.zeros((n_dev, nty, TY, SY), np.float32)
     for i in range(n_dev):
         loc = ys[i * db: (i + 1) * db] - (i * sb - halo)
@@ -249,6 +261,9 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
             for r in range(TY):
                 off = int(loc[t * TY + r]) - int(base[i, t])
                 wy_blocks[i, t, r, off: off + band] = yw[i * db + t * TY + r]
+    if u8:
+        perm = _u8_pack_order(SY, interpret)
+        wy_blocks = np.ascontiguousarray(wy_blocks[:, :, :, list(perm)])
 
     xs = np.asarray(x_band.start)
     xw = np.asarray(x_band.weights, dtype=np.float32)
@@ -259,7 +274,7 @@ def _sharded_pallas_plan(y_band, x_band, n_dev: int, halo: int,
     wx_blocks = np.ascontiguousarray(np.swapaxes(wx_t, 1, 2))
     return dict(TY=TY, TX=TX, SY=SY, SX=SX, nty=nty,
                 ntx=wx_blocks.shape[0], Hloc=Hloc, Hpad=Hpad, db=db, sb=sb,
-                band=band,
+                band=band, u8_bitcast=bool(u8),
                 row_base=base.astype(np.int32), wy_blocks=wy_blocks,
                 col_base=col_base.astype(np.int32), wx_blocks=wx_blocks)
 
@@ -289,11 +304,13 @@ def sharded_apply_banded_pallas(
     qH, Hd = y_band.n_src, y_band.n_dst
     Wd = x_band.n_dst
     halo = _row_halo(y_band.start, y_band.band, qH, Hd, n_dev)
-    plan = _sharded_pallas_plan(y_band, x_band, n_dev, halo)
+    u8 = frames.dtype == jnp.uint8
+    plan = _sharded_pallas_plan(y_band, x_band, n_dev, halo,
+                                u8=u8, interpret=interpret)
     if plan is None:
         raise ValueError("geometry off the sharded Pallas kernel envelope")
 
-    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+    if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
     lead = frames.ndim - 2
     assert lead in (0, 1)
@@ -310,7 +327,8 @@ def sharded_apply_banded_pallas(
 
     call = _build_separable_kernel(
         Bloc, Hpad, W, db, Wd, TY, TX, SY, SX, nty, ntx, ky, SY,
-        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret=interpret)
+        dname, dname, "mxu", 0, None, -1, 0, False, True,
+        u8_bitcast=plan["u8_bitcast"], interpret=interpret)
 
     row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
     yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
@@ -382,6 +400,12 @@ def sharded_apply_separable(
     fallback.
     """
     n_dev = mesh.shape[row_axis]
+    u8 = frames.dtype == jnp.uint8  # u8 in -> u8 out, like apply_operator
+    if u8 and conserve:
+        raise ValueError(
+            "conserve=True needs float outputs (the u8 round+saturate "
+            "quantisation breaks the exact flux identity); cast the "
+            "frames to float32 for conservation checks")
     fold = _folded_sharded_bands(op, n_dev)
     if fold is None:
         # folded divisibility failed: global jnp.rot90 (an all-to-all of
@@ -408,8 +432,11 @@ def sharded_apply_separable(
                 raise
     if out is None:
         out = sharded_apply_banded(
-            frames, y_use, x_use, mesh, data_axis=data_axis,
+            frames.astype(jnp.float32) if u8 else frames,
+            y_use, x_use, mesh, data_axis=data_axis,
             row_axis=row_axis)
+        if u8:  # quantise the XLA fallback identically to the kernel
+            out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
     if conserve:
         from .conserve import separable_flux_factors, sharded_flux_separable
 

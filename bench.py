@@ -452,12 +452,16 @@ def bench_sharded(batch: int, dtype):
     sb = H // rows
     hops = -(-halo // sb) if halo else 0
     K = 4
-    frames = jax.device_put(jnp.asarray(
-        rng.uniform(0, 1, (K, B, H, W)).astype(np.float32), dtype=dtype),
-        sharding)
-    warm = jax.device_put(jnp.asarray(
-        rng.uniform(0, 1, (K, B, H, W)).astype(np.float32), dtype=dtype),
-        sharding)
+
+    def _mk():
+        if jnp.dtype(dtype) == jnp.uint8:  # u8-in -> u8-out serving path
+            return jnp.asarray(rng.integers(0, 256, (K, B, H, W),
+                                            dtype=np.uint8))
+        return jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(
+            np.float32), dtype=dtype)
+
+    frames = jax.device_put(_mk(), sharding)
+    warm = jax.device_put(_mk(), sharding)
     dt = timed_scan(
         lambda f: sharded_apply_separable(f, op, mesh).astype(dtype),
         frames, warm)
@@ -490,11 +494,15 @@ def bench_sharded(batch: int, dtype):
                      int(blk.max()) + op_r.window - (i + 1) * sb_r)
     hops_r = -(-max(halo_r, 0) // sb_r) if halo_r > 0 else 0
     K = 4
+    # the rotated path is float-contract (u8 rotated streams cast to
+    # float); bench it at f32 regardless of the separable dtype
+    dtype_r = (jnp.float32 if jnp.dtype(dtype) == jnp.uint8
+               else jnp.dtype(dtype))
     frames_r = jax.device_put(jnp.asarray(
-        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype),
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype_r),
         sharding)
     warm_r = jax.device_put(jnp.asarray(
-        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype),
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32), dtype=dtype_r),
         sharding)
     # tables as jit args (closed over they become HLO constants -> the
     # compile tunnel's HTTP 413); row-sharded so each chip holds its slice
@@ -512,7 +520,7 @@ def bench_sharded(batch: int, dtype):
                 if k in sharded_keys else NamedSharding(mesh, P()))
             for k, v in arrs.items())
         dt_r = timed_scan(
-            lambda f, *cs: fn_r(f, *cs).astype(dtype),
+            lambda f, *cs: fn_r(f, *cs).astype(dtype_r),
             frames_r, warm_r, consts=consts)
     except ValueError as e:
         print(f"# sharded pallas rotated off-envelope ({e}); XLA local apply")
@@ -523,7 +531,7 @@ def bench_sharded(batch: int, dtype):
             jnp.asarray(op_r.weights, dtype=jnp.float32), tab_shard)
         dt_r = timed_scan(
             lambda f, b, w: sharded_apply_ell(
-                f, op_r, mesh, base=b, weights=w, impl="xla").astype(dtype),
+                f, op_r, mesh, base=b, weights=w, impl="xla").astype(dtype_r),
             frames_r, warm_r, consts=(base_arr, w_arr))
     g_rot = B * Hr * Wr / dt_r / 1e9
     out["rot30"] = {

@@ -444,7 +444,7 @@ def _u8bitcast_setup(interpret=False):
     ys = np.asarray(op.wy.start)
     yw = np.asarray(op.wy.weights, np.float32)
     row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=32,
-                                                span_align=4)
+                                                span_align=8)
     if SY % 4 or SY > H:
         raise ValueError(f"u8bitcast needs SY % 4 == 0 and SY <= H, "
                          f"got SY={SY}")

@@ -216,7 +216,10 @@ def test_pallas_uint8_bitcast_route_engaged():
     and silently push u8 off the 1-D kernel."""
     from aainterp.ops import pallas_apply as pa
 
-    for shape in [(256, 512), (180, 256)]:
+    # H=176: not a 32-multiple (the case whose aligned-span fixpoint used
+    # to diverge) but an 8-multiple (Mosaic requires sublane-tile-aligned
+    # copy LENGTHS on VMEM-resident refs, so H % 8 != 0 falls back)
+    for shape in [(256, 512), (176, 256)]:
         spec = aa.make_grid_spec(shape, 2.0, 1.0, (0.0, 0.0), 0.0)
         ys, yw, xs, xw = _bands(spec)
         u8 = jnp.asarray(RNG.integers(0, 256, (1,) + shape, dtype=np.uint8))

@@ -564,3 +564,60 @@ def test_sharded_variance_propagation():
         v, squared_operator(op), mesh))(vdev)
     ref = aa.propagate_variance(op, jnp.asarray(var))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_sharded_pallas_uint8_interpret():
+    """u8 frames ride the per-shard Pallas kernel natively (bitcast
+    byte-split unpack inside each chip's local contraction; u8-in ->
+    u8-out contract), matching the single-chip u8 apply."""
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    H, W, B = 128, 128, 4
+    frames = RNG.integers(0, 256, (B, H, W), dtype=np.uint8)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh(2, 4)
+    sharding = NamedSharding(mesh, P("data", "rows", None))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    assert out.dtype == jnp.uint8
+    want = apply_separable_pallas(
+        jnp.asarray(frames),
+        jnp.asarray(op.wy.start),
+        jnp.asarray(np.asarray(op.wy.weights, np.float32)),
+        jnp.asarray(op.wx.start),
+        jnp.asarray(np.asarray(op.wx.weights, np.float32)),
+        interpret=True)
+    err = np.abs(np.asarray(out).astype(np.int32)
+                 - np.asarray(want).astype(np.int32))
+    assert err.max() <= 1  # fp order across the shard split
+
+
+def test_sharded_pallas_uint8_fallback_quantises():
+    """Off the kernel envelope (W % 128 != 0) u8 degrades to the XLA
+    banded local apply but keeps the u8 -> u8 contract."""
+    H, W, B = 128, 96, 2
+    frames = RNG.integers(0, 256, (B, H, W), dtype=np.uint8)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh(1, 8)
+    sharding = NamedSharding(mesh, P("data", "rows", None))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable(
+        f, op, mesh, interpret=False, impl="banded"))(fdev)
+    assert out.dtype == jnp.uint8
+    ref = aa.apply_operator(op, jnp.asarray(frames, jnp.float32))
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+
+def test_sharded_uint8_conserve_raises():
+    H, W = 128, 128
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh(1, 8)
+    frames = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    with pytest.raises(ValueError, match="conserve"):
+        sharded_apply_separable(frames, op, mesh, conserve=True,
+                                interpret=True)

@@ -190,7 +190,18 @@ out = jax.jit(lambda f: sharded_apply_separable(
     f, op, mesh, impl="pallas"))(x)
 ref = aa.apply_operator(op, x, impl="xla")
 np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-print('sharded pallas TPU smoke OK', out.shape)
+
+# u8 frames ride the per-shard kernel natively (bitcast unpack inside
+# the local contraction; Mosaic pack order probed on this backend)
+u8 = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 256, 512),
+                 dtype=np.uint8))
+gu = jax.jit(lambda f: sharded_apply_separable(
+    f, op, mesh, impl="pallas"))(u8)
+assert gu.dtype == jnp.uint8
+ru = aa.apply_operator(op, u8.astype(jnp.float32), impl="xla")
+wu = np.clip(np.round(np.asarray(ru)), 0, 255).astype(np.int32)
+assert np.abs(np.asarray(gu).astype(np.int32) - wu).max() <= 2
+print('sharded pallas TPU smoke OK', out.shape, gu.dtype)
 """)
 
 
