@@ -808,7 +808,7 @@ _PRECISIONS = {
 @functools.lru_cache(maxsize=32)
 def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                                out_dtype_name, in_dtype_name, precision,
-                               interpret):
+                               interpret=False):
     out_dtype = jnp.dtype(out_dtype_name)
     in_dtype = jnp.dtype(in_dtype_name)
     # "auto": f32 pixels need multi-pass MXU accuracy (DEFAULT silently
@@ -860,6 +860,11 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
 
         band_dma(t, slot).wait()
         band = band_buf[slot]
+        # u8 blocks keep the plain convert: the bitcast byte-split that
+        # wins 3.15x on the 1-D kernel's full-width bands measured
+        # SLOWER here on every config (rgb1024 204.3 -> 195.5, big
+        # odd-width 4K 84.2 -> 78.7) — per-(SY, SX)-block extracts on
+        # narrow SX don't amortise the 4-way shift/mask + concat
         tmp = jnp.dot(
             wy_ref[0], _as_f32(band),
             precision=prec, preferred_element_type=jnp.float32,

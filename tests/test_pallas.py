@@ -259,3 +259,24 @@ def test_u8_pack_order_interpret_is_contiguous():
     for q in range(Q):
         for b in range(4):
             assert perm[b * Q + q] == 4 * q + b
+
+
+@pytest.mark.parametrize("shape,ratio", [
+    ((64, 128), (2.0, 1.0)),      # H % 32 == 0, exact 2x
+    ((96, 256), (150.0, 60.0)),   # non-integer ratio, wider band
+    ((136, 128), (2.0, 1.0)),     # H % 32 == 8 (span-fit boundary)
+    ((328, 384), (3.0, 1.0)),     # H % 8 == 0, % 16 != 0
+])
+def test_pallas_uint8_shape_fuzz(shape, ratio):
+    """u8 route exactness across alignment regimes (interpret): every
+    shape must match the f32 banded apply to <= 1 gray regardless of
+    which kernel (1-D bitcast, 2-D, XLA fallback) serves it."""
+    H, W = shape
+    spec = aa.make_grid_spec(shape, ratio[0], ratio[1], (0.0, 0.0), 0.0)
+    ys, yw, xs, xw = _bands(spec)
+    u8 = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    got = apply_separable_pallas(u8, ys, yw, xs, xw, interpret=True)
+    assert got.dtype == jnp.uint8
+    ref = apply_separable_banded(u8.astype(jnp.float32), ys, yw, xs, xw)
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(got.astype(np.int32) - want).max() <= 1, shape
