@@ -16,6 +16,7 @@ from .api import (
     area_pyramid,
     area_resize,
     area_resize_nd,
+    resize,
     area_rotate,
     build_operator,
     fast_area_average_interpolation,
@@ -40,6 +41,7 @@ __all__ = [
     "area_pyramid",
     "area_resize",
     "area_resize_nd",
+    "resize",
     "area_rotate",
     "build_operator",
     "compose_separable",

@@ -508,6 +508,39 @@ def area_resize(
         image, by, bx, impl=impl, precision=precision, interpret=interpret)
 
 
+def resize(image, dst_shape: Tuple[int, int], *, method: str = "area",
+           **kwargs) -> jax.Array:
+    """One resize entry for migration: ``method`` picks the family.
+
+    - ``"area"`` (default): the conservative area-average resize this
+      framework exists for (``area_resize`` — exact overlap weights,
+      flux-conserving, Pallas-routed on TPU; accepts its mask=/impl=/
+      precision= knobs).
+    - ``"bilinear"`` / ``"bicubic"``: the standard interpolators via
+      ``jax.image.resize`` — the baselines the README's information-
+      preservation claim is quantified against (baselines.py); no extra
+      knobs.
+
+    The reference program offers only its two hard-coded modes
+    (Source.cpp:1534); this mirrors the single resize() front door that
+    image libraries expose, so callers can switch methods per call.
+    """
+    if method == "area":
+        return area_resize(image, dst_shape, **kwargs)
+    if method in ("bilinear", "bicubic"):
+        if kwargs:
+            raise TypeError(
+                f"method={method!r} takes no extra options, got "
+                f"{sorted(kwargs)}")
+        from .baselines import resize_baseline
+
+        return resize_baseline(
+            image, dst_shape,
+            {"bilinear": "linear", "bicubic": "cubic"}[method])
+    raise ValueError(
+        f"method must be 'area', 'bilinear' or 'bicubic', got {method!r}")
+
+
 def resize_bands(src_shape: Tuple[int, int], dst_shape: Tuple[int, int]):
     """The ``(by, bx)`` Band1D pair behind ``area_resize`` as a public,
     reusable operator: feed it to ``stream_apply`` (banded u8->u8

@@ -140,6 +140,23 @@ def main():
     print("area_pyramid levels:", [tuple(l.shape[-2:]) for l in levels],
           f"means all {float(levels[-1].mean()):.6f}")
 
+    # 12. uint8 serving: u8 frames stream u8-in -> u8-out end to end —
+    #     no float copies of the video anywhere on the host side, and on
+    #     TPU the kernel unpacks the bytes in-register (266 Gpixel/s at
+    #     the 4K flagship; see BENCHMARKS.md).
+    u8_frames = (rng.integers(0, 256, (256, 256), dtype=np.uint8)
+                 for _ in range(6))
+    u8_out = list(aa.stream_apply(op, u8_frames, batch=2, depth=2))
+    print(f"u8 serving: 6 u8 frames -> {len(u8_out)} outputs, dtype "
+          f"{u8_out[0].dtype}, shape {u8_out[0].shape}")
+
+    # 13. One resize front door, method switchable per call:
+    area = aa.resize(frames[0], (128, 96))             # conservative
+    cubic = aa.resize(frames[0], (128, 96), method="bicubic")
+    print(f"resize(method=): area mean {float(area.mean()):.6f} "
+          f"(== source {float(frames[0].mean()):.6f}), bicubic mean "
+          f"{float(cubic.mean()):.6f} (not conservative)")
+
 
 if __name__ == "__main__":
     main()

@@ -142,3 +142,24 @@ def test_resize_bands_stream_and_compose():
     two = np.asarray(aa.area_resize(
         aa.area_resize(jnp.asarray(frames[0]), (24, 32)), (10, 14)))
     np.testing.assert_allclose(one, two, atol=1e-5)
+
+
+def test_unified_resize_front_door():
+    """aa.resize(method=) dispatches: 'area' == area_resize, the
+    interpolator baselines ride jax.image.resize, bad knobs raise."""
+    import pytest
+
+    x = jnp.asarray(RNG.uniform(0, 1, (48, 64)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(aa.resize(x, (24, 32))),
+        np.asarray(aa.area_resize(x, (24, 32))), atol=0)
+    bl = aa.resize(x, (24, 32), method="bilinear")
+    assert bl.shape == (24, 32)
+    import jax
+    np.testing.assert_allclose(
+        np.asarray(bl),
+        np.asarray(jax.image.resize(x, (24, 32), method="linear")), atol=0)
+    with pytest.raises(ValueError, match="method"):
+        aa.resize(x, (24, 32), method="lanczos")
+    with pytest.raises(TypeError, match="no extra options"):
+        aa.resize(x, (24, 32), method="bicubic", impl="pallas")
