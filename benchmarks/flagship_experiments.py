@@ -493,6 +493,182 @@ def check_u8bitcast():
     assert err <= 1, err
 
 
+@functools.lru_cache(maxsize=8)
+def _build_u8chunk(F, SY, SX, nty, ntx, Wd, n_chunks, nslot=2,
+                   interpret=False):
+    """u8 bitcast pipeline with the unpack CHUNKED into the y matmul.
+
+    The monolithic u8bitcast kernel extracts the whole (SY, W) band then
+    runs one dot — the extract's VPU work serialises before the MXU
+    (the full band is the dot's operand).  Chunking the packed word rows
+    into n_chunks independent (extract -> partial-dot) pairs lets Mosaic
+    overlap extract(c+1) with dot(c).  wy columns are ordered per chunk
+    host-side (see _u8chunk_setup).
+    """
+    dtype = jnp.uint8
+    total = F * nty
+    Q = SY // 4
+    assert Q % n_chunks == 0
+    cq = Q // n_chunks
+
+    def kernel(row_base_ref, col_base_ref, src_ref, wy_ref, wx_ref,
+               out_ref, src_buf, tmp_buf, sem):
+        t = pl.program_id(0)
+
+        def band_dma(step, slot_i):
+            tr = jax.lax.rem(step, nty)
+            fr = jax.lax.div(step, nty)
+            return pltpu.make_async_copy(
+                src_ref.at[fr, pl.ds(
+                    pl.multiple_of(row_base_ref[tr], 32), SY), :],
+                src_buf.at[slot_i],
+                sem.at[slot_i],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for s in range(nslot - 1):
+                if s == 0:
+                    band_dma(t, 0).start()
+                else:
+                    @pl.when(t + s < total)
+                    def _(s=s):
+                        band_dma(t + s, s).start()
+
+        ahead = nslot - 1
+
+        @pl.when(t + ahead < total)
+        def _():
+            band_dma(t + ahead, jax.lax.rem(t + ahead, nslot)).start()
+
+        slot = jax.lax.rem(t, nslot)
+        band_dma(t, slot).wait()
+        word = pltpu.bitcast(src_buf[slot], jnp.uint32)  # (Q, W)
+        acc = jnp.zeros((TY, src_buf.shape[-1]), jnp.float32)
+        for c in range(n_chunks):
+            wc = word[c * cq:(c + 1) * cq]
+            parts = []
+            for b in range(4):
+                v = wc if b == 0 else jax.lax.shift_right_logical(
+                    wc, jnp.uint32(8 * b))
+                if b < 3:
+                    v = v & jnp.uint32(0xFF)
+                parts.append(pltpu.bitcast(v, jnp.int32).astype(
+                    jnp.bfloat16))
+            xc = jnp.concatenate(parts, axis=0)  # (4*cq, W)
+            acc = acc + jnp.dot(
+                wy_ref[0][:, c * 4 * cq:(c + 1) * 4 * cq], xc,
+                preferred_element_type=jnp.float32)
+        tmp_buf[:] = acc
+        for cx in range(ntx):
+            cb = pl.multiple_of(col_base_ref[cx], 128)
+            seg = tmp_buf[:, pl.ds(cb, SX)]
+            blk = jnp.dot(seg, wx_ref[cx],
+                          preferred_element_type=jnp.float32)
+            blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.int32)
+            out_ref[0, :, cx * TX: (cx + 1) * TX] = blk.astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, TY, SY),
+                         lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, ntx * TX),
+            lambda t, *_: (jax.lax.div(t, nty), jax.lax.rem(t, nty), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nslot, SY, W), dtype),
+            pltpu.VMEM((TY, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslot,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, nty * TY, ntx * TX), dtype),
+        interpret=interpret,
+    )
+
+
+def _u8chunk_setup(n_chunks, interpret=False):
+    from aainterp.ops.pallas_apply import _densify_row_band
+
+    op, _, _, _, col_base, wx_blocks, SX = _geometry(8)
+    ys = np.asarray(op.wy.start)
+    yw = np.asarray(op.wy.weights, np.float32)
+    row_base, wy_blocks, SY = _densify_row_band(ys, yw, H, TY, align=32,
+                                                span_align=8)
+    Q = SY // 4
+    if Q % n_chunks:
+        raise ValueError(f"SY={SY}: Q={Q} not divisible by {n_chunks}")
+    cq = Q // n_chunks
+    disc = discover_u8_pack_order(SY, interpret=interpret)
+    # disc[b*Q + q] = source row of word-row q byte b.  Chunk order:
+    # perm[c*4cq + b*cq + j] = source row of word-row (c*cq + j) byte b
+    perm = np.zeros(SY, dtype=np.int64)
+    for c in range(n_chunks):
+        for b in range(4):
+            for j in range(cq):
+                perm[c * 4 * cq + b * cq + j] = disc[b * Q + c * cq + j]
+    wy_p = np.ascontiguousarray(wy_blocks[:, :, perm])
+    return op, row_base, wy_p, SY, col_base, wx_blocks, SX
+
+
+def _exp_u8chunk(batch, dtype, n_chunks):
+    if jnp.dtype(dtype) != jnp.uint8:
+        raise ValueError("u8chunk is a uint8 experiment (--dtype uint8)")
+    op, row_base, wy_p, SY, col_base, wx_blocks, SX = _u8chunk_setup(
+        n_chunks)
+    nty, ntx = wy_p.shape[0], wx_blocks.shape[0]
+    probe = _build_u8chunk(batch, SY, SX, nty, ntx, 1920, n_chunks)
+    rb = jnp.asarray(row_base)
+    cb = jnp.asarray(col_base)
+    wy = jnp.asarray(wy_p)
+    wx = jnp.asarray(wx_blocks)
+    frames, warm = _frames(8, batch, jnp.uint8)
+    dt = timed_scan(lambda f, r, c, a, b: probe(r, c, f, a, b),
+                    frames, warm, consts=(rb, cb, wy, wx))
+    return batch * H * W / dt / 1e9, dt / batch
+
+
+def exp_u8chunk2(batch, dtype):
+    return _exp_u8chunk(batch, dtype, 2)
+
+
+def exp_u8chunk4(batch, dtype):
+    return _exp_u8chunk(batch, dtype, 4)
+
+
+def check_u8chunk(n_chunks=2):
+    """Interpret-mode equality vs the production u8 apply (CPU)."""
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    op, row_base, wy_p, SY, col_base, wx_blocks, SX = _u8chunk_setup(
+        n_chunks, interpret=True)
+    nty, ntx = wy_p.shape[0], wx_blocks.shape[0]
+    probe = _build_u8chunk(1, SY, SX, nty, ntx, 1920, n_chunks,
+                           interpret=True)
+    rng = np.random.default_rng(9)
+    f = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))
+    got = probe(jnp.asarray(row_base), jnp.asarray(col_base), f,
+                jnp.asarray(wy_p), jnp.asarray(wx_blocks))[:, :1080, :]
+    want = apply_separable_pallas(
+        f, jnp.asarray(op.wy.start),
+        jnp.asarray(np.asarray(op.wy.weights, np.float32)),
+        jnp.asarray(op.wx.start),
+        jnp.asarray(np.asarray(op.wx.weights, np.float32)),
+        interpret=True)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.int32)
+                                - want.astype(jnp.int32))))
+    print(f"check u8chunk{n_chunks}: max abs err {err} gray")
+    assert err <= 1, err
+
+
 def exp_full2(batch, dtype):
     """2-slot replica of production built HERE (control for full3)."""
     return _full_nslot_exp(batch, dtype, 2)
@@ -514,6 +690,8 @@ EXPS = {
     "full3": exp_full3,
     "full4": exp_full4,
     "u8bitcast": exp_u8bitcast,
+    "u8chunk2": exp_u8chunk2,
+    "u8chunk4": exp_u8chunk4,
 }
 
 
@@ -530,6 +708,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         if args.exp == "u8bitcast":
             check_u8bitcast()
+        elif args.exp.startswith("u8chunk"):
+            check_u8chunk(int(args.exp[-1]))
         else:
             check_nslot({"full2": 2, "full3": 3, "full4": 4}[args.exp],
                         jnp.dtype(args.dtype))
