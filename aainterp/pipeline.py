@@ -272,13 +272,18 @@ def stream_apply_files(
     frames = (f.astype(np.float32, copy=False)
               for f in iter_files(in_paths, threads=threads))
     with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
-        writes = []
+        # bound the pending-write queue: each future pins its output
+        # array until written, so an unbounded list would grow host
+        # memory without limit when the disk is slower than the device
+        writes: deque = deque()
         for out, path in zip(
             stream_apply(op, frames, batch=batch, depth=depth, impl=impl,
                          weight_dtype=weight_dtype, precision=precision),
             out_paths,
         ):
             writes.append(ex.submit(iom.csv_write, path, out, sig_digits))
+            while len(writes) > 2 * max(1, threads):
+                writes.popleft().result()  # surface write errors, in order
         for w in writes:
-            w.result()  # surface write errors
+            w.result()
     return out_paths
