@@ -797,12 +797,50 @@ def _banded_blocks_2d(start: np.ndarray, weights: np.ndarray, n: int,
 # HIGHEST (full f32 via bf16x6) on this backend — HIGH (bf16x3) raises
 # NotImplementedError at lowering (measured 2026-08-19; the hoped-for
 # half-cost regrid precision point does not exist on v5e).  "high" is
-# accepted for forward compatibility but runs HIGHEST.
+# accepted for forward compatibility but runs HIGHEST.  The missing
+# middle point is recovered MANUALLY as precision="bf16x3": operands are
+# split into bf16 hi/lo halves (weights host-side, fields in-kernel) and
+# each contraction runs THREE one-pass DEFAULT dots
+# (wh@xh + wh@xl + wl@xh, dropping the ~2^-18 wl@xl term) — half
+# HIGHEST's MXU passes at ~1e-5 relative accuracy (the BASELINE budget).
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+
+def _split_bf16_np(w: np.ndarray) -> np.ndarray:
+    """Host split of f32 blocks into stacked bf16 (hi, lo) halves.
+
+    hi = bf16(w); lo = bf16(w - f32(hi)).  hi + lo carries ~16 mantissa
+    bits of w, so a product of two split operands is exact to ~2^-18
+    relative once the cross terms are kept (the bf16x3 scheme keeps all
+    but lo*lo).  Returns shape (2,) + w.shape, dtype bfloat16.
+    """
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+    hi = w.astype(bf16)
+    lo = (w - hi.astype(np.float32)).astype(bf16)
+    return np.stack([hi, lo])
+
+
+def _split_bf16(x):
+    """In-kernel split of an f32 block into (hi, lo) bf16 halves."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(ah, al, bh, bl):
+    """f32-accurate-ish product of split operands: 3 one-pass MXU dots.
+
+    Drops al@bl (~2^-18 relative); each dot runs DEFAULT precision on
+    bf16 operands, which is exact per pass (f32 accumulation)."""
+    acc = jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(al, bh, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=32)
@@ -814,8 +852,14 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
     # "auto": f32 pixels need multi-pass MXU accuracy (DEFAULT silently
     # truncates operands to bf16, ~1e-3 error); bf16/u8 operands are
     # exact in one pass.  An explicit precision overrides (see
-    # _PRECISIONS: "high" runs HIGHEST — Mosaic has no HIGH lowering).
-    if precision == "auto":
+    # _PRECISIONS: "high" runs HIGHEST — Mosaic has no HIGH lowering;
+    # "bf16x3" runs the manual hi/lo-split 3-dot scheme, half HIGHEST's
+    # passes at ~1e-5 accuracy — weight blocks then arrive pre-split as
+    # (nt, 2, ...) bf16 stacks from the wrapper).
+    x3 = precision == "bf16x3"
+    if x3:
+        prec = jax.lax.Precision.DEFAULT  # unused by the x3 dots
+    elif precision == "auto":
         prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
     else:
@@ -865,6 +909,13 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
         # SLOWER here on every config (rgb1024 204.3 -> 195.5, big
         # odd-width 4K 84.2 -> 78.7) — per-(SY, SX)-block extracts on
         # narrow SX don't amortise the 4-way shift/mask + concat
+        if x3:
+            xh, xl = _split_bf16(band.astype(jnp.float32))
+            tmp = _dot_bf16x3(wy_ref[0, 0], wy_ref[0, 1], xh, xl)
+            th, tl = _split_bf16(tmp)
+            out_ref[0] = to_out(
+                _dot_bf16x3(th, tl, wx_ref[0, 0], wx_ref[0, 1]))
+            return
         tmp = jnp.dot(
             wy_ref[0], _as_f32(band),
             precision=prec, preferred_element_type=jnp.float32,
@@ -874,20 +925,24 @@ def _build_separable_kernel_2d(F, H, W, Hd, Wd, TY, TX, SY, SX, nty, ntx,
             preferred_element_type=jnp.float32,
         ))
 
+    # bf16x3 weight blocks carry a leading (hi, lo) split pair
+    wy_blk = (1, 2, TY, SY) if x3 else (1, TY, SY)
+    wx_blk = (1, 2, SX, TX) if x3 else (1, SX, TX)
+    pad0 = ((0,) if x3 else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(F * npr,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # src (HBM)
             pl.BlockSpec(
-                (1, TY, SY),
+                wy_blk,
                 lambda t, *_: (
-                    jax.lax.div(jax.lax.rem(t, npr), ntx), 0, 0),
+                    jax.lax.div(jax.lax.rem(t, npr), ntx),) + pad0 + (0, 0),
                 memory_space=pltpu.VMEM,
             ),                                           # wy blocks
             pl.BlockSpec(
-                (1, SX, TX),
-                lambda t, *_: (jax.lax.rem(t, ntx), 0, 0),
+                wx_blk,
+                lambda t, *_: (jax.lax.rem(t, ntx),) + pad0 + (0, 0),
                 memory_space=pltpu.VMEM,
             ),                                           # wx blocks
         ],
@@ -962,10 +1017,13 @@ def apply_separable_pallas_2d(
     Wd = int(x_w.shape[0])
     if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
-    if precision != "auto" and precision not in _PRECISIONS:
-        raise ValueError(f"precision must be auto/default/high/highest, "
-                         f"got {precision!r}")
+    if precision != "auto" and precision != "bf16x3" \
+            and precision not in _PRECISIONS:
+        raise ValueError(f"precision must be auto/default/high/highest/"
+                         f"bf16x3, got {precision!r}")
     in_dtype = frames.dtype
+    if precision == "bf16x3" and in_dtype != jnp.float32:
+        precision = "default"  # bf16/u8 operands are one-pass exact already
     u8 = in_dtype == jnp.uint8
     row_align = 32 if u8 else 8
     isize = 1 if u8 else (2 if in_dtype == jnp.bfloat16 else 4)
@@ -1020,6 +1078,15 @@ def apply_separable_pallas_2d(
         return None
     TY, TX, row_base, wy_blocks, SY, col_base, wx_blocks, SX = plan
     nty, ntx = wy_blocks.shape[0], wx_blocks.shape[0]
+    wx_dtype = jnp.float32
+    if precision == "bf16x3":
+        # pre-split weight blocks into stacked (hi, lo) bf16 pairs —
+        # same VMEM bytes as the f32 originals
+        wy_blocks = np.ascontiguousarray(
+            np.swapaxes(_split_bf16_np(wy_blocks), 0, 1))
+        wx_blocks = np.ascontiguousarray(
+            np.swapaxes(_split_bf16_np(wx_blocks), 0, 1))
+        wx_dtype = jnp.bfloat16
     build_args = (F, Hp, Wp, Hd, Wd, TY, TX, SY, SX, nty, ntx,
                   jnp.dtype(in_dtype).name, jnp.dtype(in_dtype).name,
                   precision)
@@ -1028,7 +1095,7 @@ def apply_separable_pallas_2d(
         # host tables; device upload is lazy and never caches tracers
         # (see _plan_tables — jitted callers plan inside a trace)
         tables=(row_base, col_base, wy_blocks, wx_blocks),
-        wx_dtype=jnp.float32,
+        wx_dtype=wx_dtype,
     )
     _PREP_CACHE.put(prep_key, cached)
     if (Hp, Wp) != (H, W):

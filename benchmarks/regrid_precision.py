@@ -108,7 +108,8 @@ def speed(prec: str, batch: int = 8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prec", required=True,
-                    choices=("auto", "default", "high", "highest"))
+                    choices=("auto", "default", "high", "highest",
+                             "bf16x3"))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--accuracy-only", action="store_true")
     args = ap.parse_args()

@@ -83,6 +83,31 @@ def test_pallas_route_matches_xla():
     np.testing.assert_allclose(hi, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_bf16x3_precision_budget():
+    """precision='bf16x3' (manual hi/lo-split 3-dot scheme — half of
+    HIGHEST's MXU passes; Mosaic has no native HIGH lowering) stays
+    inside the BASELINE 1e-5 relative budget, including conservation.
+    Interpret mode runs the real split arithmetic, so this bounds the
+    on-chip error too (each DEFAULT bf16 dot accumulates in f32)."""
+    src, dst = LatLonGrid(180, 360), LatLonGrid(18, 36)
+    rng = np.random.default_rng(7)
+    field = rng.uniform(200.0, 300.0, (2, 180, 360)).astype(np.float32)
+    ref = np.asarray(conservative_regrid(field, src, dst,
+                                         impl="xla")).astype(np.float64)
+    got = np.asarray(conservative_regrid(
+        field, src, dst, impl="pallas", precision="bf16x3",
+        interpret=True)).astype(np.float64)
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert rel.max() < 1e-5, rel.max()
+    flux = abs(got.sum() - ref.sum()) / abs(ref.sum())
+    assert flux < 2e-6, flux
+    # non-f32 inputs quietly run the one-pass-exact DEFAULT path
+    u8 = (field[0] % 256).astype(np.uint8)
+    out_u8 = conservative_regrid(u8, src, dst, impl="pallas",
+                                 precision="bf16x3", interpret=True)
+    assert np.asarray(out_u8).dtype == np.uint8
+
+
 # ----------------------------------------------------------------------
 # Masked (valid-cell-renormalised) regrid
 # ----------------------------------------------------------------------
