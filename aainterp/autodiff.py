@@ -171,9 +171,14 @@ def separable_linear_for(op, weight_dtype, kind: str,
     if hit is None:
         yb, xb, tyb, txb, out_t = folded_separable_tables(op)
 
+        # HOST numpy only: this closure is cached, and a first call inside
+        # a jit trace would otherwise capture jnp.asarray(numpy) TRACERS
+        # (JAX 0.9 constants-become-arguments) and poison the cache for
+        # every later call.  _sep_apply converts at use time; the Pallas
+        # planner needs host tables anyway.
         def _pair(b):
             return (np.asarray(b.start),
-                    jnp.asarray(b.weights, dtype=weight_dtype))
+                    np.asarray(b.weights, dtype=jnp.dtype(weight_dtype)))
 
         tables = _pair(yb) + _pair(xb)
         t_tables = _pair(tyb) + _pair(txb)

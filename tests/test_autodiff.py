@@ -230,6 +230,32 @@ def test_jit_grad_separable_pallas_kind():
     np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
 
 
+def test_separable_linear_cache_survives_first_call_in_trace():
+    """First separable_linear_for call INSIDE a jit trace must not poison
+    the LRU cache: JAX 0.9 lifts trace-time jnp.asarray(numpy) to tracers,
+    so a cached closure built during tracing used to raise
+    UnexpectedTracerError on every later eager call.  The cache now stores
+    host numpy tables only (converted at use time)."""
+    autodiff._SEP_LINEAR_CACHE.clear()
+    spec = make_grid_spec((48, 48), 150.0, 75.0, (24.0, 24.0), 0.0)
+    op = build_operator(spec)
+    src = jnp.asarray(RNG.uniform(0, 1, (48, 48)).astype(np.float32))
+
+    @jax.jit
+    def loss(x):
+        return jnp.sum(autodiff.separable_linear_for(op, jnp.float32,
+                                                     "xla")(x))
+
+    inside = float(loss(src))
+    # same cached closure, now outside any trace
+    lin = autodiff.separable_linear_for(op, jnp.float32, "xla")
+    outside = float(jnp.sum(lin(src)))
+    np.testing.assert_allclose(inside, outside, rtol=1e-6)
+    # and gradients still flow through the cached closure
+    g = jax.grad(lambda s: jnp.sum(lin(s)))(src)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 # ----------------------------------------------------------------------
 # fuzz: transpose exactness across modes and random geometries
 # ----------------------------------------------------------------------
