@@ -285,10 +285,14 @@ def _stencil_plan_fn(op, weight_dtype):
         raise ValueError(
             "operator bands are not interior-constant stencils "
             f"(y plan: {py is not None}, x plan: {px is not None})")
-    ys = jnp.asarray(op.wy.start)
-    yw = jnp.asarray(op.wy.weights, dtype=weight_dtype)
-    xs = jnp.asarray(op.wx.start)
-    xw = jnp.asarray(op.wx.weights, dtype=weight_dtype)
+    # concrete even inside a jit trace (JAX 0.9: trace-time
+    # jnp.asarray(numpy) is a tracer; caching a closure over one poisons
+    # every later call through _STENCIL_CACHE)
+    with jax.ensure_compile_time_eval():
+        ys = jnp.asarray(op.wy.start)
+        yw = jnp.asarray(op.wy.weights, dtype=weight_dtype)
+        xs = jnp.asarray(op.wx.start)
+        xw = jnp.asarray(op.wx.weights, dtype=weight_dtype)
     quad = op.spec.quadrant
     acc = jnp.dtype(weight_dtype)
 
@@ -353,8 +357,11 @@ def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs):
     if hit is None:
         lin = autodiff.make_ell_linear(fwd_fn, op.spec.quadrant,
                                        op.spec.qrot_shape)
-        base_dev = jnp.asarray(op.base)
-        w_dev = jnp.asarray(op.weights, dtype=weight_dtype)
+        # concrete even inside a jit trace: these are cached, and a
+        # trace-time jnp.asarray(numpy) is a tracer under JAX 0.9
+        with jax.ensure_compile_time_eval():
+            base_dev = jnp.asarray(op.base)
+            w_dev = jnp.asarray(op.weights, dtype=weight_dtype)
         hit = (lin, base_dev, w_dev)
         _ELL_LINEAR_CACHE.put(key, hit)
     lin, base_dev, w_dev = hit

@@ -762,18 +762,22 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         kp = build_kernel_plan_cached(op, tile_y=tile_y, tile_x=tile_x)
     else:
         kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
-    arrays = dict(
-        gy_col=jnp.asarray(kp.gy_col),
-        hx_row=jnp.asarray(kp.hx_row),
-        base_v=jnp.asarray(kp.base_v),
-        base_h=jnp.asarray(kp.base_h),
-        r0=jnp.asarray(kp.r0),
-        c0=jnp.asarray(kp.c0),
-        masks=jnp.asarray(tile_masks(kp.w2t)),
-        rsel=jnp.asarray(kp.rsel),
-        csel=jnp.asarray(kp.csel),
-        w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),
-    )
+    # concrete even when called inside a jit trace: callers cache these
+    # arrays (api._SHEAR_CACHE), and a trace-time jnp.asarray(numpy) is a
+    # TRACER under JAX 0.9 — caching it poisons every later call
+    with jax.ensure_compile_time_eval():
+        arrays = dict(
+            gy_col=jnp.asarray(kp.gy_col),
+            hx_row=jnp.asarray(kp.hx_row),
+            base_v=jnp.asarray(kp.base_v),
+            base_h=jnp.asarray(kp.base_h),
+            r0=jnp.asarray(kp.r0),
+            c0=jnp.asarray(kp.c0),
+            masks=jnp.asarray(tile_masks(kp.w2t)),
+            rsel=jnp.asarray(kp.rsel),
+            csel=jnp.asarray(kp.csel),
+            w2t=jnp.asarray(kp.w2t, dtype=weight_dtype),
+        )
 
     def fn(q, gy_col, hx_row, base_v, base_h, r0, c0, masks, rsel, csel,
            w2t):

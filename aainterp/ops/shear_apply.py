@@ -259,13 +259,16 @@ def make_sheared_apply(op: EllOperator, weight_dtype=jnp.float32):
     (apply_ell_sheared accumulates in weights.dtype), so f64 requests are
     honored on backends that support it."""
     plan = build_shear_plan(op)
-    arrays = dict(
-        gy=jnp.asarray(plan.gy),
-        hx=jnp.asarray(plan.hx),
-        ry0=jnp.asarray(plan.ry0),
-        cx0=jnp.asarray(plan.cx0),
-        weights=jnp.asarray(plan.weights, dtype=weight_dtype),
-    )
+    # concrete even inside a jit trace: api._SHEAR_CACHE stores these, and
+    # a trace-time jnp.asarray(numpy) is a TRACER under JAX 0.9
+    with jax.ensure_compile_time_eval():
+        arrays = dict(
+            gy=jnp.asarray(plan.gy),
+            hx=jnp.asarray(plan.hx),
+            ry0=jnp.asarray(plan.ry0),
+            cx0=jnp.asarray(plan.cx0),
+            weights=jnp.asarray(plan.weights, dtype=weight_dtype),
+        )
 
     def fn(q, gy, hx, ry0, cx0, weights):
         return apply_ell_sheared(

@@ -210,3 +210,46 @@ def test_separable_auto_route_ignores_quadrant():
         ref = aa.apply_operator(op, src, impl="xla")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_plan_caches_survive_first_call_in_trace():
+    """First apply_operator call INSIDE a jit trace must not poison the
+    plan caches (_STENCIL_CACHE / _SHEAR_CACHE / _ELL_LINEAR_CACHE):
+    JAX 0.9 lifts trace-time jnp.asarray(numpy) to tracers, so cached
+    closures/arrays built during tracing used to raise
+    UnexpectedTracerError on every later eager call.  Conversions are now
+    concrete via jax.ensure_compile_time_eval."""
+    import jax
+    import jax.numpy as jnp
+    from aainterp import api as api_mod
+    from aainterp.ops.weights import ell_operator
+
+    rng = np.random.default_rng(9)
+
+    # stencil route (interior-constant integer-ratio operator)
+    api_mod._STENCIL_CACHE.clear()
+    spec = aa.make_grid_spec((48, 48), 2.0, 1.0, (4.0, 4.0), 0.0)
+    op = aa.build_operator(spec)
+    src = jnp.asarray(rng.uniform(0, 1, (48, 48)).astype(np.float32))
+    inside = jax.jit(lambda s: aa.apply_operator(op, s, impl="stencil"))(src)
+    eager = aa.apply_operator(op, src, impl="stencil")
+    np.testing.assert_allclose(np.asarray(inside), np.asarray(eager),
+                               rtol=1e-6)
+
+    # sheared + differentiable ELL routes (rotated operator)
+    api_mod._SHEAR_CACHE.clear()
+    api_mod._ELL_LINEAR_CACHE.clear()
+    spec_r = aa.make_grid_spec((48, 48), 1.0, 0.5, (24.0, 24.0), 30.0)
+    op_r = ell_operator(spec_r, mode="exact")
+    inside = jax.jit(
+        lambda s: aa.apply_operator(op_r, s, impl="sheared"))(src)
+    eager = aa.apply_operator(op_r, src, impl="sheared")
+    np.testing.assert_allclose(np.asarray(inside), np.asarray(eager),
+                               rtol=1e-6)
+
+    g_in = jax.jit(jax.grad(lambda s: jnp.sum(aa.apply_operator(
+        op_r, s, impl="xla", differentiable=True))))(src)
+    g_out = jax.grad(lambda s: jnp.sum(aa.apply_operator(
+        op_r, s, impl="xla", differentiable=True)))(src)
+    np.testing.assert_allclose(np.asarray(g_in), np.asarray(g_out),
+                               rtol=1e-6)
