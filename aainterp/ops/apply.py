@@ -172,6 +172,83 @@ def apply_box_mean(q: jax.Array, my: int, mx: int,
     return o * jnp.asarray(1.0 / (my * mx), acc_dtype)
 
 
+def aligned_axis_plan(start, w, n: int):
+    """dict(m, c0, wk) for an exactly aligned integer-ratio band, else None.
+
+    Aligned means the destination cells PARTITION a contiguous run of
+    source cells into equal blocks of m: every dst cell i has exactly m
+    contiguous live taps whose first source index is c0 + m*i, and the
+    run c0 .. c0 + m*n_dst fits inside the n source cells.  Weights may
+    vary per row (unlike ``uniform_box_params``) — e.g. the cos-lat
+    (sin-edge) weights of an integer-ratio conservative regrid, the
+    config-5 0.1deg -> 1deg case, qualify with m=10.
+
+    For such bands the contraction needs no band densification, no
+    gathers and no MXU: a free row-major reshape groups each dst cell's
+    m source rows and a length-m weighted sum does the rest
+    (``apply_separable_aligned``).  Measured on the v5e (honest harness,
+    2026-08-19): 153.8 Gpixel/s vs 49.9 for the Pallas 2-D banded-tile
+    kernel on the regrid config — the banded-tile DMA schedule, not MXU
+    precision, bounds that kernel (DEFAULT/bf16x3/HIGHEST all measure
+    ~125 us/frame; benchmarks/regrid_precision.py), while this
+    formulation runs at f32-exact accuracy (max rel err 1.8e-07 vs the
+    f64 host apply) within ~22% of the HBM read floor.
+
+    Returns dict(m, c0, wk) with wk the (n_dst, m) compacted tap table.
+    """
+    s = np.asarray(start).astype(np.int64)
+    wt = np.asarray(w)
+    nd, k = wt.shape
+    if nd == 0:
+        return None
+    live = wt != 0.0
+    m = int(live[0].sum())
+    if m < 1 or m > k or (live.sum(axis=1) != m).any():
+        return None
+    first = live.argmax(axis=1)
+    idx = np.arange(k)
+    run = (first[:, None] <= idx) & (idx < first[:, None] + m)
+    if (live != run).any():
+        return None  # live taps not one contiguous run
+    eff = s + first
+    c0 = int(eff[0])
+    if c0 < 0 or (eff != c0 + m * np.arange(nd)).any() or c0 + m * nd > n:
+        return None
+    wk = wt[np.arange(nd)[:, None], first[:, None] + idx[None, :m]]
+    return dict(m=m, c0=c0, wk=np.ascontiguousarray(wk))
+
+
+def apply_separable_aligned(q: jax.Array, y_plan, x_plan,
+                            acc_dtype=jnp.float32) -> jax.Array:
+    """Aligned integer-ratio separable apply: reshape + weighted tap sum.
+
+    (..., H, W) -> (..., Hd, Wd) for band pairs whose
+    ``aligned_axis_plan`` exists on both axes.  Exactly equivalent to
+    ``apply_separable_banded`` up to f32 accumulation order, but touches
+    each source pixel once with zero gather/densification work: the
+    row-major reshape (..., Hd, m, W) is free, the multiply + length-m
+    sum fuses on the VPU (XLA does NOT materialise the lane-split
+    (..., Wd, m) intermediate — measured at the regrid shape), and
+    accuracy is true f32 (better than any MXU splitting scheme, whose
+    operands truncate to bf16 triples).  Pure XLA and differentiable.
+    """
+    # wk tables may be numpy (host plans) or traced arrays (per-chip
+    # sharded blocks inside shard_map); m/c0 are always static ints
+    my, cy = int(y_plan["m"]), int(y_plan["c0"])
+    mx, cx = int(x_plan["m"]), int(x_plan["c0"])
+    wy = jnp.asarray(y_plan["wk"], acc_dtype)
+    wx = jnp.asarray(x_plan["wk"], acc_dtype)
+    hd, wd = wy.shape[0], wx.shape[0]
+    lead = q.shape[:-2]
+    if cy or q.shape[-2] != cy + my * hd:
+        q = jax.lax.slice_in_dim(q, cy, cy + my * hd, axis=-2)
+    t = (q.reshape(lead + (hd, my, q.shape[-1])).astype(acc_dtype)
+         * wy[:, :, None]).sum(axis=-2)
+    if cx or t.shape[-1] != cx + mx * wd:
+        t = jax.lax.slice_in_dim(t, cx, cx + mx * wd, axis=-1)
+    return (t.reshape(lead + (hd, wd, mx)) * wx).sum(axis=-1)
+
+
 def axis_stencil_plan(start, w, n: int):
     """Per-axis plan for the interior-constant strided-stencil apply.
 

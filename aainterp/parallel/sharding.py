@@ -175,6 +175,49 @@ def sharded_apply_banded(
     vec_row = P(row_axis)
     mat_row = P(row_axis, None)
 
+    # aligned integer-ratio fast path for the local contraction (the
+    # config-5 regrid: 3.1x the banded form single-chip — see
+    # ops/apply.aligned_axis_plan).  A strict global partition
+    # (c0 == 0, qH == m*Hd) shards compatibly: chip i's local effective
+    # starts are m*r + halo for EVERY chip, so one static plan serves the
+    # SPMD body with the per-chip (Hd/n, m) tap blocks as a sharded
+    # operand.  Traced band tables or f64 weights fall through.
+    aligned = None
+    if (Hd % n_dev == 0 and frames.dtype == jnp.float32
+            and not any(isinstance(t, jax.core.Tracer)
+                        for t in (y_band.start, y_band.weights,
+                                  x_band.start, x_band.weights))):
+        yp = apply_ops.aligned_axis_plan(
+            np.asarray(y_band.start), np.asarray(y_band.weights), qH)
+        if (yp is not None and yp["c0"] == 0
+                and yp["m"] * Hd == qH):
+            xp = apply_ops.aligned_axis_plan(
+                np.asarray(x_band.start), np.asarray(x_band.weights),
+                x_band.n_src)
+            if xp is not None:
+                aligned = (yp, xp)
+
+    if aligned is not None:
+        yp, xp = aligned
+        wyk = jnp.asarray(yp["wk"], jnp.float32)  # (Hd, m) sharded by rows
+
+        def local_fn_aligned(frames_blk, wyk_blk):
+            ext = _halo_extend(frames_blk, halo, row_axis, n_dev)
+            return apply_ops.apply_separable_aligned(
+                ext,
+                dict(m=yp["m"], c0=halo, wk=wyk_blk),
+                xp,
+            )
+
+        fn = shard_map(
+            local_fn_aligned,
+            mesh=mesh,
+            in_specs=(row_only, mat_row),
+            out_specs=row_only,
+            check_rep=False,
+        )
+        return fn(frames, wyk)
+
     def local_fn(frames_blk, y_start_blk, y_w_blk, x_start_l, x_w_l):
         i = jax.lax.axis_index(row_axis)
         ext = _halo_extend(frames_blk, halo, row_axis, n_dev)

@@ -115,13 +115,20 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
                          interpret: bool = False):
     """Apply a (y, x) Band1D pair to (..., H, W) fields on device.
 
-    impl: 'auto' routes to the 2-D banded-tile Pallas kernel on TPU (wide
-    bands and unaligned widths fall off the 1-D kernel's full-width-row
-    envelope) and the XLA banded apply elsewhere; 'pallas'/'xla' force,
-    with pallas falling back to XLA off its envelope.  precision: MXU
-    precision for the Pallas dots ('auto' = HIGHEST for f32 fields; see
-    ops/pallas_apply.py).  ``interpret`` runs the Pallas route in
-    interpret mode (tests).
+    impl: 'auto' first checks the ALIGNED fast path for float32 fields —
+    bands that exactly partition the source into equal integer-ratio
+    blocks (ops/apply.aligned_axis_plan; the config-5 regrid qualifies
+    with m=10) run as a pure-XLA reshape + weighted tap sum, measured
+    3.1x the Pallas 2-D kernel at f32-exact accuracy (153.8 vs 49.9
+    Gpixel/s on the v5e, 2026-08-19) — then routes to the 2-D
+    banded-tile Pallas kernel on TPU (wide bands and unaligned widths
+    fall off the 1-D kernel's full-width-row envelope) and the XLA
+    banded apply elsewhere.  'aligned'/'pallas'/'xla' force a path
+    ('aligned' raises if the bands don't qualify; pallas falls back to
+    XLA off its envelope).  precision: MXU precision for the Pallas
+    dots ('auto' = HIGHEST for f32 fields; see ops/pallas_apply.py);
+    the aligned path is exact f32 and ignores it.  ``interpret`` runs
+    the Pallas route in interpret mode (tests).
     """
     from .ops.apply import apply_separable_banded
 
@@ -141,6 +148,29 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
                      np.asarray(by.weights, np.float32),
                      np.asarray(bx.start),
                      np.asarray(bx.weights, np.float32))
+    if impl == "aligned" or (impl == "auto" and not tracer
+                             and field.dtype == jnp.float32):
+        from .ops.apply import aligned_axis_plan, apply_separable_aligned
+
+        if tracer:
+            raise TypeError(
+                "impl='aligned' needs concrete band tables: the geometry "
+                "must not be traced (pass numpy/device arrays, not "
+                "tracers)")
+        yp = aligned_axis_plan(host_args[0], host_args[1], by.n_src)
+        xp = (aligned_axis_plan(host_args[2], host_args[3], bx.n_src)
+              if yp is not None else None)
+        if xp is not None:
+            out = apply_separable_aligned(
+                field.astype(jnp.float32) if u8 else field, yp, xp)
+            if u8:
+                out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+            return out
+        if impl == "aligned":
+            raise ValueError(
+                "impl='aligned' forced but the band pair is not an exactly "
+                "aligned integer-ratio partition (aligned_axis_plan "
+                "returned None)")
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     elif impl == "pallas" and tracer:

@@ -2,19 +2,26 @@
 
 The regrid runs f32 fields through the 2-D banded-tile kernel at ~130
 us/frame — ~3.7x above its HBM read floor (25.9 MB/frame at ~750 GB/s
-= 34.5 us), so it is MXU-pass-bound: f32 operands currently force
-Precision.HIGHEST on both dots.  On TPU the f32 matmul strategies are
-DEFAULT (1 bf16 pass, ~1e-3 error), HIGH (bf16x3 passes, ~f32 accuracy)
-and HIGHEST (bf16x6) — if HIGH's 3 passes already preserve conservation
-to the BASELINE 1e-5 tolerance, the kernel's MXU work halves.
+= 34.5 us).  The working theory was MXU-pass-bound (f32 operands force
+Precision.HIGHEST = 6 bf16 passes on both dots), which this probe set
+out to halve.
 
-RESOLVED 2026-08-19 on the real chip: Mosaic's dot lowering has NO HIGH
-strategy on this v5e libtpu (NotImplementedError: "Unsupported dot
-precision: HIGH") — the half-cost precision point does not exist;
-"high" now aliases HIGHEST in ops/pallas_apply._PRECISIONS.  HIGHEST
-measures max rel err 1.867e-07 / flux rel err 2.854e-08 vs the f64
-host apply, comfortably inside the 1e-5 budget; DEFAULT's single pass
-stays available as an explicit opt-in for speed.
+RESOLVED 2026-08-19 on the real chip, in two stages:
+
+1. Mosaic's dot lowering has NO HIGH strategy on this v5e libtpu
+   (NotImplementedError: "Unsupported dot precision: HIGH") — "high"
+   now aliases HIGHEST in ops/pallas_apply._PRECISIONS.  HIGHEST
+   measures max rel err 1.867e-07 / flux rel err 2.854e-08 vs the f64
+   host apply.  The manual precision="bf16x3" hi/lo-split scheme
+   measures 6.312e-06 / 9.209e-07 — inside the 1e-5 budget.
+2. The MXU-pass-bound theory is REFUTED by measurement: HIGHEST (6
+   passes) 49.9, bf16x3 (3 passes + VPU split) 51.65, DEFAULT (1 pass,
+   no split) 51.85 Gpixel/s — ~125 us/frame regardless of MXU work.
+   The kernel is bound by its banded-tile DMA schedule (column-sliced
+   (SY, SX) band fetches), not by the dots, so no precision knob can
+   buy speed here.  The aligned integer-ratio reshape path
+   (benchmarks/regrid_aligned_probe.py, ops/apply.py aligned plan) is
+   the lever that actually pays on this config.
 
 This probe measures, on the real chip, for each precision:
   * wall time on the honest harness (bench.timed_scan)

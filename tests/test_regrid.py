@@ -109,6 +109,148 @@ def test_pallas_bf16x3_precision_budget():
 
 
 # ----------------------------------------------------------------------
+# Aligned integer-ratio fast path (ops/apply.aligned_axis_plan)
+# ----------------------------------------------------------------------
+
+
+def test_aligned_plan_detects_regrid_bands():
+    """The config-5-shaped regrid partitions source cells exactly (m=10,
+    c0=0) even though the cos-lat weights VARY per row — the uniform box
+    detector rejects it, the aligned plan accepts it."""
+    from aainterp.ops.apply import aligned_axis_plan, uniform_box_params
+
+    src, dst = LatLonGrid(180, 360), LatLonGrid(18, 36)
+    by, bx = conservative_regrid_operator(src, dst)
+    yp = aligned_axis_plan(by.start, by.weights, by.n_src)
+    xp = aligned_axis_plan(bx.start, bx.weights, bx.n_src)
+    assert yp is not None and yp["m"] == 10 and yp["c0"] == 0
+    assert xp is not None and xp["m"] == 10 and xp["c0"] == 0
+    assert yp["wk"].shape == (18, 10)
+    # y weights vary per row -> not a uniform box
+    assert uniform_box_params(by.start, by.weights, bx.start, bx.weights,
+                              180, 360) is None
+    # non-integer ratio -> no plan
+    b2, _ = conservative_regrid_operator(LatLonGrid(170, 360),
+                                         LatLonGrid(18, 36))
+    assert aligned_axis_plan(b2.start, b2.weights, b2.n_src) is None
+
+
+def test_aligned_route_matches_banded_and_f64():
+    from aainterp.regrid import apply_band_operators
+
+    src, dst = LatLonGrid(180, 360), LatLonGrid(18, 36)
+    by, bx = conservative_regrid_operator(src, dst)
+    rng = np.random.default_rng(11)
+    f = rng.uniform(200.0, 300.0, (2, 180, 360)).astype(np.float32)
+    ref = np.asarray(apply_band_operators(f, by, bx, impl="xla"))
+    got = np.asarray(apply_band_operators(f, by, bx, impl="aligned"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+    # against the float64 dense apply: true-f32-grade accuracy
+    wy, wx = by.dense().astype(np.float64), bx.dense().astype(np.float64)
+    dense = wy @ f[0].astype(np.float64) @ wx.T
+    rel = np.abs(got[0] - dense) / np.maximum(np.abs(dense), 1e-30)
+    assert rel.max() < 1e-6, rel.max()
+
+
+def test_aligned_auto_route_taken(monkeypatch):
+    """impl='auto' with f32 fields and aligned bands takes the aligned
+    path (the 3.1x-measured config-5 production route)."""
+    import aainterp.ops.apply as apply_mod
+    from aainterp.regrid import apply_band_operators
+
+    calls = []
+    real = apply_mod.apply_separable_aligned
+    monkeypatch.setattr(
+        apply_mod, "apply_separable_aligned",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    src, dst = LatLonGrid(60, 90), LatLonGrid(15, 18)
+    by, bx = conservative_regrid_operator(src, dst)
+    f = np.full((60, 90), 1.5, np.float32)
+    out = np.asarray(apply_band_operators(f, by, bx))
+    assert calls, "auto route did not take the aligned path"
+    np.testing.assert_allclose(out, 1.5, rtol=1e-6)
+    # non-f32 fields keep their existing routes (f64 numpy would quietly
+    # land as f32 under non-x64 JAX, so probe with bf16)
+    import jax.numpy as jnp
+
+    calls.clear()
+    apply_band_operators(jnp.asarray(f, jnp.bfloat16), by, bx)
+    assert not calls
+
+
+def test_aligned_force_raises_off_envelope():
+    from aainterp.regrid import apply_band_operators
+
+    src, dst = LatLonGrid(170, 360), LatLonGrid(18, 36)
+    by, bx = conservative_regrid_operator(src, dst)
+    f = np.zeros((170, 360), np.float32)
+    with pytest.raises(ValueError, match="aligned"):
+        apply_band_operators(f, by, bx, impl="aligned")
+
+
+def test_aligned_offset_band_c0():
+    """A band whose partition starts at a nonzero source offset (c0 > 0,
+    trailing rows unused) — the sharded-local-block shape."""
+    from aainterp.ops.apply import (
+        aligned_axis_plan, apply_separable_aligned,
+    )
+    from aainterp.ops.overlap1d import Band1D
+    from aainterp.regrid import apply_band_operators
+
+    rng = np.random.default_rng(5)
+    wy = rng.uniform(0.1, 1.0, (7, 3))
+    wy /= wy.sum(axis=1, keepdims=True)
+    by = Band1D(start=(3 * np.arange(7) + 1).astype(np.int32), weights=wy,
+                n_src=24, n_dst=7)
+    wx = rng.uniform(0.1, 1.0, (5, 4))
+    wx /= wx.sum(axis=1, keepdims=True)
+    bx = Band1D(start=(4 * np.arange(5)).astype(np.int32), weights=wx,
+                n_src=21, n_dst=5)
+    yp = aligned_axis_plan(by.start, by.weights, by.n_src)
+    xp = aligned_axis_plan(bx.start, bx.weights, bx.n_src)
+    assert yp["m"] == 3 and yp["c0"] == 1
+    assert xp["m"] == 4 and xp["c0"] == 0
+    f = rng.uniform(0, 1, (2, 24, 21)).astype(np.float32)
+    got = np.asarray(apply_separable_aligned(jnp_array(f), yp, xp))
+    ref = np.asarray(apply_band_operators(f, by, bx, impl="xla"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def test_aligned_u8_contract_and_grad():
+    import jax
+    import jax.numpy as jnp
+    from aainterp.regrid import apply_band_operators
+
+    src, dst = LatLonGrid(60, 90), LatLonGrid(15, 18)
+    by, bx = conservative_regrid_operator(src, dst)
+    rng = np.random.default_rng(13)
+    u8 = rng.integers(0, 256, (60, 90), dtype=np.uint8)
+    out8 = apply_band_operators(u8, by, bx, impl="aligned")
+    assert np.asarray(out8).dtype == np.uint8
+    ref = np.asarray(apply_band_operators(
+        u8.astype(np.float32), by, bx, impl="xla"))
+    assert np.abs(np.asarray(out8).astype(np.float64)
+                  - np.round(ref)).max() <= 1.0
+    # pure XLA -> natively differentiable: adjoint is the transposed op
+    f = rng.uniform(0, 1, (60, 90)).astype(np.float32)
+    c = rng.uniform(0, 1, (15, 18)).astype(np.float32)
+
+    def loss(x):
+        return jnp.sum(apply_band_operators(x, by, bx, impl="aligned") * c)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(f)))
+    wy, wx = by.dense(), bx.dense()
+    want = wy.T @ c.astype(np.float64) @ wx
+    np.testing.assert_allclose(g, want, rtol=2e-5, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
 # Masked (valid-cell-renormalised) regrid
 # ----------------------------------------------------------------------
 

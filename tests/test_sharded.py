@@ -173,6 +173,45 @@ def test_sharded_regrid_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_sharded_regrid_aligned_local_path(monkeypatch):
+    """Integer-ratio regrids take the aligned local contraction inside
+    shard_map (per-chip tap blocks as a sharded operand, c0 = halo), and
+    non-partition bands fall back to the banded local apply."""
+    import aainterp.ops.apply as apply_mod
+    from aainterp.regrid import (
+        LatLonGrid, conservative_regrid, conservative_regrid_sharded,
+    )
+
+    calls = []
+    real = apply_mod.apply_separable_aligned
+    monkeypatch.setattr(
+        apply_mod, "apply_separable_aligned",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
+    rng = np.random.default_rng(17)
+    fields = rng.uniform(200, 300, (2, 96, 72)).astype(np.float32)
+    mesh = _mesh(2, 4)
+    fdev = jax.device_put(
+        jnp.asarray(fields), NamedSharding(mesh, P("data", "rows", None))
+    )
+    out = conservative_regrid_sharded(fdev, src, dst, mesh)
+    assert calls, "sharded local contraction did not take the aligned path"
+    ref = conservative_regrid(fields, src, dst, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # fractional ratio: no partition -> banded local apply
+    calls.clear()
+    src2, dst2 = LatLonGrid(88, 72), LatLonGrid(24, 18)
+    f2 = rng.uniform(200, 300, (2, 88, 72)).astype(np.float32)
+    f2dev = jax.device_put(
+        jnp.asarray(f2), NamedSharding(mesh, P("data", "rows", None))
+    )
+    out2 = conservative_regrid_sharded(f2dev, src2, dst2, mesh)
+    assert not calls
+    ref2 = conservative_regrid(f2, src2, dst2, impl="xla")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-4)
+
+
 def test_sharded_ell_fuzz_angles():
     """Random angles/shapes: row-sharded ELL apply (multi-hop halo) must
     match the unsharded apply whenever the row counts divide the mesh."""
