@@ -602,7 +602,9 @@ def area_resize_nd(
     <= min_coverage set to fill_value.  Masked output is float32.
     """
     from .regrid import _masked_ratio, apply_band_operators
-    from .ops.apply import apply_band_axis
+    from .ops.apply import (
+        aligned_axis_plan, apply_aligned_axis, apply_band_axis,
+    )
 
     volume = jnp.asarray(volume)
     nd = volume.ndim
@@ -637,8 +639,14 @@ def area_resize_nd(
                                      interpret=interpret)
         for ax in sorted(todo):
             b = todo[ax]
-            x = apply_band_axis(x, jnp.asarray(b.start),
-                                jnp.asarray(b.weights, jnp.float32), ax)
+            # integer-ratio axes skip the gather entirely (reshape +
+            # weighted tap sum; ops/apply.aligned_axis_plan)
+            plan = aligned_axis_plan(b.start, b.weights, b.n_src)
+            if plan is not None:
+                x = apply_aligned_axis(x, plan, ax)
+            else:
+                x = apply_band_axis(x, jnp.asarray(b.start),
+                                    jnp.asarray(b.weights, jnp.float32), ax)
         return x
 
     if mask is not None:

@@ -249,6 +249,28 @@ def apply_separable_aligned(q: jax.Array, y_plan, x_plan,
     return (t.reshape(lead + (hd, wd, mx)) * wx).sum(axis=-1)
 
 
+def apply_aligned_axis(q: jax.Array, plan, axis: int,
+                       acc_dtype=jnp.float32) -> jax.Array:
+    """Aligned integer-ratio banded contraction along ONE axis.
+
+    The N-D sibling of ``apply_separable_aligned`` (see
+    ``aligned_axis_plan``): out[..., i, ...] = sum_k wk[i, k] *
+    q[..., c0 + m*i + k, ...] along ``axis`` via moveaxis + reshape +
+    weighted tap sum — no gather, no band densification.  Used by
+    ``api.area_resize_nd`` for integer-ratio axes.
+    """
+    m, c0 = int(plan["m"]), int(plan["c0"])
+    wk = jnp.asarray(plan["wk"], acc_dtype)
+    nd_out = wk.shape[0]
+    axis = axis % q.ndim
+    v = jnp.moveaxis(q, axis, -1)
+    if c0 or v.shape[-1] != c0 + m * nd_out:
+        v = jax.lax.slice_in_dim(v, c0, c0 + m * nd_out, axis=-1)
+    out = (v.reshape(v.shape[:-1] + (nd_out, m)).astype(acc_dtype)
+           * wk).sum(axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def axis_stencil_plan(start, w, n: int):
     """Per-axis plan for the interior-constant strided-stencil apply.
 

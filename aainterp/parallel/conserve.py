@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from .sharding import shard_map  # check_rep/check_vma rename shim
 
 from ..ops import weights as weights_ops
 

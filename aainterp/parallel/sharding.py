@@ -23,7 +23,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level export; the experimental path is deprecated
+    from jax import shard_map as _shard_map
+    _SHMAP_REP_KW = "check_vma"  # the new API renamed check_rep
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _SHMAP_REP_KW = "check_rep"
+
+
+def shard_map(f, **kw):
+    """jax.shard_map across the 0.8 rename (check_rep -> check_vma)."""
+    if "check_rep" in kw:
+        kw[_SHMAP_REP_KW] = kw.pop("check_rep")
+    return _shard_map(f, **kw)
 
 from ..ops import apply as apply_ops
 from ..ops import overlap1d
@@ -772,6 +784,46 @@ def sharded_apply_banded_2d(
 
     batch = (P(data_axis),) if data_axis else (P(),)
     img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    # aligned integer-ratio local contraction, both axes (the 1-D-sharded
+    # analogue lives in sharded_apply_banded): strict partitions shard
+    # compatibly on each axis, so chip (i, j)'s local effective starts
+    # are my*r + halo_y / mx*c + halo_x for every chip and the per-chip
+    # tap blocks ride as sharded operands.  Adjoint (transposed-band)
+    # calls never qualify — a partition's transpose is an upsampling
+    # band — so they keep the banded local apply below.
+    if (Hd % n_r == 0 and Wd % n_c == 0 and frames.dtype == jnp.float32
+            and not any(isinstance(t, jax.core.Tracer)
+                        for t in (y_band.start, y_band.weights,
+                                  x_band.start, x_band.weights))):
+        yp = apply_ops.aligned_axis_plan(
+            np.asarray(y_band.start), np.asarray(y_band.weights), qH)
+        xp = apply_ops.aligned_axis_plan(
+            np.asarray(x_band.start), np.asarray(x_band.weights), W)
+        if (yp is not None and xp is not None
+                and yp["c0"] == 0 and yp["m"] * Hd == qH
+                and xp["c0"] == 0 and xp["m"] * Wd == W):
+            wyk = jnp.asarray(yp["wk"], jnp.float32)   # (Hd, my) by rows
+            wxk = jnp.asarray(xp["wk"], jnp.float32)   # (Wd, mx) by cols
+
+            def local_fn_aligned(frames_blk, wyk_blk, wxk_blk):
+                ext = _halo_extend(frames_blk, halo_y, row_axis, n_r,
+                                   axis=-2)
+                ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
+                return apply_ops.apply_separable_aligned(
+                    ext,
+                    dict(m=yp["m"], c0=halo_y, wk=wyk_blk),
+                    dict(m=xp["m"], c0=halo_x, wk=wxk_blk),
+                )
+
+            fn = shard_map(
+                local_fn_aligned,
+                mesh=mesh,
+                in_specs=(img2d, P(row_axis, None), P(col_axis, None)),
+                out_specs=img2d,
+                check_rep=False,
+            )
+            return fn(frames, wyk, wxk)
 
     def local_fn(frames_blk, ys_blk, yw_blk, xs_blk, xw_blk):
         i = jax.lax.axis_index(row_axis)

@@ -48,6 +48,31 @@ def test_resize_nd_matches_dense_3d(shape, dst):
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_resize_nd_integer_ratio_axis_takes_aligned_path(monkeypatch):
+    """Integer-ratio non-trailing axes run the aligned reshape + tap-sum
+    contraction (no gather) and still match the dense f64 reference."""
+    import aainterp.ops.apply as apply_mod
+
+    calls = []
+    real = apply_mod.apply_aligned_axis
+    monkeypatch.setattr(
+        apply_mod, "apply_aligned_axis",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    vol = RNG.uniform(0, 1, (12, 40, 56))
+    out = np.asarray(aa.area_resize_nd(
+        jnp.asarray(vol, jnp.float32), (4, 17, 23)))  # depth 12 -> 4 (m=3)
+    assert calls, "integer-ratio depth axis did not take the aligned path"
+    want = _dense_resize(vol, (0, 1, 2), (4, 17, 23))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+    # fractional depth falls back to the banded gather
+    calls.clear()
+    out2 = np.asarray(aa.area_resize_nd(
+        jnp.asarray(vol, jnp.float32), (5, 17, 23)))
+    assert not calls
+    np.testing.assert_allclose(out2, _dense_resize(vol, (0, 1, 2),
+                                                   (5, 17, 23)), atol=1e-5)
+
+
 def test_resize_nd_conserves_mean_3d():
     vol = RNG.uniform(0, 2, (11, 37, 29))
     for dst in [(4, 13, 10), (23, 50, 61)]:

@@ -125,6 +125,45 @@ def test_2d_quadrant_conserve(ang):
     assert abs(fd - fs) <= 1e-3 * max(abs(fd), 1.0)
 
 
+def test_2d_regrid_aligned_local_path(monkeypatch):
+    """Integer-ratio regrid bands on a rows x cols mesh take the aligned
+    local contraction (per-chip tap blocks sharded per axis) and match
+    the unsharded apply; fractional ratios keep the banded local."""
+    import aainterp.ops.apply as apply_mod
+    from aainterp.parallel.sharding import sharded_apply_banded_2d
+    from aainterp.regrid import (
+        LatLonGrid, apply_band_operators, conservative_regrid_operator,
+    )
+
+    calls = []
+    real = apply_mod.apply_separable_aligned
+    monkeypatch.setattr(
+        apply_mod, "apply_separable_aligned",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    mesh = _mesh3(2, 2, 2)
+    src, dst = LatLonGrid(96, 72), LatLonGrid(24, 18)
+    by, bx = conservative_regrid_operator(src, dst)
+    fields = RNG.uniform(200, 300, (2, 96, 72)).astype(np.float32)
+    fdev = jax.device_put(jnp.asarray(fields),
+                          NamedSharding(mesh, P("data", "rows", "cols")))
+    out = sharded_apply_banded_2d(fdev, by, bx, mesh)
+    assert calls, "2-D sharded local contraction skipped the aligned path"
+    ref = apply_band_operators(fields, by, bx, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # fractional latitude ratio: banded local fallback
+    calls.clear()
+    src2, dst2 = LatLonGrid(88, 72), LatLonGrid(24, 18)
+    by2, bx2 = conservative_regrid_operator(src2, dst2)
+    f2 = RNG.uniform(200, 300, (2, 88, 72)).astype(np.float32)
+    f2dev = jax.device_put(jnp.asarray(f2),
+                           NamedSharding(mesh, P("data", "rows", "cols")))
+    out2 = sharded_apply_banded_2d(f2dev, by2, bx2, mesh)
+    assert not calls
+    ref2 = apply_band_operators(f2, by2, bx2, impl="xla")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-4)
+
+
 def test_2d_conservation_flux():
     spec = aa.make_grid_spec((128, 64), 2.0, 1.0, (0.0, 0.0), 0.0)
     (out, flux), ref = _run(spec, 2, _mesh3(2, 2, 2), conserve=True)
@@ -289,8 +328,7 @@ def test_halo_extend_cols_multihop():
     ring), against the numpy construction with zeros past the edges."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
-    from aainterp.parallel.sharding import _halo_extend
+    from aainterp.parallel.sharding import _halo_extend, shard_map
 
     n_dev, sb, h = 8, 4, 9  # 3 hops, partial last hop
     W = n_dev * sb
