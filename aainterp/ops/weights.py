@@ -411,6 +411,8 @@ def ell_operator(
         return EllOperator(spec=spec, base=base, weights=w,
                            raw_row_sums=sums, mode="compat")
     if prefer_native:
+        import ctypes
+
         try:
             from .. import native
 
@@ -420,8 +422,17 @@ def ell_operator(
                     spec=spec, base=base, weights=w, raw_row_sums=sums,
                     mode=mode,
                 )
-        except Exception:
-            pass  # fall back to numpy
+        except (OSError, AttributeError, TypeError, ValueError,
+                ctypes.ArgumentError) as e:
+            # observable fallback (same treatment as the native compat
+            # path, ADVICE r2): correctness is preserved by the numpy
+            # weight-gen, but a silent ~30x slowdown would mask real
+            # native-binding defects
+            import warnings
+
+            warnings.warn(
+                f"native weight-gen failed ({type(e).__name__}: {e}); "
+                "falling back to the numpy path", RuntimeWarning)
     Hd, Wd = spec.dst_shape
     K = spec.window_cells
     if row_chunk <= 0:

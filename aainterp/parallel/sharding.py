@@ -99,10 +99,13 @@ def _folded_sharded_bands(op: weights_ops.SeparableOperator, n_dev: int):
 def _row_halo(y_start: np.ndarray, band: int, n_src: int, n_dst: int,
               n_dev: int) -> int:
     """Max rows any chip needs beyond its own source row block (static)."""
-    assert n_dst % n_dev == 0 and n_src % n_dev == 0, (
-        "row-sharded apply requires divisible row counts "
-        f"(dst {n_dst}, src {n_src}, devices {n_dev})"
-    )
+    if n_dst % n_dev or n_src % n_dev:
+        # a ValueError (not assert) so the guard survives python -O —
+        # non-divisible rows would otherwise shard into ragged blocks
+        # and return silently wrong output
+        raise ValueError(
+            "row-sharded apply requires divisible row counts "
+            f"(dst {n_dst}, src {n_src}, devices {n_dev})")
     db = n_dst // n_dev
     sb = n_src // n_dev
     h = 0
@@ -1236,7 +1239,10 @@ def sharded_apply_ell(
         # see sharded_apply_separable: global rot90, resharded by XLA
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     K = op.window
-    assert Hd % n_dev == 0 and qH % n_dev == 0
+    if Hd % n_dev or qH % n_dev:
+        raise ValueError(
+            "row-sharded ELL apply requires divisible row counts "
+            f"(dst {Hd}, src {qH}, devices {n_dev})")
     db, sb = Hd // n_dev, qH // n_dev
     base_y = op.base[..., 0]
     halo = 0
@@ -1411,7 +1417,10 @@ def sharded_apply_ell_transpose(
     qH, qW = op.spec.qrot_shape
     Hd, Wd = op.spec.dst_shape
     K = op.window
-    assert Hd % n_dev == 0 and qH % n_dev == 0
+    if Hd % n_dev or qH % n_dev:
+        raise ValueError(
+            "row-sharded ELL apply requires divisible row counts "
+            f"(dst {Hd}, src {qH}, devices {n_dev})")
     db, sb = Hd // n_dev, qH // n_dev
     base_y = op.base[..., 0]
     halo = 0

@@ -660,3 +660,22 @@ def test_sharded_uint8_conserve_raises():
     with pytest.raises(ValueError, match="conserve"):
         sharded_apply_separable(frames, op, mesh, conserve=True,
                                 interpret=True)
+
+
+def test_nondivisible_rows_raise_value_error():
+    # guard must survive python -O: a descriptive ValueError, not an
+    # assert, for row counts that don't divide the mesh (would otherwise
+    # shard into ragged blocks and return silently wrong output)
+    H, W = 130, 64  # src rows 130 % 4 != 0
+    frames = RNG.uniform(0, 1, (2, H, W)).astype(np.float32)
+    mesh = _mesh(2, 4)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_apply_separable(jnp.asarray(frames), op, mesh,
+                                interpret=True)
+    spec_r = aa.make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 8.0)
+    op_r = ell_operator(spec_r, mode="exact")
+    assert op_r.spec.qrot_shape[0] % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_apply_ell(jnp.asarray(frames), op_r, mesh, impl="xla")
