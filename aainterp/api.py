@@ -214,6 +214,7 @@ def apply_operator(
             jnp.asarray(xb.weights, dtype=weight_dtype),
         )
     if isinstance(op, weights_ops.EllOperator):
+        forced = impl != "auto"
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = min(op.spec.dst_shape) >= 256
@@ -224,28 +225,41 @@ def apply_operator(
             # VMEM shears + one-hot MXU gathers, ~4-5x the XLA sheared path
             try:
                 fn, arrs = _pallas_shear_plan(op, weight_dtype)
+            except ValueError:
+                # geometry too small for the tiled kernel: the auto route
+                # degrades to the XLA sheared apply, but an explicitly
+                # forced impl='pallas' must not silently run a ~5x slower
+                # different path (ADVICE r2 convention)
+                if forced:
+                    raise
+                fn = None
+                impl = "sheared"
+            if fn is not None:
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "pallas", fn,
                                             src, arrs)
                 return fn(
                     apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
                 )
-            except ValueError:
-                impl = "sheared"  # geometry too small for the tiled kernel
         if impl == "sheared":
             # XLA's general gather is ~100 ms/frame on TPU; the shear-aligned
             # re-indexing (ops/shear_apply.py) evaluates the same exact
             # weights with rolls + banded takes
             try:
                 fn, arrs = _sheared_plan(op, weight_dtype)
+            except ValueError:
+                # pathological sheared window: flat-gather fallback (auto
+                # only — a forced impl='sheared' raises)
+                if forced:
+                    raise
+                fn = None
+            if fn is not None:
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "sheared", fn,
                                             src, arrs)
                 return fn(
                     apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
                 )
-            except ValueError:
-                pass  # pathological sheared window: flat-gather fallback
         if differentiable:
             from . import autodiff
 

@@ -253,3 +253,32 @@ def test_plan_caches_survive_first_call_in_trace():
         op_r, s, impl="xla", differentiable=True)))(src)
     np.testing.assert_allclose(np.asarray(g_in), np.asarray(g_out),
                                rtol=1e-6)
+
+
+def test_forced_ell_impl_raises_off_envelope(monkeypatch):
+    """A forced impl='pallas'/'sheared' on an ELL operator must raise when
+    its plan doesn't fit rather than silently running a ~5x slower
+    different path (the auto route may still degrade; ADVICE r2
+    convention, matching the sharded applies)."""
+    import jax.numpy as jnp
+
+    import aainterp.api as api_mod
+    from aainterp.ops.weights import ell_operator
+
+    spec = aa.make_grid_spec((24, 24), 1.0, 1.0, (12.0, 12.0), 1.5)
+    op = ell_operator(spec, mode="exact")
+    src = jnp.asarray(RNG.uniform(0, 1, (24, 24)).astype(np.float32))
+
+    def boom(*a, **k):
+        raise ValueError("geometry off the kernel envelope (test)")
+
+    monkeypatch.setattr(api_mod, "_pallas_shear_plan", boom)
+    monkeypatch.setattr(api_mod, "_sheared_plan", boom)
+    with pytest.raises(ValueError, match="envelope"):
+        aa.apply_operator(op, src, impl="pallas")
+    with pytest.raises(ValueError, match="envelope"):
+        aa.apply_operator(op, src, impl="sheared")
+    # the auto route still degrades to the XLA flat-gather apply
+    out = aa.apply_operator(op, src, impl="auto")
+    ref = aa.apply_operator(op, src, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
