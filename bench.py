@@ -134,18 +134,41 @@ def timed_scan(apply_fn, frames_all, frames_warm, consts=(),
     # underestimates and repeats explodes; bound the final dispatch to
     # ~120 s using the directly-measured whole-dispatch time dt5/5 per R
     repeats = min(repeats, max(15, int(120.0 / max(dt5 / 5.0, 1e-3))))
-    t0 = time.perf_counter()
-    _ = np.asarray(jfn(jnp.int32(repeats), *consts, *fr_list))
-    dt = time.perf_counter() - t0
-    # extract against dt5, not dt1: the R=1 dispatch carries one-time
-    # cold costs (first-touch of the fr buffers) that live in dt1 only;
-    # differencing against it would subtract them from real work time
-    # and over-report throughput.  dt and dt5 are both warm.
-    span = dt - dt5
-    if span < 5.0 * rt:
-        print(f"# warning: differential span {span*1e3:.0f} ms is <5x the "
-              f"{rt*1e3:.0f} ms round trip (R={repeats}); number is loose")
-    return max(span, 1e-9) / ((repeats - 5) * K)
+    # extraction: time a small-R and a big-R dispatch (both warm) and
+    # difference — per-dispatch fixed costs (round trip, cold-start)
+    # cancel.  The tunnel occasionally stalls a single dispatch for
+    # hundreds of ms (observed 2026-08-20: a stalled small-R baseline
+    # made the span NEGATIVE and the extracted number nonsense at
+    # 8e9 Gpixel/s), so a non-physical span is retried with shifted
+    # repeat counts — each R is a traced argument, so every retry's
+    # request bytes differ and the relay's dedupe cannot serve a cached
+    # result (hazard 1 above).
+    rs, rb = 6, max(repeats, 16)
+    best = None  # (span, per_app)
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _ = np.asarray(jfn(jnp.int32(rs), *consts, *fr_list))
+        dts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = np.asarray(jfn(jnp.int32(rb), *consts, *fr_list))
+        dtb = time.perf_counter() - t0
+        span = dtb - dts
+        per = max(span, 1e-9) / ((rb - rs) * K)
+        if best is None or span > best[0]:
+            best = (span, per, rs, rb)
+        if span >= 5.0 * rt:
+            return per
+        # grow the big dispatch (bounded to ~120 s by its own measured
+        # per-R time) so the retried span clears the noise floor
+        per_r = max(dtb / max(rb, 1), 1e-3)
+        rb = max(min(max_repeats, 2 * rb, max(16, int(120.0 / per_r))),
+                 rs + 11)
+        rs += 1
+    span, per, rs, rb = best
+    print(f"# warning: differential span {span*1e3:.0f} ms is <5x the "
+          f"{rt*1e3:.0f} ms round trip (R={rs}/{rb}) after 4 attempts; "
+          "number is loose")
+    return per
 
 
 def build_inputs(batch: int, dtype, K: int = 24):
