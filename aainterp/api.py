@@ -214,6 +214,12 @@ def apply_operator(
             jnp.asarray(xb.weights, dtype=weight_dtype),
         )
     if isinstance(op, weights_ops.EllOperator):
+        if impl not in ("auto", "pallas", "sheared", "xla"):
+            # a typo'd impl must not silently fall through to the
+            # flat-gather XLA path (ADVICE r3)
+            raise ValueError(
+                f"unknown impl {impl!r} for an EllOperator; expected one "
+                "of 'auto', 'pallas', 'sheared', 'xla'")
         forced = impl != "auto"
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"

@@ -422,8 +422,8 @@ def ell_operator(
                     spec=spec, base=base, weights=w, raw_row_sums=sums,
                     mode=mode,
                 )
-        except (OSError, AttributeError, TypeError, ValueError,
-                ctypes.ArgumentError) as e:
+        except (ImportError, OSError, AttributeError, TypeError,
+                ValueError, ctypes.ArgumentError) as e:
             # observable fallback (same treatment as the native compat
             # path, ADVICE r2): correctness is preserved by the numpy
             # weight-gen, but a silent ~30x slowdown would mask real

@@ -282,3 +282,17 @@ def test_forced_ell_impl_raises_off_envelope(monkeypatch):
     out = aa.apply_operator(op, src, impl="auto")
     ref = aa.apply_operator(op, src, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_unknown_ell_impl_raises():
+    """A typo'd impl on an EllOperator must raise, not silently fall
+    through to the flat-gather XLA path (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from aainterp.ops.weights import ell_operator
+
+    spec = aa.make_grid_spec((24, 24), 1.0, 1.0, (12.0, 12.0), 1.5)
+    op = ell_operator(spec, mode="exact")
+    src = jnp.asarray(RNG.uniform(0, 1, (24, 24)).astype(np.float32))
+    with pytest.raises(ValueError, match="unknown impl"):
+        aa.apply_operator(op, src, impl="palas")
