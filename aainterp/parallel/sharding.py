@@ -574,7 +574,8 @@ def _folded_sharded_bands_2d(op: weights_ops.SeparableOperator,
 
 def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
                             halo_y: int, halo_x: int,
-                            tile_y: int = 128, tile_x: int = 128):
+                            tile_y: int = 128, tile_x: int = 128,
+                            u8: bool = False, interpret: bool = False):
     """Host-side per-chip kernel plan for the 2-D-sharded Pallas apply.
 
     Generalises _sharded_pallas_plan to a rows x cols mesh: chip (i, j)'s
@@ -587,8 +588,14 @@ def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
     y tables shard over the rows axis and the x tables over the cols
     axis.  Returns None when no tile height divides the per-chip dst
     rows.
+
+    ``u8`` builds the uint8 variant exactly like the 1-D plan
+    (_sharded_pallas_plan): 32-aligned band-DMA bases (8-bit VMEM tiles
+    pack (32, 128)), 8-multiple spans, and the wy columns pre-permuted
+    for the kernel's bitcast byte-split unpack (pack order probed from
+    the live backend, hence ``interpret``).
     """
-    from ..ops.pallas_apply import _round_up
+    from ..ops.pallas_apply import _round_up, _u8_pack_order
 
     qH, Hd = y_band.n_src, y_band.n_dst
     W, Wd = x_band.n_src, x_band.n_dst
@@ -609,6 +616,7 @@ def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
     ys = np.asarray(y_band.start).astype(np.int64)
     yw = np.asarray(y_band.weights, dtype=np.float32)
     ky = yw.shape[1]
+    base_align = 32 if u8 else 8
     lo = np.zeros((n_r, nty), np.int64)
     hi = np.zeros((n_r, nty), np.int64)
     for i in range(n_r):
@@ -617,11 +625,13 @@ def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
             return None  # halo bound violated (shouldn't happen)
         for t in range(nty):
             rows = loc[t * TY: (t + 1) * TY]
-            lo[i, t] = (int(rows.min()) // 8) * 8
+            lo[i, t] = (int(rows.min()) // base_align) * base_align
             hi[i, t] = int(rows.max()) + ky
     row_base = np.clip(lo, 0, None)
+    # spans stay 8-aligned even for u8 (copy lengths need sublane-tile
+    # alignment on VMEM refs; 8 % 4 == 0 keeps the bitcast grouping valid)
     SY = _round_up(int((hi - row_base).max()), 8)
-    Hpad = _round_up(max(Hloc, int((row_base + SY).max())), 8)
+    Hpad = _round_up(max(Hloc, int((row_base + SY).max())), base_align)
     wy_blocks = np.zeros((n_r, nty, TY, SY), np.float32)
     for i in range(n_r):
         loc = ys[i * db_r: (i + 1) * db_r] - (i * sb_r - halo_y)
@@ -629,6 +639,9 @@ def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
             for r in range(TY):
                 off = int(loc[t * TY + r]) - int(row_base[i, t])
                 wy_blocks[i, t, r, off: off + ky] = yw[i * db_r + t * TY + r]
+    if u8:
+        perm = _u8_pack_order(SY, interpret)
+        wy_blocks = np.ascontiguousarray(wy_blocks[:, :, :, list(perm)])
 
     xs = np.asarray(x_band.start).astype(np.int64)
     xw = np.asarray(x_band.weights, dtype=np.float32)
@@ -660,6 +673,7 @@ def _sharded_pallas_plan_2d(y_band, x_band, n_r: int, n_c: int,
     return dict(TY=TY, TX=TX, SY=SY, SX=SX, nty=nty, ntx=ntx,
                 Hloc=Hloc, Hpad=Hpad, Wloc=Wloc, Wpad=Wpad,
                 db_r=db_r, sb_r=sb_r, db_c=db_c, sb_c=sb_c, ky=ky,
+                u8_bitcast=bool(u8),
                 row_base=row_base.astype(np.int32), wy_blocks=wy_blocks,
                 col_base=col_base.astype(np.int32), wx_blocks=wx_blocks)
 
@@ -692,12 +706,14 @@ def sharded_apply_banded_2d_pallas(
     W, Wd = x_band.n_src, x_band.n_dst
     halo_y = _row_halo(y_band.start, y_band.band, qH, Hd, n_r)
     halo_x = _row_halo(x_band.start, x_band.band, W, Wd, n_c)
-    plan = _sharded_pallas_plan_2d(y_band, x_band, n_r, n_c, halo_y, halo_x)
+    u8 = frames.dtype == jnp.uint8  # u8 in -> u8 out, like the 1-D path
+    plan = _sharded_pallas_plan_2d(y_band, x_band, n_r, n_c, halo_y, halo_x,
+                                   u8=u8, interpret=interpret)
     if plan is None:
         raise ValueError("geometry off the 2-D sharded Pallas kernel "
                          "envelope")
 
-    if frames.dtype not in (jnp.bfloat16, jnp.float32):
+    if frames.dtype not in (jnp.bfloat16, jnp.float32, jnp.uint8):
         frames = frames.astype(jnp.float32)
     lead = frames.ndim - 2
     assert lead in (0, 1)
@@ -716,7 +732,8 @@ def sharded_apply_banded_2d_pallas(
 
     call = _build_separable_kernel(
         Bloc, Hpad, Wpad, db_r, db_c, TY, TX, SY, SX, nty, ntx, ky, SY,
-        dname, dname, "mxu", 0, None, -1, 0, False, True, interpret=interpret)
+        dname, dname, "mxu", 0, None, -1, 0, False, True,
+        u8_bitcast=plan["u8_bitcast"], interpret=interpret)
 
     row_off = jnp.zeros(n_rows, jnp.int32)        # vpu-path dummies
     yw_flat = jnp.zeros(n_rows * ky, jnp.float32)
@@ -880,6 +897,11 @@ def sharded_apply_separable_2d(
     back to the XLA banded local apply off its envelope); 'pallas' /
     'banded' force.
 
+    uint8 frames keep the u8-in -> u8-out serving contract exactly like
+    the 1-D route (sharded_apply_separable): the per-shard kernel rides
+    8-bit band DMAs with the bitcast byte-split unpack, and the XLA
+    fallback quantises identically (round + saturate).
+
     quadrant != 0 folds the rot90 into the band tables
     (_folded_sharded_bands_2d): the source stays sharded in its original
     orientation and only the SMALL dst output pays a
@@ -895,6 +917,12 @@ def sharded_apply_separable_2d(
     from .conserve import separable_flux_factors
 
     n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    u8 = frames.dtype == jnp.uint8  # u8 in -> u8 out, like the 1-D path
+    if u8 and conserve:
+        raise ValueError(
+            "conserve=True needs float outputs (the u8 round+saturate "
+            "quantisation breaks the exact flux identity); cast the "
+            "frames to float32 for conservation checks")
     fold = _folded_sharded_bands_2d(op, n_r, n_c)
     if fold is None:
         frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
@@ -916,8 +944,11 @@ def sharded_apply_separable_2d(
                 raise
     if out is None:
         out = sharded_apply_banded_2d(
-            frames, y_band, x_band, mesh, data_axis=data_axis,
+            frames.astype(jnp.float32) if u8 else frames,
+            y_band, x_band, mesh, data_axis=data_axis,
             row_axis=row_axis, col_axis=col_axis)
+        if u8:  # quantise the XLA fallback identically to the kernel
+            out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
     if conserve:
         from .conserve import sharded_flux_separable_2d
 

@@ -453,3 +453,74 @@ def test_2d_pallas_forced_raises_off_envelope():
     with pytest.raises(ValueError):
         jax.jit(lambda f: sharded_apply_separable_2d(
             f, op, mesh, impl="pallas", interpret=True))(fdev)
+
+
+def test_2d_pallas_uint8_interpret():
+    """u8 frames ride the per-shard Pallas kernel natively on the 2-D
+    mesh too (bitcast byte-split unpack inside each chip's local
+    contraction; u8-in -> u8-out contract) — the 2-D form of the 1-D
+    path's serving contract (VERDICT r3 item 4)."""
+    H, W = 128, 128
+    frames = RNG.integers(0, 256, (2, H, W), dtype=np.uint8)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh3(2, 2, 2)
+    sharding = NamedSharding(mesh, P("data", "rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    assert out.dtype == jnp.uint8
+    assert out.sharding.spec == P("data", "rows", "cols")
+    ref = aa.apply_operator(op, jnp.asarray(frames, jnp.float32))
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+
+def test_2d_banded_uint8_fallback_quantises():
+    """Off the kernel envelope the 2-D route degrades to the XLA banded
+    local apply but keeps the u8 -> u8 contract (quantised identically
+    to the kernel)."""
+    H, W = 128, 96
+    frames = RNG.integers(0, 256, (2, H, W), dtype=np.uint8)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh3(2, 2, 2)
+    sharding = NamedSharding(mesh, P("data", "rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="banded"))(fdev)
+    assert out.dtype == jnp.uint8
+    ref = aa.apply_operator(op, jnp.asarray(frames, jnp.float32))
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+
+def test_2d_pallas_uint8_quadrant_folded():
+    """u8 + quadrant: the fold keeps the source un-rotated and the u8
+    kernel consumes the folded bands; only the small dst output pays the
+    reshard."""
+    H, W = 128, 64
+    frames = RNG.integers(0, 256, (2, H, W), dtype=np.uint8)
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 180.0)
+    assert spec.quadrant == 2
+    op = separable_operator(spec)
+    mesh = _mesh3(2, 2, 2)
+    sharding = NamedSharding(mesh, P("data", "rows", "cols"))
+    fdev = jax.device_put(jnp.asarray(frames), sharding)
+    out = jax.jit(lambda f: sharded_apply_separable_2d(
+        f, op, mesh, impl="pallas", interpret=True))(fdev)
+    assert out.dtype == jnp.uint8
+    ref = aa.apply_operator(op, jnp.asarray(frames, jnp.float32))
+    want = np.clip(np.round(np.asarray(ref)), 0, 255).astype(np.int32)
+    assert np.abs(np.asarray(out).astype(np.int32) - want).max() <= 1
+
+
+def test_2d_uint8_conserve_raises():
+    H, W = 128, 64
+    spec = aa.make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec)
+    mesh = _mesh3(2, 2, 2)
+    frames = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    with pytest.raises(ValueError, match="conserve"):
+        sharded_apply_separable_2d(frames, op, mesh, conserve=True,
+                                   interpret=True)
