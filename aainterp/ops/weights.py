@@ -503,3 +503,77 @@ def fold_quadrant_separable(op: SeparableOperator):
     if q == 2:
         return overlap1d.flip_band(op.wy), overlap1d.flip_band(op.wx), False
     return op.wx, overlap1d.flip_band(op.wy), True
+
+def fold_quadrant_ell(op: EllOperator):
+    """Fold the quadrant pre-rotation into the ELL table itself.
+
+    The op consumes B = rot90(A, -quadrant) (Source.cpp:159-172, cell
+    permutation); every K x K window of B is a (flipped/transposed) K x K
+    window of the ORIGINAL image A, so the rotation folds into the table:
+    re-indexed bases + tap-permuted weights that consume A directly.  To
+    keep the folded base_y monotone in the table row (the property the
+    row-sharded ring halo and the shear decomposition rely on), the dst
+    index is permuted by the matching axis map — derived from the window
+    structure base ~ S @ (r, c) with S = [[cos, -sin], [sin, cos]]
+    (grids.GridSpec.linear_map): the folded tables have EXACTLY the
+    un-rotated +theta structure again, so build_shear_plan's gy/hx serve
+    them unchanged.
+
+    Returns ``(folded_op, post)`` or ``None`` for quadrant 0:
+
+    * ``folded_op`` — EllOperator with quadrant=0 whose source is A
+      (qrot_shape = A.shape) and whose dst axes are permuted
+      (transposed for quadrants 1/3); ``raw_row_sums`` ride the same
+      permutation, so ``conserve`` factors built from it pair with the
+      UN-rotated source — no rot90 all-to-all in the sharded flux.
+    * ``post`` — jnp callable mapping the folded output (trailing two
+      axes) back to the true dst orientation: a dst-sized flip /
+      transpose, r^2 cheaper than the source-sized rot90 at ratio r.
+
+    Zero-weight clamped fringe taps are preserved by construction
+    (apply_ell clips indices; clipped taps carry zero weight).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    q = op.spec.quadrant % 4
+    if q == 0:
+        return None
+    qH, qW = op.spec.qrot_shape
+    K = op.window
+    base = np.asarray(op.base)
+    w = np.asarray(op.weights)
+    rrs = np.asarray(op.raw_row_sums)
+    by, bx = base[..., 0], base[..., 1]
+    # A (original source) shape: rot90 swaps axes for quadrants 1/3
+    H, W = (qW, qH) if q in (1, 3) else (qH, qW)
+    if q == 1:
+        # B[i, j] = A[H-1-j, i]: window base (H-K-bx, by), taps
+        # (a, b) = (K-1-dx, dy)
+        nb_y, nb_x = H - K - bx, by
+        nw = np.swapaxes(w[..., :, ::-1], -1, -2)
+        dst_perm = (lambda x: np.swapaxes(x[::-1], 0, 1))
+        post = (lambda t: jnp.flip(jnp.swapaxes(t, -2, -1), axis=-2))
+    elif q == 2:
+        # B[i, j] = A[H-1-i, W-1-j]: base (H-K-by, W-K-bx), taps reversed
+        nb_y, nb_x = H - K - by, W - K - bx
+        nw = w[..., ::-1, ::-1]
+        dst_perm = (lambda x: x[::-1, ::-1])
+        post = (lambda t: jnp.flip(t, axis=(-2, -1)))
+    else:
+        # B[i, j] = A[j, W-1-i]: base (bx, W-K-by), taps (K-1-dy -> b)
+        nb_y, nb_x = bx, W - K - by
+        nw = np.swapaxes(w[..., ::-1, :], -1, -2)
+        dst_perm = (lambda x: np.swapaxes(x[:, ::-1], 0, 1))
+        post = (lambda t: jnp.flip(jnp.swapaxes(t, -2, -1), axis=-1))
+    nb = np.stack([dst_perm(nb_y), dst_perm(nb_x)], axis=-1)
+    nw = np.ascontiguousarray(dst_perm(nw))
+    spec2 = dataclasses.replace(
+        op.spec, quadrant=0, qrot_shape=(H, W),
+        dst_shape=tuple(int(s) for s in nw.shape[:2]))
+    folded = EllOperator(
+        spec=spec2, base=np.ascontiguousarray(nb).astype(base.dtype),
+        weights=nw, raw_row_sums=np.ascontiguousarray(dst_perm(rrs)),
+        mode=op.mode)
+    return folded, post

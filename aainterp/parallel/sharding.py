@@ -1095,6 +1095,13 @@ def make_sharded_ell_pallas(
     rejects such programs).  ``arrays`` leading n_dev axes shard over
     ``row_axis``; passing them unsharded also works (XLA reshards).
 
+    quadrant != 0 folds the rot90 pre-rotation into the ELL table
+    (weights.fold_quadrant_ell): the folded tables consume the ORIGINAL
+    row-sharded source — no source-sized rot90 all-to-all — and only the
+    small dst output pays a flip/transpose reshard.  When the folded row
+    counts don't divide the mesh, the global-rot90 route is the
+    fallback.
+
     Raises ValueError off the plan envelope — sharded_apply_ell's auto
     route falls back to the XLA local apply.
     """
@@ -1104,8 +1111,21 @@ def make_sharded_ell_pallas(
     )
 
     n_dev = mesh.shape[row_axis]
-    kp = build_sharded_kernel_plan(op, n_dev)
     quadrant = op.spec.quadrant
+    post = None
+    kp = None
+    if quadrant != 0:
+        folded = weights_ops.fold_quadrant_ell(op)
+        if folded is not None:
+            try:
+                kp = build_sharded_kernel_plan(folded[0], n_dev)
+            except ValueError:
+                kp = None  # folded rows don't fit the mesh: global rot90
+            else:
+                op, post = folded
+                quadrant = 0
+    if kp is None:
+        kp = build_sharded_kernel_plan(op, n_dev)
 
     masks_np = np.stack([tile_masks(kp.w2t[i]) for i in range(n_dev)])
     arrays = dict(
@@ -1181,8 +1201,18 @@ def make_sharded_ell_pallas(
             out_specs=row_only,
             check_rep=False,
         )
-        return smapped(frames, hx_loc, base_h, r0_loc, masks, rsel, w2t,
-                       gy_col, base_v, c0, csel)
+        out = smapped(frames, hx_loc, base_h, r0_loc, masks, rsel, w2t,
+                      gy_col, base_v, c0, csel)
+        if post is not None:
+            from jax.sharding import NamedSharding
+
+            # dst-sized flip/transpose reshard replacing the source-sized
+            # rot90 all-to-all (see fold_quadrant_ell); restore the
+            # documented row-sharded layout on the permuted dst
+            out = post(out)
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, row_only))
+        return out
 
     return fn, arrays
 
@@ -1237,6 +1267,15 @@ def sharded_apply_ell(
     ``interpret``), degrading to the XLA flat-gather local apply off the
     plan envelope; 'pallas' forces (raising off-envelope); 'xla' forces
     the flat-gather local apply.
+
+    quadrant != 0 folds the rot90 pre-rotation (Source.cpp:159-172) into
+    the ELL table (weights.fold_quadrant_ell) on both the Pallas and XLA
+    routes: the source stays sharded in its original orientation — no
+    source-sized all-to-all — and only the SMALL dst output pays a
+    flip/transpose reshard; the conserve flux pair rides folded coverage
+    factors against the un-rotated frames.  The global-rot90 route is
+    the fallback when the folded row counts don't divide the mesh (or
+    when explicit base/weights overrides pin the unfolded tables).
     """
     n_dev = mesh.shape[row_axis]
     qH, qW = op.spec.qrot_shape
@@ -1260,15 +1299,54 @@ def sharded_apply_ell(
             return pall_out
         from .conserve import ell_flux_factors, sharded_flux_ell
 
-        q = (apply_ops.quadrant_rotate(frames, op.spec.quadrant)
-             if op.spec.quadrant else frames)
-        flux = sharded_flux_ell(q, pall_out, ell_flux_factors(op), mesh,
-                                data_axis=data_axis, row_axis=row_axis)
+        flux = None
+        if op.spec.quadrant:
+            folded = weights_ops.fold_quadrant_ell(op)
+            if folded is not None:
+                # cov from the FOLDED table pairs with the UN-rotated
+                # source; m2 pairs with the true dst (global sums are
+                # permutation-invariant) — the flux pair no longer pays
+                # its own rot90 all-to-all.  Plain jnp sums instead of
+                # the shard_map flux: XLA reduces the sharded operands
+                # with the same AllReduce and needs no row divisibility
+                # (the true dst rows may not divide the mesh even when
+                # the folded apply does — that's the fold's added reach)
+                m2, _ = ell_flux_factors(op)
+                _, cov = ell_flux_factors(folded[0])
+                fd = jnp.sum(pall_out.astype(jnp.float32)
+                             * jnp.asarray(m2, jnp.float32))
+                fs = jnp.sum(frames.astype(jnp.float32)
+                             * jnp.asarray(cov, jnp.float32))
+                flux = jnp.stack([fd, fs])
+        if flux is None:
+            q = (apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+                 if op.spec.quadrant else frames)
+            flux = sharded_flux_ell(q, pall_out, ell_flux_factors(op),
+                                    mesh, data_axis=data_axis,
+                                    row_axis=row_axis)
         return pall_out, flux
 
+    post = None
     if op.spec.quadrant != 0:
-        # see sharded_apply_separable: global rot90, resharded by XLA
-        frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+        # fold the rot90 into the ELL table (weights.fold_quadrant_ell):
+        # the source stays sharded un-rotated and only the small dst pays
+        # a flip/transpose reshard.  Folding rewrites the tables, so it's
+        # unavailable when the caller passed explicit base/weights device
+        # overrides (pass a pre-folded operator instead); the global
+        # rot90 (source-sized all-to-all) remains the fallback.
+        folded = (weights_ops.fold_quadrant_ell(op)
+                  if base is None and weights is None else None)
+        if folded is not None:
+            Hdf = folded[0].spec.dst_shape[0]
+            qHf = folded[0].spec.qrot_shape[0]
+            if Hdf % n_dev == 0 and qHf % n_dev == 0:
+                op, post = folded
+                qH, qW = op.spec.qrot_shape
+                Hd, Wd = op.spec.dst_shape
+            else:
+                folded = None
+        if folded is None:
+            frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     K = op.window
     if Hd % n_dev or qH % n_dev:
         raise ValueError(
@@ -1304,13 +1382,22 @@ def sharded_apply_ell(
         check_rep=False,
     )
     out = fn(frames, base, w)
+    final = out
+    if post is not None:
+        from jax.sharding import NamedSharding
+
+        final = jax.lax.with_sharding_constraint(
+            post(out), NamedSharding(mesh, row_only))
     if not conserve:
-        return out
+        return final
     from .conserve import ell_flux_factors, sharded_flux_ell
 
+    # when folded, frames / the pre-post out / op's (permuted) factors
+    # all live in the folded orientation — consistent, and the global
+    # sums are permutation-invariant, so the flux values are unchanged
     flux = sharded_flux_ell(frames, out, ell_flux_factors(op), mesh,
                             data_axis=data_axis, row_axis=row_axis)
-    return out, flux
+    return final, flux
 
 
 # ----------------------------------------------------------------------
