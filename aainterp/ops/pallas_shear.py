@@ -807,3 +807,262 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
         return out[:, : kp.Hd, : kp.Wd]
 
     return fn, arrays
+
+
+# ----------------------------------------------------------------------
+# 2-D-mesh (rows x cols) sharded plan: per-chip tables for the
+# three-kernel local contraction over a spatially 2-D-sharded source
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Sharded2DShearPlan:
+    """Per-chip kernel tables for the (rows x cols)-sharded rotated apply.
+
+    BOTH shears commute with the 2-D spatial sharding: with chip offsets
+    ``off_i = i*sb_r - halo_y`` / ``off_j = j*sb_c - halo_x`` every local
+    sheared coordinate is the global one shifted by (off_i, off_j) —
+    ``T_loc[t, x]`` holds ``T_glob[t + off_i, x + off_j]`` — because the
+    vertical shift table gy is indexed by source COLUMN (per-col-chip
+    slice) and the horizontal table hx by sheared ROW (per-row-chip
+    slice).  One global shear plan therefore serves every chip; the
+    leading n_r / n_c table axes shard over the mesh axes and the
+    kernels see identical shapes everywhere (SPMD).
+    """
+
+    n_r: int
+    n_c: int
+    halo_y: int        # pre-shear halo rows per side (rows axis)
+    halo_x: int        # pre-shear halo cols per side (cols axis)
+    Hloc: int          # sb_r + 2*halo_y (local block height)
+    Wloc: int          # sb_c + 2*halo_x (local block width, unpadded)
+    qWp: int           # local padded width (rup(Wloc, 128))
+    db_r: int
+    sb_r: int
+    db_c: int
+    sb_c: int
+    Hd: int
+    Wd: int
+    THp: int           # local padded sheared height (uniform)
+    TWp: int
+    BLKR: int
+    RH: int
+    RW: int
+    TYd: int
+    TXd: int
+    nty: int           # per-chip dst row tiles (over db_r)
+    ntx: int           # per-chip dst col tiles (over db_c)
+    Ka: int
+    Kb: int
+    SRF: int
+    SCF: int
+    nbv: int
+    nbh: int
+    gy_loc: np.ndarray   # (n_c, 1, qWp) int32, col-sharded
+    hx_loc: np.ndarray   # (n_r, THp, 1) int32, row-sharded
+    base_v: np.ndarray   # (n_c, qWp/128) int32, col-sharded
+    base_h: np.ndarray   # (n_r, THp/BLKR) int32, row-sharded
+    r0_loc: np.ndarray   # (n_r, nty) int32, row-sharded
+    c0_loc: np.ndarray   # (n_c, ntx) int32, col-sharded
+    rsel: np.ndarray     # (n_r, nty, Ka, TYd, SRF) f32, row-sharded
+    csel: np.ndarray     # (n_c, ntx, Kb, SCF, TXd) f32, col-sharded
+    w2t: np.ndarray      # (n_r, n_c, nty*ntx, Ka*Kb, TYd, TXd) f32, 2-D
+
+
+def build_sharded_kernel_plan_2d(op: EllOperator, n_r: int, n_c: int,
+                                 tile_y: int = 128, tile_x: int = 128,
+                                 blk_r: int = 256) -> Sharded2DShearPlan:
+    """Host tables for the (rows x cols)-sharded three-kernel rotated
+    apply — the 2-D-mesh distribution of the reference's hot loop
+    (/root/reference/Source.cpp:432-576).
+
+    Raises ValueError off the envelope (indivisible counts, sb_r not
+    8-aligned, halo exceeding either ring, sheared base below the halo
+    block) — callers fall back to the XLA flat-gather local apply.
+    """
+    spec = op.spec
+    qH, qW = spec.qrot_shape
+    Hd, Wd = spec.dst_shape
+    if Hd % n_r or qH % n_r or Wd % n_c or qW % n_c:
+        raise ValueError(
+            f"2-D sharded plan needs divisible counts (dst {Hd}x{Wd}, "
+            f"src {qH}x{qW}, mesh {n_r}x{n_c})")
+    db_r, sb_r = Hd // n_r, qH // n_r
+    db_c, sb_c = Wd // n_c, qW // n_c
+    if sb_r % 8:
+        raise ValueError(f"per-chip source rows {sb_r} not 8-aligned")
+
+    K = op.window
+    base_y = op.base[..., 0]
+    base_x = op.base[..., 1]
+    halo_y = 0
+    for i in range(n_r):
+        blk = base_y[i * db_r: (i + 1) * db_r]
+        halo_y = max(halo_y, i * sb_r - int(blk.min()),
+                     int(blk.max()) + K - (i + 1) * sb_r)
+    halo_y = _rup(max(halo_y, 0), 8)
+    halo_x = 0
+    for j in range(n_c):
+        blk = base_x[:, j * db_c: (j + 1) * db_c]
+        halo_x = max(halo_x, j * sb_c - int(blk.min()),
+                     int(blk.max()) + K - (j + 1) * sb_c)
+    halo_x = max(halo_x, 0)
+    if halo_y and -(-halo_y // sb_r) > n_r - 1:
+        raise ValueError("row halo exceeds the ring")
+    if halo_x and -(-halo_x // sb_c) > n_c - 1:
+        raise ValueError("col halo exceeds the ring")
+    Hloc = sb_r + 2 * halo_y
+    Wloc = sb_c + 2 * halo_x
+    qWp = _rup(Wloc, 128)
+
+    plan = build_shear_plan(op)
+    gy = plan.gy.astype(np.int64)
+    hx = plan.hx.astype(np.int64)
+    ry0 = plan.ry0.astype(np.int64)
+    cx0 = plan.cx0.astype(np.int64)
+    w2 = plan.weights
+    Ka, Kb = w2.shape[2], w2.shape[3]
+    live = w2 != 0.0
+    lv_row = live.any(axis=(1, 2, 3))
+    lv_col = live.any(axis=(0, 2, 3))
+    if not lv_row.any():
+        raise ValueError("empty operator")
+
+    TYd, TXd = tile_y, tile_x
+    nty = _rup(db_r, TYd) // TYd
+    ntx = _rup(db_c, TXd) // TXd
+    off_r = np.arange(n_r, dtype=np.int64) * sb_r - halo_y
+    off_c = np.arange(n_c, dtype=np.int64) * sb_c - halo_x
+
+    # per-(row-chip, tile) local sheared row bases + uniform SRF.  ry0 is
+    # the GLOBAL per-dst-row sheared base (min over all cols) — the
+    # vertical shear cancels the cross-column drift, so restricting to a
+    # col block would tighten SRF by at most a few cells
+    r0_loc = np.zeros((n_r, nty), np.int64)
+    SRF = 8
+    for i in range(n_r):
+        for t in range(nty):
+            g0 = i * db_r + t * TYd
+            g1 = min(g0 + TYd, (i + 1) * db_r)
+            m = lv_row[g0:g1]
+            if not m.any():
+                continue
+            rr = ry0[g0:g1][m] - off_r[i]
+            lo = _rdn(int(rr.min()), 8)
+            if lo < 0:
+                raise ValueError("local sheared base below the halo block")
+            r0_loc[i, t] = lo
+            SRF = max(SRF, int(rr.max()) + Ka - lo)
+    SRF = _rup(SRF, 8)
+
+    # per-(col-chip, tile) local sheared col bases + uniform SCF
+    c0_loc = np.zeros((n_c, ntx), np.int64)
+    SCF = 8
+    for j in range(n_c):
+        for t in range(ntx):
+            g0 = j * db_c + t * TXd
+            g1 = min(g0 + TXd, (j + 1) * db_c)
+            m = lv_col[g0:g1]
+            if not m.any():
+                continue
+            cc = cx0[g0:g1][m] - off_c[j]
+            lo = _rdn(int(cc.min()), 128)
+            if lo < 0:
+                raise ValueError("local sheared col base below the halo "
+                                 "block")
+            c0_loc[j, t] = lo
+            SCF = max(SCF, int(cc.max()) + Kb - lo)
+    SCF = _rup(SCF, 128)
+
+    # per-col-chip gy slices (clamped outside the global table: those
+    # local columns hold zero halo pixels) + per-strip 16-aligned bases
+    gy_loc = np.zeros((n_c, 1, qWp), np.int32)
+    for j in range(n_c):
+        u = np.clip(off_c[j] + np.arange(qWp), 0, len(gy) - 1)
+        gy_loc[j, 0] = gy[u]
+    nc_strip = qWp // 128
+    base_v = np.zeros((n_c, nc_strip), np.int64)
+    for j in range(n_c):
+        for s in range(nc_strip):
+            base_v[j, s] = _rdn(
+                int(gy_loc[j, 0, s * 128:(s + 1) * 128].min()), 16)
+    residv = (gy_loc[:, 0, :].astype(np.int64)
+              - np.repeat(base_v, 128, axis=1))
+    RH = _rup(Hloc + int(residv.max()), 16)
+    nbv = max(1, int(residv.max()).bit_length())
+
+    THp = _rup(max(int((r0_loc + SRF).max()),
+                   Hloc + int(gy.max()) + 1,
+                   int(base_v.max()) + RH, blk_r), blk_r)
+
+    # per-row-chip hx slices (indexed by GLOBAL sheared row) + per-block
+    # 128-aligned bases
+    hx_loc = np.zeros((n_r, THp, 1), np.int32)
+    for i in range(n_r):
+        u = np.clip(off_r[i] + np.arange(THp), 0, len(hx) - 1)
+        hx_loc[i, :, 0] = hx[u]
+    nrh = THp // blk_r
+    base_h = np.zeros((n_r, nrh), np.int64)
+    for i in range(n_r):
+        for r in range(nrh):
+            base_h[i, r] = _rdn(
+                int(hx_loc[i, r * blk_r:(r + 1) * blk_r, 0].min()), 128)
+    residh = (hx_loc[:, :, 0].astype(np.int64)
+              - np.repeat(base_h, blk_r, axis=1))
+    RW = _rup(qWp + int(residh.max()), 128)
+    nbh = max(1, int(residh.max()).bit_length())
+
+    TWp = _rup(max(int((c0_loc + SCF).max()),
+                   qWp + int(hx.max()) + 1,
+                   int(base_h.max()) + RW), 128)
+
+    rsel = np.zeros((n_r, nty, Ka, TYd, SRF), np.float32)
+    for i in range(n_r):
+        for t in range(nty):
+            g0 = i * db_r + t * TYd
+            g1 = min(g0 + TYd, (i + 1) * db_r)
+            m = lv_row[g0:g1]
+            ryl = ry0[g0:g1] - off_r[i] - r0_loc[i, t]
+            for a in range(Ka):
+                ok = m & (ryl + a >= 0) & (ryl + a < SRF)
+                if not (ok | ~(live[g0:g1, :, a, :].any(axis=(1, 2)))).all():
+                    raise ValueError("live tap outside the local row span")
+                rsel[i, t, a, np.arange(g1 - g0)[ok], (ryl + a)[ok]] = 1.0
+
+    csel = np.zeros((n_c, ntx, Kb, SCF, TXd), np.float32)
+    for j in range(n_c):
+        for t in range(ntx):
+            g0 = j * db_c + t * TXd
+            g1 = min(g0 + TXd, (j + 1) * db_c)
+            m = lv_col[g0:g1]
+            cxl = cx0[g0:g1] - off_c[j] - c0_loc[j, t]
+            for b in range(Kb):
+                ok = m & (cxl + b >= 0) & (cxl + b < SCF)
+                if not (ok | ~(live[:, g0:g1, :, b].any(axis=(0, 2)))).all():
+                    raise ValueError("live tap outside the local col span")
+                csel[j, t, b, (cxl + b)[ok], np.arange(g1 - g0)[ok]] = 1.0
+
+    w2t = np.zeros((n_r, n_c, nty * ntx, Ka * Kb, TYd, TXd), np.float32)
+    for i in range(n_r):
+        for j in range(n_c):
+            for t in range(nty):
+                r0g = i * db_r + t * TYd
+                r1g = min(r0g + TYd, (i + 1) * db_r)
+                for tx in range(ntx):
+                    c0g = j * db_c + tx * TXd
+                    c1g = min(c0g + TXd, (j + 1) * db_c)
+                    nY, nX = r1g - r0g, c1g - c0g
+                    w2t[i, j, t * ntx + tx, :, :nY, :nX] = np.moveaxis(
+                        w2[r0g:r1g, c0g:c1g].reshape(nY, nX, Ka * Kb),
+                        -1, 0).astype(np.float32)
+
+    return Sharded2DShearPlan(
+        n_r=n_r, n_c=n_c, halo_y=halo_y, halo_x=halo_x, Hloc=Hloc,
+        Wloc=Wloc, qWp=qWp, db_r=db_r, sb_r=sb_r, db_c=db_c, sb_c=sb_c,
+        Hd=Hd, Wd=Wd, THp=THp, TWp=TWp, BLKR=blk_r, RH=RH, RW=RW,
+        TYd=TYd, TXd=TXd, nty=nty, ntx=ntx, Ka=Ka, Kb=Kb, SRF=SRF,
+        SCF=SCF, nbv=nbv, nbh=nbh, gy_loc=gy_loc, hx_loc=hx_loc,
+        base_v=base_v.astype(np.int32), base_h=base_h.astype(np.int32),
+        r0_loc=r0_loc.astype(np.int32), c0_loc=c0_loc.astype(np.int32),
+        rsel=rsel, csel=csel, w2t=w2t,
+    )

@@ -198,3 +198,40 @@ def sharded_flux_ell(
         check_rep=False,
     )
     return fn(dst, src, m2, cov)
+
+
+def sharded_flux_ell_2d(
+    src: jax.Array,
+    dst: jax.Array,
+    factors,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> jax.Array:
+    """(2,) replicated [flux_dst, flux_src] for the 2-D (rows x cols)
+    sharded rotated (ELL) apply: m2 (Hd, Wd) and cov (qH, qW) shard over
+    both image axes with their arrays; psum over all mesh axes."""
+    m2, cov = (jnp.asarray(f, jnp.float32) for f in factors)
+    axes = ((row_axis, col_axis) if data_axis is None
+            else (data_axis, row_axis, col_axis))
+    batch = (P(),) if data_axis is None else (P(data_axis),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local(dst_blk, src_blk, m2_blk, cov_blk):
+        fd = jnp.sum(dst_blk.astype(jnp.float32) * m2_blk)
+        fs = jnp.sum(src_blk.astype(jnp.float32) * cov_blk)
+        out = jnp.stack([fd, fs])
+        for ax in axes:
+            out = jax.lax.psum(out, ax)
+        return out
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(img2d, img2d, P(row_axis, col_axis),
+                  P(row_axis, col_axis)),
+        out_specs=P(None),
+        check_rep=False,
+    )
+    return fn(dst, src, m2, cov)

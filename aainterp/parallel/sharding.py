@@ -1400,6 +1400,327 @@ def sharded_apply_ell(
     return final, flux
 
 
+def make_sharded_ell_pallas_2d(
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    interpret: bool = False,
+):
+    """(fn, arrays): (rows x cols)-sharded three-kernel Pallas rotated
+    apply — the 2-D-mesh form of make_sharded_ell_pallas.
+
+    Each chip runs the VMEM shears + one-hot MXU contraction on its own
+    halo-extended (Hloc, Wloc) block; BOTH shears commute with the 2-D
+    sharding (see Sharded2DShearPlan), so one global shear plan serves
+    every chip — gy/base_v/c0/csel shard over the cols axis, hx/base_h/
+    r0/rsel over the rows axis, w2t/masks over both.  Collective
+    structure: one ring-halo exchange per mesh axis (corners arrive
+    transitively), as in sharded_apply_separable_2d.
+
+    quadrant != 0 folds the rot90 into the table (fold_quadrant_ell) —
+    no source-sized all-to-all; the small dst pays a flip/transpose
+    reshard.  Falls back to the global-rot90 route when the folded
+    counts don't divide the mesh.
+
+    Raises ValueError off the plan envelope — sharded_apply_ell_2d's
+    auto route falls back to the XLA flat-gather local apply.
+    """
+    from ..ops.pallas_shear import (
+        _build_contract, _build_hshear, _build_vshear,
+        build_sharded_kernel_plan_2d, tile_masks,
+    )
+
+    n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    quadrant = op.spec.quadrant
+    post = None
+    kp = None
+    if quadrant != 0:
+        folded = weights_ops.fold_quadrant_ell(op)
+        if folded is not None:
+            try:
+                kp = build_sharded_kernel_plan_2d(folded[0], n_r, n_c)
+            except ValueError:
+                kp = None  # folded counts don't fit: global rot90 below
+            else:
+                op, post = folded
+                quadrant = 0
+    if kp is None:
+        kp = build_sharded_kernel_plan_2d(op, n_r, n_c)
+
+    masks_np = np.stack(
+        [[tile_masks(kp.w2t[i, j]) for j in range(n_c)]
+         for i in range(n_r)])
+    arrays = dict(
+        gy_loc=jnp.asarray(kp.gy_loc),
+        base_v=jnp.asarray(kp.base_v),
+        hx_loc=jnp.asarray(kp.hx_loc),
+        base_h=jnp.asarray(kp.base_h),
+        r0_loc=jnp.asarray(kp.r0_loc),
+        c0_loc=jnp.asarray(kp.c0_loc),
+        masks=jnp.asarray(masks_np),
+        rsel=jnp.asarray(kp.rsel),
+        csel=jnp.asarray(kp.csel),
+        w2t=jnp.asarray(kp.w2t),
+    )
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def fn(frames, gy_loc, base_v, hx_loc, base_h, r0_loc, c0_loc, masks,
+           rsel, csel, w2t):
+        if quadrant != 0:
+            frames = apply_ops.quadrant_rotate(frames, quadrant)
+        if frames.dtype not in (jnp.bfloat16, jnp.float32):
+            frames = frames.astype(jnp.float32)
+        lead = frames.ndim - 2
+        assert lead in (0, 1)
+        Bloc = 1
+        if lead:
+            n_data = mesh.shape[data_axis] if data_axis else 1
+            Bloc = frames.shape[0] // n_data
+        dname = jnp.dtype(frames.dtype).name
+        vshear = _build_vshear(Bloc, kp.Hloc, kp.qWp, kp.THp, kp.RH,
+                               kp.nbv, dname, interpret)
+        hshear = _build_hshear(Bloc, kp.THp, kp.qWp, kp.TWp, kp.BLKR,
+                               kp.RW, kp.nbh, dname, interpret)
+        contract = _build_contract(
+            Bloc, kp.THp, kp.TWp, kp.nty, kp.ntx, kp.TYd, kp.TXd, kp.Ka,
+            kp.Kb, kp.SRF, kp.SCF, dname, dname, interpret, masked=True)
+        rsel = rsel.astype(frames.dtype)
+        csel = csel.astype(frames.dtype)
+
+        def local_fn(frames_blk, gy_l, bv_l, hx_l, bh_l, r0_l, c0_l,
+                     m_l, rsel_l, csel_l, w2t_l):
+            ext = _halo_extend(frames_blk, kp.halo_y, row_axis, n_r,
+                               axis=-2)
+            ext = _halo_extend(ext, kp.halo_x, col_axis, n_c, axis=-1)
+            squeeze = frames_blk.ndim == 2
+            if squeeze:
+                ext = ext[None]
+            if kp.qWp != kp.Wloc:
+                pad = ([(0, 0)] * (ext.ndim - 2)
+                       + [(0, 0), (0, kp.qWp - kp.Wloc)])
+                ext = jnp.pad(ext, pad)
+            s = vshear(bv_l[0], gy_l, ext)
+            t = hshear(bh_l[0], hx_l, s)
+            out = contract(r0_l[0], c0_l[0], m_l[0, 0], t, rsel_l[0],
+                           csel_l[0], w2t_l[0, 0])
+            out = out[:, : kp.db_r, : kp.db_c]
+            return out[0] if squeeze else out
+
+        smapped = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(img2d,
+                      P(col_axis, None, None),          # gy_loc
+                      P(col_axis, None),                # base_v
+                      P(row_axis, None, None),          # hx_loc
+                      P(row_axis, None),                # base_h
+                      P(row_axis, None),                # r0_loc
+                      P(col_axis, None),                # c0_loc
+                      P(row_axis, col_axis, None),      # masks
+                      P(row_axis, None, None, None, None),  # rsel
+                      P(col_axis, None, None, None, None),  # csel
+                      P(row_axis, col_axis, None, None, None, None)),
+            out_specs=img2d,
+            check_rep=False,
+        )
+        out = smapped(frames, gy_loc, base_v, hx_loc, base_h, r0_loc,
+                      c0_loc, masks, rsel, csel, w2t)
+        if post is not None:
+            from jax.sharding import NamedSharding
+
+            out = post(out)
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, img2d))
+        return out
+
+    return fn, arrays
+
+
+def _ell_halo_2d(op: weights_ops.EllOperator, n_r: int, n_c: int):
+    """(halo_y, halo_x) for the 2-D-sharded ELL apply, plus block dims.
+
+    halo_y is the max row overhang of any dst-row-block's window bases
+    past its own source-row block (it grows with W*sin(angle) — the
+    dst-row <-> src-row alignment drifts across columns under rotation;
+    multi-hop _halo_extend serves the steep cases exactly as in 1-D);
+    halo_x is the column-side analogue.  Raises on indivisible counts.
+    """
+    qH, qW = op.spec.qrot_shape
+    Hd, Wd = op.spec.dst_shape
+    if Hd % n_r or qH % n_r or Wd % n_c or qW % n_c:
+        raise ValueError(
+            "2-D-sharded ELL apply requires divisible row AND col counts "
+            f"(dst {Hd}x{Wd}, src {qH}x{qW}, mesh {n_r}x{n_c})")
+    db_r, sb_r = Hd // n_r, qH // n_r
+    db_c, sb_c = Wd // n_c, qW // n_c
+    K = op.window
+    base_y = op.base[..., 0]
+    base_x = op.base[..., 1]
+    halo_y = 0
+    for i in range(n_r):
+        blk = base_y[i * db_r: (i + 1) * db_r]
+        halo_y = max(halo_y, i * sb_r - int(blk.min()),
+                     int(blk.max()) + K - (i + 1) * sb_r)
+    halo_x = 0
+    for j in range(n_c):
+        blk = base_x[:, j * db_c: (j + 1) * db_c]
+        halo_x = max(halo_x, j * sb_c - int(blk.min()),
+                     int(blk.max()) + K - (j + 1) * sb_c)
+    return (max(halo_y, 0), max(halo_x, 0), db_r, sb_r, db_c, sb_c)
+
+
+def sharded_apply_ell_2d(
+    frames: jax.Array,
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    conserve: bool = False,
+    base: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Rotated (ELL) apply with BOTH image axes sharded — rows over
+    ``row_axis``, columns over ``col_axis`` of a (data, rows, cols)
+    mesh.  The 2-D-mesh form of the reference's hot loop
+    (/root/reference/Source.cpp:432-576) for frames too large for a 1-D
+    strip split.
+
+    Collective structure mirrors sharded_apply_separable_2d: one
+    ring-halo exchange per mesh axis (rows first, then columns of the
+    row-extended block — corner regions arrive transitively), both
+    neighbour ppermutes over ICI; each chip then contracts its
+    (sb_r + 2*halo_y) x (sb_c + 2*halo_x) block against its own
+    (db_r, db_c) block of the ELL tables, rebased by its mesh
+    coordinates.  Note the row halo still grows with W*sin(angle): under
+    rotation the dst-row <-> src-row alignment drifts across the column
+    range, so steep angles ride the multi-hop exchange exactly as in
+    the 1-D path.
+
+    impl: 'auto' runs the per-chip Pallas three-kernel shear local
+    contraction (make_sharded_ell_pallas_2d) on TPU or under
+    ``interpret``, degrading to the XLA flat-gather local apply off the
+    plan envelope; 'pallas' forces (raising off-envelope); 'xla' forces
+    the flat-gather local apply.
+
+    quadrant != 0 folds the rot90 into the table (fold_quadrant_ell) —
+    the source stays sharded un-rotated, only the small dst pays a
+    flip/transpose reshard; global rot90 is the indivisible fallback.
+
+    conserve: also return the replicated (2,) [flux_dst, flux_src] psum
+    pair reduced over all three mesh axes.
+
+    base/weights: optional device-array overrides of op's tables (pass
+    them as traced jit arguments; see sharded_apply_ell) — folding is
+    skipped when they're given (pass a pre-folded operator instead).
+    """
+    n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    forced = impl != "auto"
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
+                else "xla")
+    if impl == "pallas":
+        try:
+            fn_p, arrays = make_sharded_ell_pallas_2d(
+                op, mesh, data_axis=data_axis, row_axis=row_axis,
+                col_axis=col_axis, interpret=interpret)
+        except ValueError:
+            if forced:
+                raise
+            fn_p = None
+        if fn_p is not None:
+            pall_out = fn_p(frames, **arrays)
+            if not conserve:
+                return pall_out
+            from .conserve import ell_flux_factors, sharded_flux_ell_2d
+
+            if op.spec.quadrant:
+                folded = weights_ops.fold_quadrant_ell(op)
+                # permutation-invariant global sums: folded cov pairs
+                # with the un-rotated frames, true m2 with the true dst
+                # (see sharded_apply_ell; plain sums need no divisibility)
+                m2, _ = ell_flux_factors(op)
+                _, cov = ell_flux_factors(folded[0])
+                fd = jnp.sum(pall_out.astype(jnp.float32)
+                             * jnp.asarray(m2, jnp.float32))
+                fs = jnp.sum(frames.astype(jnp.float32)
+                             * jnp.asarray(cov, jnp.float32))
+                return pall_out, jnp.stack([fd, fs])
+            flux = sharded_flux_ell_2d(frames, pall_out,
+                                       ell_flux_factors(op), mesh,
+                                       data_axis=data_axis,
+                                       row_axis=row_axis,
+                                       col_axis=col_axis)
+            return pall_out, flux
+
+    post = None
+    if op.spec.quadrant != 0:
+        folded = (weights_ops.fold_quadrant_ell(op)
+                  if base is None and weights is None else None)
+        ok = False
+        if folded is not None:
+            fop = folded[0]
+            ok = (fop.spec.dst_shape[0] % n_r == 0
+                  and fop.spec.qrot_shape[0] % n_r == 0
+                  and fop.spec.dst_shape[1] % n_c == 0
+                  and fop.spec.qrot_shape[1] % n_c == 0)
+        if ok:
+            op, post = folded
+        else:
+            frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
+    halo_y, halo_x, db_r, sb_r, db_c, sb_c = _ell_halo_2d(op, n_r, n_c)
+
+    base = jnp.asarray(op.base) if base is None else base
+    w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
+         else weights)
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local_fn(frames_blk, base_blk, w_blk):
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        ext = _halo_extend(frames_blk, halo_y, row_axis, n_r, axis=-2)
+        ext = _halo_extend(ext, halo_x, col_axis, n_c, axis=-1)
+        rebased = (base_blk.at[..., 0].add(-(i * sb_r - halo_y))
+                   .at[..., 1].add(-(j * sb_c - halo_x)))
+        return apply_ops.apply_ell(ext, rebased, w_blk)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(img2d, P(row_axis, col_axis, None),
+                  P(row_axis, col_axis, None, None)),
+        out_specs=img2d,
+        check_rep=False,
+    )
+    out = fn(frames, base, w)
+    final = out
+    if post is not None:
+        from jax.sharding import NamedSharding
+
+        final = jax.lax.with_sharding_constraint(
+            post(out), NamedSharding(mesh, img2d))
+    if not conserve:
+        return final
+    from .conserve import ell_flux_factors, sharded_flux_ell_2d
+
+    # when folded, frames / the pre-post out / op's (permuted) factors
+    # all live in the folded orientation — consistent (see 1-D path)
+    flux = sharded_flux_ell_2d(frames, out, ell_flux_factors(op), mesh,
+                               data_axis=data_axis, row_axis=row_axis,
+                               col_axis=col_axis)
+    return final, flux
+
+
 # ----------------------------------------------------------------------
 # Sharded adjoints (exact transposes of the sharded applies) and custom
 # VJPs — multi-chip gradients (aainterp/autodiff.py at pod scale)
