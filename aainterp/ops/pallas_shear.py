@@ -763,7 +763,7 @@ def make_pallas_shear_apply(op: EllOperator, tile_y: int = 128,
     else:
         kp = build_kernel_plan(op, tile_y=tile_y, tile_x=tile_x)
     # concrete even when called inside a jit trace: callers cache these
-    # arrays (api._SHEAR_CACHE), and a trace-time jnp.asarray(numpy) is a
+    # arrays (api._PALLAS_SHEAR_CACHE), and a trace-time jnp.asarray(numpy) is a
     # TRACER under JAX 0.9 — caching it poisons every later call
     with jax.ensure_compile_time_eval():
         arrays = dict(

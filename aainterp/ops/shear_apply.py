@@ -259,7 +259,7 @@ def make_sheared_apply(op: EllOperator, weight_dtype=jnp.float32):
     (apply_ell_sheared accumulates in weights.dtype), so f64 requests are
     honored on backends that support it."""
     plan = build_shear_plan(op)
-    # concrete even inside a jit trace: api._SHEAR_CACHE stores these, and
+    # concrete even inside a jit trace: api._XLA_SHEAR_CACHE stores these,
     # a trace-time jnp.asarray(numpy) is a TRACER under JAX 0.9
     with jax.ensure_compile_time_eval():
         arrays = dict(

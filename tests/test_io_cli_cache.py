@@ -351,7 +351,8 @@ def test_lru_plan_caches_bounded():
     from aainterp import api
     from aainterp.ops import pallas_apply
 
-    assert isinstance(api._SHEAR_CACHE, LruDict)
+    assert isinstance(api._PALLAS_SHEAR_CACHE, LruDict)
+    assert isinstance(api._XLA_SHEAR_CACHE, LruDict)
     assert isinstance(api._STENCIL_CACHE, LruDict)
     assert isinstance(pallas_apply._PREP_CACHE, LruDict)
 
