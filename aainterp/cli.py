@@ -73,7 +73,200 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_csv_or_fail(path):
+    """Shared csv gate + read with the reference's error strings."""
+    _, _, ext = iom.split_path(path)
+    if ext not in (".csv", ".CSV"):
+        print("As for the image format, only csv format can be used.")
+        print("Run terminated abnormally.")
+        return None
+    try:
+        return iom.csv_read(path)
+    except (OSError, ValueError) as e:
+        print(f"Failed to read csv file. ({e})")
+        print("Run terminated abnormally.")
+        return None
+
+
+def _finish(dst, input_path, output, sig_digits, start) -> int:
+    elapsed_ms = (time.perf_counter() - start) * 1000.0
+    print(f"Calculation time : {elapsed_ms:g} [ms]")
+    out_path = output or iom.default_output_path(input_path)
+    iom.csv_write(out_path, np.asarray(dst), sig_digits=sig_digits)
+    print("Run terminated correctly.")
+    return 0
+
+
+def _cmd_resize(argv) -> int:
+    """`aainterp resize in.csv --shape H W`: conservative resize to ANY
+    target shape (anisotropic ratios allowed — the reference program
+    rejects them, Source.cpp:111-117), or the bilinear/bicubic baselines
+    via --method."""
+    p = argparse.ArgumentParser(
+        prog="aainterp resize",
+        description="conservative (area-average) resize to any shape")
+    p.add_argument("input", help="source image (*.csv)")
+    p.add_argument("--shape", type=int, nargs=2, required=True,
+                   metavar=("H", "W"), help="destination shape [pixels]")
+    p.add_argument("--method", choices=("area", "bilinear", "bicubic"),
+                   default="area",
+                   help="area = exact flux-conserving overlap weights "
+                        "(default); bilinear/bicubic = the jax.image "
+                        "baselines")
+    p.add_argument("--mask", default=None, metavar="MASK_CSV",
+                   help="validity mask csv (nonzero = valid): valid-cell-"
+                        "renormalised mean, area method only")
+    p.add_argument("--fill", type=float, default=float("nan"),
+                   help="fill value for uncovered masked pixels")
+    p.add_argument("--output", default=None,
+                   help="output path (default: <base>_mod.csv)")
+    p.add_argument("--sig-digits", type=int, default=6)
+    args = p.parse_args(argv)
+
+    src = _read_csv_or_fail(args.input)
+    if src is None:
+        return -1
+    kw = {}
+    if args.mask is not None:
+        if args.method != "area":
+            print("--mask is area-method only.")
+            print("Run terminated abnormally.")
+            return -1
+        mask = _read_csv_or_fail(args.mask)
+        if mask is None:
+            return -1
+        kw = dict(mask=mask, fill_value=args.fill)
+    start = time.perf_counter()
+    try:
+        dst = jax_block(api.resize(src, tuple(args.shape),
+                                   method=args.method, **kw))
+    except (ValidationError, ValueError) as e:
+        print(str(e))
+        print("Run terminated abnormally.")
+        return -1
+    return _finish(dst, args.input, args.output, args.sig_digits, start)
+
+
+def _cmd_rotate(argv) -> int:
+    """`aainterp rotate in.csv --angle DEG`: flux-conserving rotation
+    about the isocenter (default: image center) at equal resolutions."""
+    p = argparse.ArgumentParser(
+        prog="aainterp rotate",
+        description="flux-conserving (area-average) rotation")
+    p.add_argument("input", help="source image (*.csv)")
+    p.add_argument("--angle", type=float, required=True,
+                   help="rotation angle [degrees], clockwise positive")
+    p.add_argument("--isocenter", type=float, nargs=2, default=None,
+                   metavar=("X", "Y"),
+                   help="rotation center [pixels] (default: image center)")
+    p.add_argument("--mode", choices=("exact", "fast", "compat"),
+                   default="exact")
+    p.add_argument("--output", default=None,
+                   help="output path (default: <base>_mod.csv)")
+    p.add_argument("--sig-digits", type=int, default=6)
+    args = p.parse_args(argv)
+
+    src = _read_csv_or_fail(args.input)
+    if src is None:
+        return -1
+    start = time.perf_counter()
+    try:
+        iso = tuple(args.isocenter) if args.isocenter else None
+        dst = jax_block(api.area_rotate(src, args.angle, isocenter=iso,
+                                        mode=args.mode))
+    except (ValidationError, ValueError) as e:
+        print(str(e))
+        print("Run terminated abnormally.")
+        return -1
+    return _finish(dst, args.input, args.output, args.sig_digits, start)
+
+
+def _cmd_regrid(argv) -> int:
+    """`aainterp regrid in.csv --dst-grid NLAT NLON`: conservative
+    lat-lon regrid with spherical cell areas (sin-lat overlap weights).
+    The source grid defaults to the field's shape."""
+    p = argparse.ArgumentParser(
+        prog="aainterp regrid",
+        description="conservative lat-lon regrid (spherical areas)")
+    p.add_argument("input", help="source field (*.csv), (n_lat, n_lon)")
+    p.add_argument("--dst-grid", type=int, nargs=2, required=True,
+                   metavar=("NLAT", "NLON"), help="destination grid")
+    p.add_argument("--src-grid", type=int, nargs=2, default=None,
+                   metavar=("NLAT", "NLON"),
+                   help="source grid (default: the field's shape)")
+    p.add_argument("--mask", default=None, metavar="MASK_CSV",
+                   help="validity mask csv (nonzero = valid), e.g. an "
+                        "ocean mask: valid-cell-renormalised mean")
+    p.add_argument("--fill", type=float, default=float("nan"))
+    p.add_argument("--conserve-check", action="store_true",
+                   help="also print the global flux pair (area-weighted "
+                        "means must match)")
+    p.add_argument("--output", default=None,
+                   help="output path (default: <base>_mod.csv)")
+    p.add_argument("--sig-digits", type=int, default=6)
+    args = p.parse_args(argv)
+
+    from .regrid import LatLonGrid, conservative_regrid
+
+    field = _read_csv_or_fail(args.input)
+    if field is None:
+        return -1
+    src_grid = (LatLonGrid(*args.src_grid) if args.src_grid
+                else LatLonGrid(field.shape[-2], field.shape[-1]))
+    if (field.shape[-2], field.shape[-1]) != (src_grid.n_lat,
+                                              src_grid.n_lon):
+        print(f"field shape {field.shape[-2:]} does not match --src-grid "
+              f"({src_grid.n_lat}, {src_grid.n_lon}).")
+        print("Run terminated abnormally.")
+        return -1
+    dst_grid = LatLonGrid(*args.dst_grid)
+    kw = {}
+    if args.mask is not None:
+        mask = _read_csv_or_fail(args.mask)
+        if mask is None:
+            return -1
+        kw = dict(src_mask=mask, fill_value=args.fill)
+    start = time.perf_counter()
+    try:
+        dst = jax_block(conservative_regrid(field, src_grid, dst_grid,
+                                            **kw))
+    except (ValidationError, ValueError) as e:
+        print(str(e))
+        print("Run terminated abnormally.")
+        return -1
+    if args.conserve_check:
+        # the conserved quantity on a lat-lon grid is the SPHERICAL
+        # area-weighted mean (cell area ~ d(sin lat) * d lon), not the
+        # plain pixel mean
+        def sph_mean(arr, grid):
+            w_lat = -np.diff(np.sin(np.radians(grid.lat_edges)))
+            a = np.asarray(arr, np.float64)
+            return float((a * w_lat[:, None]).sum() / (w_lat.sum()
+                                                       * grid.n_lon))
+
+        ms = sph_mean(field, src_grid)
+        md = sph_mean(np.nan_to_num(np.asarray(dst)), dst_grid)
+        err = abs(md - ms) / max(abs(ms), 1e-12)
+        print(f"Flux check : src mean {ms:.9g}, dst mean {md:.9g}, "
+              f"relative error {err:.3e}")
+    return _finish(dst, args.input, args.output, args.sig_digits, start)
+
+
+_SUBCOMMANDS = {
+    "resize": _cmd_resize,
+    "rotate": _cmd_rotate,
+    "regrid": _cmd_regrid,
+}
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # subcommand front doors for the beyond-reference capabilities
+    # (VERDICT r3 item 8); the bare legacy invocation keeps stdout
+    # byte-parity with the compiled reference and is untouched
+    if argv and argv[0] in _SUBCOMMANDS:
+        return _SUBCOMMANDS[argv[0]](list(argv[1:]))
     args = build_parser().parse_args(argv)
 
     for path in args.input:
