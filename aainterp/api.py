@@ -230,12 +230,27 @@ def apply_operator(
             raise ValueError(
                 f"unknown impl {impl!r} for an EllOperator; expected one "
                 "of 'auto', 'pallas', 'sheared', 'xla'")
+        post = None
+        if op.spec.quadrant != 0 and not differentiable:
+            # fold the rot90 pre-rotation into the ELL table
+            # (weights.fold_quadrant_ell): the apply consumes the
+            # ORIGINAL image — no source-sized rot90 HBM round trip
+            # (~43 us/frame at 4K) — and only the small dst output pays
+            # a flip/transpose.  The differentiable route keeps the
+            # rotate (its custom VJP is built around the unfolded
+            # quadrant); the fold result is LRU-cached by table content
+            # (the fold itself copies the (Hd, Wd, K, K) table).
+            op, post = _folded_ell_for(op)
         forced = impl != "auto"
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             big = min(op.spec.dst_shape) >= 256
             impl = "pallas" if (on_tpu and big) else (
                 "sheared" if on_tpu else "xla")
+
+        def _finish(out):
+            return out if post is None else post(out)
+
         if impl == "pallas":
             # three-kernel Pallas rotated apply (ops/pallas_shear.py):
             # VMEM shears + one-hot MXU gathers, ~4-5x the XLA sheared path
@@ -254,9 +269,7 @@ def apply_operator(
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "pallas", fn,
                                             src, arrs)
-                return fn(
-                    apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
-                )
+                return _finish(fn(src, arrs))
         if impl == "sheared":
             # XLA's general gather is ~100 ms/frame on TPU; the shear-aligned
             # re-indexing (ops/shear_apply.py) evaluates the same exact
@@ -273,21 +286,39 @@ def apply_operator(
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "sheared", fn,
                                             src, arrs)
-                return fn(
-                    apply_ops.quadrant_rotate(src, op.spec.quadrant), arrs
-                )
+                return _finish(fn(src, arrs))
         if differentiable:
             from . import autodiff
 
             return _ell_linear_call(op, weight_dtype, "xla",
                                     autodiff._ell_fwd_xla, src, None)
-        return _apply_ell_jit(
+        return _finish(_apply_ell_jit(
             src,
             op.spec.quadrant,
             jnp.asarray(op.base),
             jnp.asarray(op.weights, dtype=weight_dtype),
-        )
+        ))
     raise TypeError(f"unknown operator type {type(op)!r}")
+
+
+# folded quadrant ELL operators (fold copies the (Hd, Wd, K, K) table —
+# hundreds of MB at 2048^2 — so keep few and reuse by content)
+_ELL_FOLD_CACHE = LruDict(4)
+
+
+def _folded_ell_for(op):
+    """(folded_op, post) for a quadrant != 0 EllOperator, LRU-cached by
+    table content (weights.fold_quadrant_ell)."""
+    # quadrant and qrot_shape are part of the identity: at exact 90-deg
+    # multiples the in-quadrant tables are IDENTICAL across quadrants
+    # (zero residual rotation), so content alone collides
+    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           op.spec.quadrant, op.spec.qrot_shape)
+    hit = _ELL_FOLD_CACHE.get(key)
+    if hit is None:
+        hit = weights_ops.fold_quadrant_ell(op)
+        _ELL_FOLD_CACHE.put(key, hit)
+    return hit
 
 
 # bounded: stencil closures are small, shear tables can be hundreds of
@@ -387,7 +418,11 @@ def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs):
     """
     from . import autodiff
 
+    # quadrant is baked into the cached linear fn (make_ell_linear), and
+    # at exact 90-deg multiples different quadrants share identical
+    # tables — include it in the identity (same hazard as _ELL_FOLD_CACHE)
     key = (kind, hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           op.spec.quadrant, op.spec.qrot_shape,
            jnp.dtype(weight_dtype).name)
     hit = _ELL_LINEAR_CACHE.get(key)
     if hit is None:
