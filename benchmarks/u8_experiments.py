@@ -82,17 +82,31 @@ def _frames(K, B, seed=0):
     return mk(), mk()
 
 
-@functools.lru_cache(maxsize=8)
-def _build_stage_probe(F, SY, nty, stage, interpret=False):
+@functools.lru_cache(maxsize=16)
+def _build_stage_probe(F, SY, nty, stage, SX=0, ntx=0, col_base=(),
+                       interpret=False):
     """Band-DMA schedule of the production u8 kernel, cut after `stage`.
 
     Every stage stores exactly one production-sized (TY, Wd) u8 tile per
     program, so write traffic matches the real kernel's ~4:1
-    read:write ratio and nothing is DCE'd.
+    read:write ratio and nothing is DCE'd.  Extra stages beyond the
+    cumulative cut-offs:
+
+      xdot   the FULL pipeline but with tmp kept as a register VALUE
+             (no (TY, W) VMEM scratch ref) and STATIC 128-aligned
+             col bases — isolates the tmp-ref round trip + dynamic
+             slicing from the x-MXU work itself
+      xpair  aligned x-pass on the VPU: the flagship x band is an exact
+             m=2 partition (ratio-2 downscale), so the x contraction is
+             an even/odd lane split (stride-2 value slices: 32-bit f32,
+             last-dim 128-multiple — inside the Mosaic strided
+             contract) + one FMA with the (2, Wd) compacted tap table.
+             No x MXU passes, no 15-way dot/store fragmentation.
     """
     from aainterp.ops.pallas_apply import _u8_unpack_bf16
 
-    def kernel(row_base_ref, src_ref, wy_ref, out_ref, src_buf, sem):
+    def kernel(row_base_ref, src_ref, wy_ref, wx_ref, out_ref, src_buf,
+               sem):
         t = pl.program_id(0)
 
         def band_dma(step, slot_i):
@@ -128,9 +142,44 @@ def _build_stage_probe(F, SY, nty, stage, interpret=False):
             return
         tmp = jnp.dot(wy_ref[0], unpacked,
                       preferred_element_type=jnp.float32)  # (TY, W)
-        out_ref[0] = jnp.clip(jnp.round(tmp[:, :Wd]), 0.0, 255.0).astype(
-            jnp.int32).astype(jnp.uint8)
+        if stage == "ydot":
+            out_ref[0] = jnp.clip(jnp.round(tmp[:, :Wd]), 0.0,
+                                  255.0).astype(jnp.int32).astype(
+                jnp.uint8)
+            return
+        if stage == "xpair":
+            # stride-2 stencil x-pass on the VPU: parity split (stride-2
+            # lane slices — 32-bit f32, 1920-lane results, inside the
+            # Mosaic strided contract) + per-(parity, offset) weight
+            # tables + lane rolls for the +-1 dst-cell offsets.
+            # wx_ref rows: [o_prev (p1,q-1), e (p0,q0), o (p1,q0),
+            # e_next (p0,q+1)]; out-of-range boundary taps carry zero
+            # weights by construction, so roll wrap-around is harmless.
+            e = tmp[:, 0::2]          # (TY, Wd) cols 0,2,4,..
+            o = tmp[:, 1::2]          # cols 1,3,5,..
+            o_prev = pltpu.roll(o, 1, axis=1)
+            e_next = pltpu.roll(e, Wd - 1, axis=1)  # roll(-1)
+            res = (o_prev * wx_ref[0] + e * wx_ref[1]
+                   + o * wx_ref[2] + e_next * wx_ref[3])
+            out_ref[0] = jnp.clip(jnp.round(res), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+            return
+        # stage == "xdot": production x-MXU passes, tmp as a VALUE with
+        # static 128-aligned col bases
+        for c in range(ntx):
+            seg = tmp[:, col_base[c]: col_base[c] + SX]
+            blk = jnp.dot(seg, wx_ref[c],
+                          preferred_element_type=jnp.float32)
+            out_ref[0, :, c * TX: (c + 1) * TX] = jnp.clip(
+                jnp.round(blk), 0.0, 255.0).astype(jnp.int32).astype(
+                jnp.uint8)
 
+    if stage == "xdot":
+        wx_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # (ntx, SX, TX)
+    elif stage == "xpair":
+        wx_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # (2, Wd)
+    else:
+        wx_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # dummy (1, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(F * nty,),
@@ -139,6 +188,7 @@ def _build_stage_probe(F, SY, nty, stage, interpret=False):
             pl.BlockSpec((1, TY, SY),
                          lambda t, *_: (jax.lax.rem(t, nty), 0, 0),
                          memory_space=pltpu.VMEM),
+            wx_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, TY, Wd),
@@ -156,15 +206,47 @@ def _build_stage_probe(F, SY, nty, stage, interpret=False):
     )
 
 
-def _stage_exp(batch, stage):
-    _, row_base, wy_perm, SY, *_ = _geometry()
+def _stage_tables(stage, interpret=False):
+    from aainterp.ops.apply import aligned_axis_plan
+    from aainterp.ops.pallas_apply import _densify_row_band
+
+    op, row_base, wy_perm, SY, col_base, wx_blocks, SX = _geometry(
+        interpret)
     nty = wy_perm.shape[0]
-    probe = _build_stage_probe(batch, SY, nty, stage)
+    if stage == "xdot":
+        return (row_base, wy_perm, SY, nty, SX, wx_blocks.shape[0],
+                tuple(int(c) for c in col_base), jnp.asarray(wx_blocks))
+    if stage == "xpair":
+        # (parity, dst-offset) weight tables from the band: tap j of dst
+        # col w hits src col xs[w]+j = 2*(w+q) + p -> weight lands in
+        # table row {(1,-1): 0, (0,0): 1, (1,0): 2, (0,1): 3}
+        xs = np.asarray(op.wx.start).astype(np.int64)
+        xw = np.asarray(op.wx.weights, np.float32)
+        tab = np.zeros((4, Wd), np.float32)
+        rowmap = {(1, -1): 0, (0, 0): 1, (1, 0): 2, (0, 1): 3}
+        for w_i in range(Wd):
+            for j in range(xw.shape[1]):
+                wt = float(xw[w_i, j])
+                if wt == 0.0:
+                    continue
+                col = int(xs[w_i]) + j
+                p, q = col % 2, col // 2 - w_i
+                assert (p, q) in rowmap, (w_i, j, col, p, q)
+                tab[rowmap[(p, q)], w_i] += wt
+        return (row_base, wy_perm, SY, nty, 0, 0, (),
+                jnp.asarray(tab))
+    return (row_base, wy_perm, SY, nty, 0, 0, (),
+            jnp.zeros((1, 8), jnp.float32))
+
+
+def _stage_exp(batch, stage):
+    row_base, wy_perm, SY, nty, SX, ntx, cb, wx = _stage_tables(stage)
+    probe = _build_stage_probe(batch, SY, nty, stage, SX, ntx, cb)
     rb = jnp.asarray(row_base)
     wy = jnp.asarray(wy_perm)
     frames, warm = _frames(8, batch)
-    dt = timed_scan(lambda f, r, w: probe(r, f, w), frames, warm,
-                    consts=(rb, wy))
+    dt = timed_scan(lambda f, r, w, x: probe(r, f, w, x), frames, warm,
+                    consts=(rb, wy, wx))
     return batch * H * W / dt / 1e9, dt / batch
 
 
@@ -192,8 +274,8 @@ def check_stages():
     probe = _build_stage_probe(1, SY, nty, "ydot", interpret=True)
     rng = np.random.default_rng(3)
     f = jnp.asarray(rng.integers(0, 256, (1, H, W), dtype=np.uint8))
-    got = np.asarray(probe(jnp.asarray(row_base), f,
-                           jnp.asarray(wy_perm)))
+    got = np.asarray(probe(jnp.asarray(row_base), f, jnp.asarray(wy_perm),
+                           jnp.zeros((1, 8), jnp.float32)))
 
     from aainterp.grids import make_grid_spec
     from aainterp.ops.weights import separable_operator
@@ -212,11 +294,33 @@ def check_stages():
     print(f"check ydot (interpret): max abs err {err.max()}")
     assert err.max() <= 1, err.max()
 
+    # xpair: the aligned even/odd x-pass must match the full u8 apply
+    from aainterp.ops.apply import apply_separable_banded
+    from aainterp.ops.pallas_apply import apply_separable_pallas
+
+    rb2, wy2, SY2, nty2, _, _, _, wx01 = _stage_tables(
+        "xpair", interpret=True)
+    probe2 = _build_stage_probe(1, SY2, nty2, "xpair", 0, 0, (),
+                                interpret=True)
+    got2 = np.asarray(probe2(jnp.asarray(rb2), f, jnp.asarray(wy2),
+                             wx01))
+    ref_full = apply_separable_banded(
+        f.astype(jnp.float32), jnp.asarray(np.asarray(op.wy.start)),
+        jnp.asarray(np.asarray(op.wy.weights, np.float32)),
+        jnp.asarray(np.asarray(op.wx.start)),
+        jnp.asarray(np.asarray(op.wx.weights, np.float32)))
+    want2 = np.clip(np.round(np.asarray(ref_full)), 0,
+                    255).astype(np.int32)
+    err2 = np.abs(got2[0, :1080].astype(np.int32) - want2)
+    print(f"check xpair (interpret): max abs err {err2.max()}")
+    assert err2.max() <= 1, err2.max()
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="all",
-                    choices=("dma", "extract", "ydot", "full", "all"))
+                    choices=("dma", "extract", "ydot", "xdot", "xpair",
+                             "full", "all"))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--check", action="store_true",
                     help="interpret-mode stage correctness (CPU)")
@@ -227,8 +331,8 @@ def main():
         check_stages()
         return
 
-    exps = (("dma", "extract", "ydot", "full") if args.exp == "all"
-            else (args.exp,))
+    exps = (("dma", "extract", "ydot", "xdot", "xpair", "full")
+            if args.exp == "all" else (args.exp,))
     for name in exps:
         if name == "full":
             g, per = exp_full(args.batch)
