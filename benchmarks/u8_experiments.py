@@ -106,7 +106,7 @@ def _build_stage_probe(F, SY, nty, stage, SX=0, ntx=0, col_base=(),
     from aainterp.ops.pallas_apply import _u8_unpack_bf16
 
     def kernel(row_base_ref, src_ref, wy_ref, wx_ref, out_ref, src_buf,
-               sem):
+               tmp_buf, sem):
         t = pl.program_id(0)
 
         def band_dma(step, slot_i):
@@ -148,19 +148,42 @@ def _build_stage_probe(F, SY, nty, stage, SX=0, ntx=0, col_base=(),
                 jnp.uint8)
             return
         if stage == "xpair":
-            # stride-2 stencil x-pass on the VPU: parity split (stride-2
-            # lane slices — 32-bit f32, 1920-lane results, inside the
-            # Mosaic strided contract) + per-(parity, offset) weight
-            # tables + lane rolls for the +-1 dst-cell offsets.
-            # wx_ref rows: [o_prev (p1,q-1), e (p0,q0), o (p1,q0),
-            # e_next (p0,q+1)]; out-of-range boundary taps carry zero
-            # weights by construction, so roll wrap-around is harmless.
-            e = tmp[:, 0::2]          # (TY, Wd) cols 0,2,4,..
-            o = tmp[:, 1::2]          # cols 1,3,5,..
+            # stride-2 stencil x-pass on the VPU: parity split via
+            # STRIDED REF LOADS (Mosaic allows strided VMEM loads for
+            # 32-bit dtypes on last-dim-128-multiple refs — value-level
+            # strided slices lower to a rejected gather) +
+            # per-(parity, offset) weight tables + lane rolls for the
+            # +-1 dst-cell offsets.  wx_ref rows: [o_prev (p1,q-1),
+            # e (p0,q0), o (p1,q0), e_next (p0,q+1)]; out-of-range
+            # boundary taps carry zero weights by construction, so roll
+            # wrap-around is harmless.
+            tmp_buf[:] = tmp
+            e = tmp_buf[:, 0::2]      # (TY, Wd) cols 0,2,4,..
+            o = tmp_buf[:, 1::2]      # cols 1,3,5,..
             o_prev = pltpu.roll(o, 1, axis=1)
             e_next = pltpu.roll(e, Wd - 1, axis=1)  # roll(-1)
             res = (o_prev * wx_ref[0] + e * wx_ref[1]
                    + o * wx_ref[2] + e_next * wx_ref[3])
+            out_ref[0] = jnp.clip(jnp.round(res), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+            return
+        if stage == "xstore":
+            # 15 fragmented (TY, TX) stores of tmp slices, NO dots —
+            # isolates store fragmentation from the MXU work
+            for c in range(ntx):
+                seg = tmp[:, col_base[c]: col_base[c] + TX]
+                out_ref[0, :, c * TX: (c + 1) * TX] = jnp.clip(
+                    jnp.round(seg), 0.0, 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+            return
+        if stage == "xdot1":
+            # the 15 x dots but ONE concatenated (TY, ntx*TX) store
+            blks = []
+            for c in range(ntx):
+                seg = tmp[:, col_base[c]: col_base[c] + SX]
+                blks.append(jnp.dot(seg, wx_ref[c],
+                                    preferred_element_type=jnp.float32))
+            res = jnp.concatenate(blks, axis=1)
             out_ref[0] = jnp.clip(jnp.round(res), 0.0, 255.0).astype(
                 jnp.int32).astype(jnp.uint8)
             return
@@ -196,6 +219,7 @@ def _build_stage_probe(F, SY, nty, stage, SX=0, ntx=0, col_base=(),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, SY, W), jnp.uint8),
+            pltpu.VMEM((TY, W), jnp.float32),   # tmp ref (xpair strides)
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -213,7 +237,7 @@ def _stage_tables(stage, interpret=False):
     op, row_base, wy_perm, SY, col_base, wx_blocks, SX = _geometry(
         interpret)
     nty = wy_perm.shape[0]
-    if stage == "xdot":
+    if stage in ("xdot", "xdot1", "xstore"):
         return (row_base, wy_perm, SY, nty, SX, wx_blocks.shape[0],
                 tuple(int(c) for c in col_base), jnp.asarray(wx_blocks))
     if stage == "xpair":
@@ -319,8 +343,8 @@ def check_stages():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="all",
-                    choices=("dma", "extract", "ydot", "xdot", "xpair",
-                             "full", "all"))
+                    choices=("dma", "extract", "ydot", "xdot", "xdot1",
+                             "xstore", "xpair", "full", "all"))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--check", action="store_true",
                     help="interpret-mode stage correctness (CPU)")
