@@ -577,3 +577,27 @@ def fold_quadrant_ell(op: EllOperator):
         weights=nw, raw_row_sums=np.ascontiguousarray(dst_perm(rrs)),
         mode=op.mode)
     return folded, post
+
+
+def ell_fold_post_inv(quadrant: int):
+    """Inverse of fold_quadrant_ell's ``post`` dst permutation, or None.
+
+    ``post`` maps the folded-orientation output to the true dst; its
+    inverse carries dst CONTANGENTS (or any true-dst array) back into
+    the folded orientation — permutations transpose to their inverses,
+    so this is also the VJP of ``post``.  Used by the sharded ELL
+    adjoints to keep the backward scatter in the un-rotated source frame
+    (no source-sized inverse rot90).
+    """
+    import jax.numpy as jnp
+
+    q = quadrant % 4
+    if q == 0:
+        return None
+    if q == 1:
+        # post: out[r, c] = t[c, Hd-1-r]  ->  inv: t[R, C] = y[Hd-1-C, R]
+        return lambda y: jnp.swapaxes(jnp.flip(y, axis=-2), -2, -1)
+    if q == 2:
+        return lambda y: jnp.flip(y, axis=(-2, -1))
+    # post: out[r, c] = t[Wd-1-c, r]  ->  inv: t[R, C] = y[C, Wd-1-R]
+    return lambda y: jnp.flip(jnp.swapaxes(y, -2, -1), axis=-2)

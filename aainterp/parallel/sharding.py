@@ -1727,7 +1727,8 @@ def sharded_apply_ell_2d(
 # ----------------------------------------------------------------------
 
 
-def _halo_reduce(xext, h: int, axis_name: str, n_dev: int):
+def _halo_reduce(xext, h: int, axis_name: str, n_dev: int,
+                 axis: int = -2):
     """Exact adjoint of ``_halo_extend``: fold halo contributions back.
 
     In the adjoint apply each chip scatters cotangent mass into its
@@ -1738,12 +1739,20 @@ def _halo_reduce(xext, h: int, axis_name: str, n_dev: int):
     chip i+k's top rows).  Edge chips' orphan slabs are provably zero
     (rebased indices never reach the pad — see _halo_extend) and are
     dropped by the ppermute permutation, matching the forward's zero
-    fill.
+    fill.  ``axis`` selects the reduced image axis (-2 rows, -1 cols —
+    the 2-D-mesh adjoint reduces both, in reverse forward order).
     """
     if h == 0:
         return xext
-    sb = xext.shape[-2] - 2 * h
-    core = xext[..., h:h + sb, :]
+    ax = axis % xext.ndim
+
+    def sl(arr, lo, hi):
+        idx = [slice(None)] * arr.ndim
+        idx[ax] = slice(lo, hi)
+        return tuple(idx)
+
+    sb = xext.shape[ax] - 2 * h
+    core = xext[sl(xext, h, h + sb)]
     hops = -(-h // sb)
     for k in range(1, hops + 1):
         hk = min(sb, h - (k - 1) * sb)
@@ -1751,15 +1760,15 @@ def _halo_reduce(xext, h: int, axis_name: str, n_dev: int):
         # [h - (k-1)*sb - hk, h - (k-1)*sb)
         lo = h - (k - 1) * sb - hk
         recv = jax.lax.ppermute(
-            xext[..., lo:lo + hk, :], axis_name,
+            xext[sl(xext, lo, lo + hk)], axis_name,
             [(j, j - k) for j in range(k, n_dev)])
-        core = core.at[..., sb - hk:, :].add(recv)
+        core = core.at[sl(core, sb - hk, sb)].add(recv)
         # next region: hop-k slab at [h + sb + (k-1)*sb, ... + hk)
         nlo = h + sb + (k - 1) * sb
         recv = jax.lax.ppermute(
-            xext[..., nlo:nlo + hk, :], axis_name,
+            xext[sl(xext, nlo, nlo + hk)], axis_name,
             [(j, j + k) for j in range(n_dev - k)])
-        core = core.at[..., :hk, :].add(recv)
+        core = core.at[sl(core, 0, hk)].add(recv)
     return core
 
 
@@ -1928,6 +1937,125 @@ def make_sharded_separable_linear(
             g, op, mesh, data_axis=data_axis, row_axis=row_axis,
             impl=impl, interpret=interpret)
         return (sbar.astype(dt.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def sharded_apply_ell_2d_transpose(
+    cot: jax.Array,
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    base: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """2-D-mesh adjoint of the rotated apply: (B, Hd, Wd) -> (B, H, W).
+
+    Each chip scatters its local cotangent block into its halo-extended
+    source block (apply_ell_transpose with the forward's rebased window
+    bases), then ``_halo_reduce`` folds the halo contributions back
+    over BOTH ring axes — columns first, then rows (the exact reverse
+    of the forward's extend order, hop for hop).
+
+    quadrant != 0 folds like the forward (fold_quadrant_ell): the dst
+    cotangent pays the small inverse permutation (ell_fold_post_inv)
+    and the folded scatter lands directly in the original source
+    orientation — no source-sized inverse rot90; the global-rot90 route
+    is the indivisible fallback.
+    """
+    n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    unfold_after = False
+    if op.spec.quadrant != 0:
+        folded = (weights_ops.fold_quadrant_ell(op)
+                  if base is None and weights is None else None)
+        ok = False
+        if folded is not None:
+            fop = folded[0]
+            ok = (fop.spec.dst_shape[0] % n_r == 0
+                  and fop.spec.qrot_shape[0] % n_r == 0
+                  and fop.spec.dst_shape[1] % n_c == 0
+                  and fop.spec.qrot_shape[1] % n_c == 0)
+        if ok:
+            cot = weights_ops.ell_fold_post_inv(op.spec.quadrant)(cot)
+            from jax.sharding import NamedSharding
+
+            batch0 = (P(data_axis),) if data_axis else (P(),)
+            cot = jax.lax.with_sharding_constraint(
+                cot, NamedSharding(
+                    mesh, P(*(batch0[0] + (row_axis, col_axis)))))
+            op = folded[0]
+        else:
+            unfold_after = True
+    halo_y, halo_x, db_r, sb_r, db_c, sb_c = _ell_halo_2d(op, n_r, n_c)
+    qW = op.spec.qrot_shape[1]
+
+    base = jnp.asarray(op.base) if base is None else base
+    w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
+         else weights)
+
+    batch = (P(data_axis),) if data_axis else (P(),)
+    img2d = P(*(batch[0] + (row_axis, col_axis)))
+
+    def local_fn(g_blk, base_blk, w_blk):
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        rebased = (base_blk.at[..., 0].add(-(i * sb_r - halo_y))
+                   .at[..., 1].add(-(j * sb_c - halo_x)))
+        qext = apply_ops.apply_ell_transpose(
+            g_blk, rebased, w_blk,
+            (sb_r + 2 * halo_y, sb_c + 2 * halo_x))
+        red = _halo_reduce(qext, halo_x, col_axis, n_c, axis=-1)
+        return _halo_reduce(red, halo_y, row_axis, n_r, axis=-2)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(img2d, P(row_axis, col_axis, None),
+                  P(row_axis, col_axis, None, None)),
+        out_specs=img2d,
+        check_rep=False,
+    )
+    qbar = fn(cot, base, w)
+    if unfold_after:
+        qbar = apply_ops.quadrant_rotate(qbar, -op.spec.quadrant)
+    return qbar
+
+
+def make_sharded_ell_2d_linear(
+    op: weights_ops.EllOperator,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """custom-vjp'd 2-D-mesh rotated apply f(frames, base, weights) —
+    the (rows x cols) form of make_sharded_ell_linear (same argument
+    contract: base/weights ride as arguments, never closures)."""
+
+    @jax.custom_vjp
+    def f(frames, base, w):
+        return sharded_apply_ell_2d(
+            frames, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            col_axis=col_axis, base=base, weights=w, impl=impl,
+            interpret=interpret)
+
+    def fwd(frames, base, w):
+        return f(frames, base, w), (jnp.zeros((0,), frames.dtype), base, w)
+
+    def bwd(res, g):
+        dt, base, w = res
+        sbar = sharded_apply_ell_2d_transpose(
+            g, op, mesh, data_axis=data_axis, row_axis=row_axis,
+            col_axis=col_axis, base=base, weights=w)
+        zb = np.zeros(base.shape, jax.dtypes.float0)
+        return (sbar.astype(dt.dtype), zb, jnp.zeros_like(w))
 
     f.defvjp(fwd, bwd)
     return f
