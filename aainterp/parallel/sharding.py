@@ -1860,8 +1860,28 @@ def sharded_apply_ell_transpose(
     window bases as the forward), then ``_halo_reduce`` returns the halo
     contributions to their owning chips over the ring — the exact
     transpose of the forward's gather exchange, hop for hop.
+
+    quadrant != 0 folds like the forward (fold_quadrant_ell): the dst
+    cotangent pays the small inverse permutation (ell_fold_post_inv)
+    and the folded scatter lands directly in the original source
+    orientation — no source-sized inverse rot90; global rot90 is the
+    indivisible / explicit-tables fallback.
     """
     n_dev = mesh.shape[row_axis]
+    unfold_after = False
+    if op.spec.quadrant != 0:
+        folded = (weights_ops.fold_quadrant_ell(op)
+                  if base is None and weights is None else None)
+        ok = False
+        if folded is not None:
+            fop = folded[0]
+            ok = (fop.spec.dst_shape[0] % n_dev == 0
+                  and fop.spec.qrot_shape[0] % n_dev == 0)
+        if ok:
+            cot = weights_ops.ell_fold_post_inv(op.spec.quadrant)(cot)
+            op = folded[0]
+        else:
+            unfold_after = True
     qH, qW = op.spec.qrot_shape
     Hd, Wd = op.spec.dst_shape
     K = op.window
@@ -1901,7 +1921,7 @@ def sharded_apply_ell_transpose(
         check_rep=False,
     )
     qbar = fn(cot, base, w)
-    if op.spec.quadrant:
+    if unfold_after:
         qbar = apply_ops.quadrant_rotate(qbar, -op.spec.quadrant)
     return qbar
 

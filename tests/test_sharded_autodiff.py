@@ -191,3 +191,28 @@ def test_sharded_grad_folded_quadrant(angle):
     g_ref = jax.grad(loss_ref)(jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("angle", (121.5, 211.5, 301.5))
+def test_sharded_ell_transpose_quadrant_folded(angle):
+    """quadrant != 0 ELL adjoint: the dst cotangent pays the small
+    inverse permutation (ell_fold_post_inv) and the scatter lands in the
+    original source orientation — no source-sized inverse rot90."""
+    spec = aa.make_grid_spec((128, 96), 1.0, 0.5, (48.0, 64.0), angle)
+    assert spec.quadrant in (1, 2, 3)
+    op = ell_operator(spec, mode="exact")
+    from aainterp.ops.weights import fold_quadrant_ell
+
+    fop = fold_quadrant_ell(op)[0]
+    assert fop.spec.dst_shape[0] % 4 == 0
+    assert fop.spec.qrot_shape[0] % 4 == 0
+    mesh = _mesh(2, 4)
+    cot = RNG.uniform(-1, 1, (2,) + op.spec.dst_shape).astype(np.float32)
+    # the TRUE dst rows (e.g. 74) may not divide the mesh — that's the
+    # point of the fold; the inverse permutation re-orients to the
+    # folded (divisible) layout, so the cotangent arrives unsharded here
+    out = jax.jit(lambda g: sharded_apply_ell_transpose(
+        g, op, mesh))(jnp.asarray(cot))
+    ref = autodiff.apply_operator_transpose(op, jnp.asarray(cot))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, err_msg=str(angle))
