@@ -91,6 +91,32 @@ def main():
           f"psum flux dst/src = {fd:.2f}/{fs:.2f} "
           f"(rel diff {abs(fd - fs) / abs(fs):.1e})")
 
+    # 4. 2-D (rows x cols) mesh: BOTH image axes sharded — the scaling
+    #    form for frames too large for a 1-D strip split.  The rotated
+    #    (ELL) apply runs the per-chip three-kernel Pallas shear path
+    #    (interpret on CPU) with a ring halo per axis; quadrant >= 90
+    #    deg folds into the tables (no source-sized all-to-all).
+    from aainterp.parallel.sharding import sharded_apply_ell_2d
+
+    mesh3 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                 ("data", "rows", "cols"))
+    H3, W3 = 128, 96
+    spec3 = aa.make_grid_spec((H3, W3), 1.0, 0.5, (48.0, 64.0), 121.5)
+    op3 = ell_operator(spec3, mode="exact")
+    img3 = rng.uniform(0, 1, (2, H3, W3)).astype(np.float32)
+    idev3 = jax.device_put(
+        jnp.asarray(img3),
+        NamedSharding(mesh3, P("data", "rows", "cols")))
+    out3, flux3 = jax.jit(lambda f: sharded_apply_ell_2d(
+        f, op3, mesh3, impl="pallas", interpret=True,
+        conserve=True))(idev3)
+    ref3 = aa.apply_operator(op3, jnp.asarray(img3))
+    fd3, fs3 = np.asarray(flux3)
+    print(f"rotated 121.5deg on a 2x2 spatial mesh (quadrant folded): "
+          f"{img3.shape} -> {out3.shape}, max err "
+          f"{float(jnp.abs(out3 - ref3).max()):.2e}, "
+          f"flux rel diff {abs(fd3 - fs3) / abs(fs3):.1e}")
+
 
 if __name__ == "__main__":
     main()
