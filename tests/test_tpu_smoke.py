@@ -257,6 +257,32 @@ print('sharded ELL pallas TPU smoke OK', out.shape)
 """)
 
 
+def test_sharded_ell_2d_pallas_on_tpu():
+    """2-D-mesh rotated apply (round 4): the per-chip three-kernel shear
+    path from build_sharded_kernel_plan_2d compiles and matches on the
+    real chip (1x1x1 mesh; two-axis collectives + quadrant folding are
+    exercised on the virtual CPU mesh in tests/test_sharded_ell_2d.py)."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import aainterp as aa
+from aainterp.ops.weights import ell_operator
+from aainterp.parallel.sharding import sharded_apply_ell_2d
+
+spec = aa.make_grid_spec((256, 256), 1.0, 0.5, (128.0, 128.0), 30.0)
+op = ell_operator(spec, mode='exact')
+x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 256, 256)),
+                dtype=jnp.float32)
+mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+            ("data", "rows", "cols"))
+out = jax.jit(lambda f: sharded_apply_ell_2d(
+    f, op, mesh, impl="pallas"))(x)
+ref = aa.apply_operator(op, x, impl='xla')
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+print('sharded 2-D ELL pallas TPU smoke OK', out.shape)
+""")
+
+
 def test_custom_vjp_pallas_on_tpu():
     """Gradient through the real Pallas separable kernel (custom VJP):
     forward AND transposed-band backward both compile under Mosaic and
