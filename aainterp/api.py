@@ -301,24 +301,15 @@ def apply_operator(
     raise TypeError(f"unknown operator type {type(op)!r}")
 
 
-# folded quadrant ELL operators (fold copies the (Hd, Wd, K, K) table —
-# hundreds of MB at 2048^2 — so keep few and reuse by content)
-_ELL_FOLD_CACHE = LruDict(4)
+# folded quadrant ELL operators: cached in ops.weights._FOLD_CACHE
+# (shared with the sharded applies' fold call sites)
 
 
 def _folded_ell_for(op):
-    """(folded_op, post) for a quadrant != 0 EllOperator, LRU-cached by
-    table content (weights.fold_quadrant_ell)."""
-    # quadrant and qrot_shape are part of the identity: at exact 90-deg
-    # multiples the in-quadrant tables are IDENTICAL across quadrants
-    # (zero residual rotation), so content alone collides
-    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
-           op.spec.quadrant, op.spec.qrot_shape)
-    hit = _ELL_FOLD_CACHE.get(key)
-    if hit is None:
-        hit = weights_ops.fold_quadrant_ell(op)
-        _ELL_FOLD_CACHE.put(key, hit)
-    return hit
+    """(folded_op, post) for a quadrant != 0 EllOperator — delegates to
+    the content-keyed LRU shared by every fold call site
+    (weights.fold_quadrant_ell_cached)."""
+    return weights_ops.fold_quadrant_ell_cached(op)
 
 
 # bounded: stencil closures are small, shear tables can be hundreds of

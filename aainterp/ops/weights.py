@@ -34,6 +34,11 @@ import numpy as np
 from ..grids import DBL_EPSILON, GridSpec
 from . import overlap1d
 from .clipper import quad_rect_overlap_area, quad_vertices
+from ..utils.lru import LruDict
+
+# folded quadrant ELL operators (fold copies the big weight table; see
+# fold_quadrant_ell_cached)
+_FOLD_CACHE = LruDict(4)
 
 
 # ----------------------------------------------------------------------
@@ -579,6 +584,23 @@ def fold_quadrant_ell(op: EllOperator):
     return folded, post
 
 
+def fold_quadrant_ell_cached(op: EllOperator):
+    """LRU-cached fold_quadrant_ell (ADVICE-class finding, round 4).
+
+    The fold copies the (Hd, Wd, K, K) table — hundreds of MB at
+    2048^2 — and several sharded-apply call sites fold per trace;
+    content-keyed reuse makes repeat traces free.  quadrant/qrot_shape
+    are part of the key: at exact 90-deg multiples different quadrants
+    share identical tables (zero residual rotation)."""
+    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+           op.spec.quadrant, op.spec.qrot_shape)
+    hit = _FOLD_CACHE.get(key)
+    if hit is None:
+        hit = fold_quadrant_ell(op)
+        _FOLD_CACHE.put(key, hit)
+    return hit
+
+
 def ell_fold_post_inv(quadrant: int):
     """Inverse of fold_quadrant_ell's ``post`` dst permutation, or None.
 
@@ -601,3 +623,39 @@ def ell_fold_post_inv(quadrant: int):
         return lambda y: jnp.flip(y, axis=(-2, -1))
     # post: out[r, c] = t[Wd-1-c, r]  ->  inv: t[R, C] = y[C, Wd-1-R]
     return lambda y: jnp.flip(jnp.swapaxes(y, -2, -1), axis=-2)
+
+
+def fold_tables_device(base, w, quadrant: int, qH: int, qW: int):
+    """Device-side fold of explicit ELL table ARGUMENTS.
+
+    The sharded applies accept base/weights as traced jit arguments (so
+    production tables are never HLO closure constants); when the
+    quadrant fold applies, those argument tables must be folded too —
+    this mirrors fold_quadrant_ell's index algebra with jnp ops (flips /
+    transposes, fused by XLA; one table-sized pass per call).  Returns
+    (folded_base, folded_weights) matching fold_quadrant_ell(op) applied
+    to the host tables bit-for-bit (weights are permuted, never
+    recomputed).  ``qH, qW`` are the UNFOLDED op's qrot_shape.
+    """
+    import jax.numpy as jnp
+
+    q = quadrant % 4
+    if q == 0:
+        return base, w
+    K = w.shape[-1]
+    by, bx = base[..., 0], base[..., 1]
+    H, W = (qW, qH) if q in (1, 3) else (qH, qW)
+    if q == 1:
+        nb_y, nb_x = H - K - bx, by
+        nw = jnp.swapaxes(w[..., :, ::-1], -1, -2)
+        dst_perm = (lambda x: jnp.swapaxes(x[::-1], 0, 1))
+    elif q == 2:
+        nb_y, nb_x = H - K - by, W - K - bx
+        nw = w[..., ::-1, ::-1]
+        dst_perm = (lambda x: x[::-1, ::-1])
+    else:
+        nb_y, nb_x = bx, W - K - by
+        nw = jnp.swapaxes(w[..., ::-1, :], -1, -2)
+        dst_perm = (lambda x: jnp.swapaxes(x[:, ::-1], 0, 1))
+    nb = jnp.stack([dst_perm(nb_y), dst_perm(nb_x)], axis=-1)
+    return nb.astype(base.dtype), dst_perm(nw)

@@ -42,6 +42,23 @@ from ..ops import overlap1d
 from ..ops import weights as weights_ops
 
 
+
+def _hint_sharding(out, mesh, spec):
+    """with_sharding_constraint as a layout HINT that is safe everywhere.
+
+    Under jit the constraint keeps the documented sharded layout
+    (uneven dims included); eagerly it RESHARDS and raises on dims that
+    don't divide their mesh axis — exactly the folded true-dst case
+    whose indivisibility is the fold's added reach (ADVICE r4) — so
+    eager calls simply skip the hint (values are already correct;
+    layout hints are meaningless to materialised arrays)."""
+    if not isinstance(out, jax.core.Tracer):
+        return out
+    from jax.sharding import NamedSharding
+
+    return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))
+
+
 def _folded_sharded_bands(op: weights_ops.SeparableOperator, n_dev: int):
     """Quadrant folding under row sharding, or None (use the rot90 path).
 
@@ -472,6 +489,10 @@ def sharded_apply_separable(
         fold = dict(y=op.wy, x=op.wx, post=None, post_inv=None,
                     measures=op.raw_row_sums)
     y_use, x_use, post = fold["y"], fold["x"], fold["post"]
+    if impl not in ("auto", "pallas", "banded"):
+        raise ValueError(
+            f"unknown impl {impl!r} for the sharded separable apply; "
+            "expected 'auto', 'pallas', or 'banded'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -506,16 +527,14 @@ def sharded_apply_separable(
                                       data_axis=data_axis,
                                       row_axis=row_axis)
     if post is not None:
-        from jax.sharding import NamedSharding
-
         out = post(out)
         # restore the documented row-sharded layout on the dst array (a
         # dst-sized collective — the whole point of the folding is that
         # the SOURCE never pays one)
         batch = (P(data_axis),) if data_axis else (P(),)
         spec = P(*(batch[0] + (row_axis, None)))
-        out = jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, spec))
+        out = _hint_sharding(
+            out, mesh, spec)
     if not conserve:
         return out
     return out, flux
@@ -929,6 +948,10 @@ def sharded_apply_separable_2d(
         fold = dict(y=op.wy, x=op.wx, post=None, post_inv=None,
                     measures=op.raw_row_sums)
     y_band, x_band, post = fold["y"], fold["x"], fold["post"]
+    if impl not in ("auto", "pallas", "banded"):
+        raise ValueError(
+            f"unknown impl {impl!r} for the sharded separable apply; "
+            "expected 'auto', 'pallas', or 'banded'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -958,15 +981,13 @@ def sharded_apply_separable_2d(
             frames, out, factors, mesh, data_axis=data_axis,
             row_axis=row_axis, col_axis=col_axis)
     if post is not None:
-        from jax.sharding import NamedSharding
-
         out = post(out)
         # restore the documented (data, rows, cols) layout on the dst
         # array (a dst-sized collective — the whole point of the fold)
         batch = (P(data_axis),) if data_axis else (P(),)
         spec = P(*(batch[0] + (row_axis, col_axis)))
-        out = jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, spec))
+        out = _hint_sharding(
+            out, mesh, spec)
     if not conserve:
         return out
     return out, flux
@@ -1018,6 +1039,10 @@ def sharded_apply_separable_2d_transpose(
             t_y, t_x = tx, flip(rr(ty))
         if fold["post_inv"] is not None:
             cot = fold["post_inv"](cot)
+    if impl not in ("auto", "pallas", "banded"):
+        raise ValueError(
+            f"unknown impl {impl!r} for the sharded separable apply; "
+            "expected 'auto', 'pallas', or 'banded'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -1115,7 +1140,7 @@ def make_sharded_ell_pallas(
     post = None
     kp = None
     if quadrant != 0:
-        folded = weights_ops.fold_quadrant_ell(op)
+        folded = weights_ops.fold_quadrant_ell_cached(op)
         if folded is not None:
             try:
                 kp = build_sharded_kernel_plan(folded[0], n_dev)
@@ -1204,14 +1229,12 @@ def make_sharded_ell_pallas(
         out = smapped(frames, hx_loc, base_h, r0_loc, masks, rsel, w2t,
                       gy_col, base_v, c0, csel)
         if post is not None:
-            from jax.sharding import NamedSharding
-
             # dst-sized flip/transpose reshard replacing the source-sized
             # rot90 all-to-all (see fold_quadrant_ell); restore the
             # documented row-sharded layout on the permuted dst
             out = post(out)
-            out = jax.lax.with_sharding_constraint(
-                out, NamedSharding(mesh, row_only))
+            out = _hint_sharding(
+                out, mesh, row_only)
         return out
 
     return fn, arrays
@@ -1281,6 +1304,12 @@ def sharded_apply_ell(
     qH, qW = op.spec.qrot_shape
     Hd, Wd = op.spec.dst_shape
 
+    if impl not in ("auto", "pallas", "xla"):
+        # a typo'd impl must not silently run the flat-gather local
+        # apply (same contract as api.apply_operator, ADVICE r3/r4)
+        raise ValueError(
+            f"unknown impl {impl!r} for the sharded ELL apply; expected "
+            "'auto', 'pallas', or 'xla'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -1301,7 +1330,7 @@ def sharded_apply_ell(
 
         flux = None
         if op.spec.quadrant:
-            folded = weights_ops.fold_quadrant_ell(op)
+            folded = weights_ops.fold_quadrant_ell_cached(op)
             if folded is not None:
                 # cov from the FOLDED table pairs with the UN-rotated
                 # source; m2 pairs with the true dst (global sums are
@@ -1330,22 +1359,26 @@ def sharded_apply_ell(
     if op.spec.quadrant != 0:
         # fold the rot90 into the ELL table (weights.fold_quadrant_ell):
         # the source stays sharded un-rotated and only the small dst pays
-        # a flip/transpose reshard.  Folding rewrites the tables, so it's
-        # unavailable when the caller passed explicit base/weights device
-        # overrides (pass a pre-folded operator instead); the global
-        # rot90 (source-sized all-to-all) remains the fallback.
-        folded = (weights_ops.fold_quadrant_ell(op)
-                  if base is None and weights is None else None)
-        if folded is not None:
-            Hdf = folded[0].spec.dst_shape[0]
-            qHf = folded[0].spec.qrot_shape[0]
-            if Hdf % n_dev == 0 and qHf % n_dev == 0:
-                op, post = folded
-                qH, qW = op.spec.qrot_shape
-                Hd, Wd = op.spec.dst_shape
-            else:
-                folded = None
-        if folded is None:
+        # a flip/transpose reshard.  Explicit base/weights device
+        # overrides fold ON DEVICE (weights.fold_tables_device — the
+        # same index algebra as jnp flips/transposes on the argument
+        # tables), so the explicit-tables contract and the fold compose;
+        # the global rot90 (source-sized all-to-all) remains the
+        # indivisible fallback.
+        folded = weights_ops.fold_quadrant_ell_cached(op)
+        Hdf = folded[0].spec.dst_shape[0]
+        qHf = folded[0].spec.qrot_shape[0]
+        if Hdf % n_dev == 0 and qHf % n_dev == 0:
+            if base is not None or weights is not None:
+                b_use = jnp.asarray(op.base) if base is None else base
+                w_use = (jnp.asarray(op.weights, jnp.float32)
+                         if weights is None else weights)
+                base, weights = weights_ops.fold_tables_device(
+                    b_use, w_use, op.spec.quadrant, qH, qW)
+            op, post = folded
+            qH, qW = op.spec.qrot_shape
+            Hd, Wd = op.spec.dst_shape
+        else:
             frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
     K = op.window
     if Hd % n_dev or qH % n_dev:
@@ -1384,10 +1417,8 @@ def sharded_apply_ell(
     out = fn(frames, base, w)
     final = out
     if post is not None:
-        from jax.sharding import NamedSharding
-
-        final = jax.lax.with_sharding_constraint(
-            post(out), NamedSharding(mesh, row_only))
+        final = _hint_sharding(
+            post(out), mesh, row_only)
     if not conserve:
         return final
     from .conserve import ell_flux_factors, sharded_flux_ell
@@ -1438,7 +1469,7 @@ def make_sharded_ell_pallas_2d(
     post = None
     kp = None
     if quadrant != 0:
-        folded = weights_ops.fold_quadrant_ell(op)
+        folded = weights_ops.fold_quadrant_ell_cached(op)
         if folded is not None:
             try:
                 kp = build_sharded_kernel_plan_2d(folded[0], n_r, n_c)
@@ -1531,11 +1562,9 @@ def make_sharded_ell_pallas_2d(
         out = smapped(frames, gy_loc, base_v, hx_loc, base_h, r0_loc,
                       c0_loc, masks, rsel, csel, w2t)
         if post is not None:
-            from jax.sharding import NamedSharding
-
             out = post(out)
-            out = jax.lax.with_sharding_constraint(
-                out, NamedSharding(mesh, img2d))
+            out = _hint_sharding(
+                out, mesh, img2d)
         return out
 
     return fn, arrays
@@ -1623,6 +1652,10 @@ def sharded_apply_ell_2d(
     skipped when they're given (pass a pre-folded operator instead).
     """
     n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            f"unknown impl {impl!r} for the 2-D sharded ELL apply; "
+            "expected 'auto', 'pallas', or 'xla'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -1643,7 +1676,7 @@ def sharded_apply_ell_2d(
             from .conserve import ell_flux_factors, sharded_flux_ell_2d
 
             if op.spec.quadrant:
-                folded = weights_ops.fold_quadrant_ell(op)
+                folded = weights_ops.fold_quadrant_ell_cached(op)
                 # permutation-invariant global sums: folded cov pairs
                 # with the un-rotated frames, true m2 with the true dst
                 # (see sharded_apply_ell; plain sums need no divisibility)
@@ -1663,16 +1696,21 @@ def sharded_apply_ell_2d(
 
     post = None
     if op.spec.quadrant != 0:
-        folded = (weights_ops.fold_quadrant_ell(op)
-                  if base is None and weights is None else None)
-        ok = False
-        if folded is not None:
-            fop = folded[0]
-            ok = (fop.spec.dst_shape[0] % n_r == 0
-                  and fop.spec.qrot_shape[0] % n_r == 0
-                  and fop.spec.dst_shape[1] % n_c == 0
-                  and fop.spec.qrot_shape[1] % n_c == 0)
+        folded = weights_ops.fold_quadrant_ell_cached(op)
+        fop = folded[0]
+        ok = (fop.spec.dst_shape[0] % n_r == 0
+              and fop.spec.qrot_shape[0] % n_r == 0
+              and fop.spec.dst_shape[1] % n_c == 0
+              and fop.spec.qrot_shape[1] % n_c == 0)
         if ok:
+            if base is not None or weights is not None:
+                # explicit argument tables fold on device (same algebra)
+                qH0, qW0 = op.spec.qrot_shape
+                b_use = jnp.asarray(op.base) if base is None else base
+                w_use = (jnp.asarray(op.weights, jnp.float32)
+                         if weights is None else weights)
+                base, weights = weights_ops.fold_tables_device(
+                    b_use, w_use, op.spec.quadrant, qH0, qW0)
             op, post = folded
         else:
             frames = apply_ops.quadrant_rotate(frames, op.spec.quadrant)
@@ -1705,10 +1743,8 @@ def sharded_apply_ell_2d(
     out = fn(frames, base, w)
     final = out
     if post is not None:
-        from jax.sharding import NamedSharding
-
-        final = jax.lax.with_sharding_constraint(
-            post(out), NamedSharding(mesh, img2d))
+        final = _hint_sharding(
+            post(out), mesh, img2d)
     if not conserve:
         return final
     from .conserve import ell_flux_factors, sharded_flux_ell_2d
@@ -1822,6 +1858,10 @@ def sharded_apply_separable_transpose(
             t_y, t_x = tx, rr(ty)
         if fold["post_inv"] is not None:
             cot = fold["post_inv"](cot)
+    if impl not in ("auto", "pallas", "banded"):
+        raise ValueError(
+            f"unknown impl {impl!r} for the sharded separable apply; "
+            "expected 'auto', 'pallas', or 'banded'")
     forced = impl != "auto"
     if impl == "auto":
         impl = ("pallas" if jax.devices()[0].platform == "tpu" or interpret
@@ -1870,16 +1910,21 @@ def sharded_apply_ell_transpose(
     n_dev = mesh.shape[row_axis]
     unfold_after = False
     if op.spec.quadrant != 0:
-        folded = (weights_ops.fold_quadrant_ell(op)
-                  if base is None and weights is None else None)
-        ok = False
-        if folded is not None:
-            fop = folded[0]
-            ok = (fop.spec.dst_shape[0] % n_dev == 0
-                  and fop.spec.qrot_shape[0] % n_dev == 0)
+        folded = weights_ops.fold_quadrant_ell_cached(op)
+        fop = folded[0]
+        ok = (fop.spec.dst_shape[0] % n_dev == 0
+              and fop.spec.qrot_shape[0] % n_dev == 0)
         if ok:
             cot = weights_ops.ell_fold_post_inv(op.spec.quadrant)(cot)
-            op = folded[0]
+            if base is not None or weights is not None:
+                # explicit argument tables fold on device (same algebra)
+                qH0, qW0 = op.spec.qrot_shape
+                b_use = jnp.asarray(op.base) if base is None else base
+                w_use = (jnp.asarray(op.weights, jnp.float32)
+                         if weights is None else weights)
+                base, weights = weights_ops.fold_tables_device(
+                    b_use, w_use, op.spec.quadrant, qH0, qW0)
+            op = fop
         else:
             unfold_after = True
     qH, qW = op.spec.qrot_shape
@@ -1990,24 +2035,26 @@ def sharded_apply_ell_2d_transpose(
     n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
     unfold_after = False
     if op.spec.quadrant != 0:
-        folded = (weights_ops.fold_quadrant_ell(op)
-                  if base is None and weights is None else None)
-        ok = False
-        if folded is not None:
-            fop = folded[0]
-            ok = (fop.spec.dst_shape[0] % n_r == 0
-                  and fop.spec.qrot_shape[0] % n_r == 0
-                  and fop.spec.dst_shape[1] % n_c == 0
-                  and fop.spec.qrot_shape[1] % n_c == 0)
+        folded = weights_ops.fold_quadrant_ell_cached(op)
+        fop = folded[0]
+        ok = (fop.spec.dst_shape[0] % n_r == 0
+              and fop.spec.qrot_shape[0] % n_r == 0
+              and fop.spec.dst_shape[1] % n_c == 0
+              and fop.spec.qrot_shape[1] % n_c == 0)
         if ok:
             cot = weights_ops.ell_fold_post_inv(op.spec.quadrant)(cot)
-            from jax.sharding import NamedSharding
-
             batch0 = (P(data_axis),) if data_axis else (P(),)
-            cot = jax.lax.with_sharding_constraint(
-                cot, NamedSharding(
-                    mesh, P(*(batch0[0] + (row_axis, col_axis)))))
-            op = folded[0]
+            cot = _hint_sharding(
+                cot, mesh, P(*(batch0[0] + (row_axis, col_axis))))
+            if base is not None or weights is not None:
+                # explicit argument tables fold on device (same algebra)
+                qH0, qW0 = op.spec.qrot_shape
+                b_use = jnp.asarray(op.base) if base is None else base
+                w_use = (jnp.asarray(op.weights, jnp.float32)
+                         if weights is None else weights)
+                base, weights = weights_ops.fold_tables_device(
+                    b_use, w_use, op.spec.quadrant, qH0, qW0)
+            op = fop
         else:
             unfold_after = True
     halo_y, halo_x, db_r, sb_r, db_c, sb_c = _ell_halo_2d(op, n_r, n_c)

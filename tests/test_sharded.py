@@ -732,10 +732,10 @@ class TestEllQuadrantFolding:
             fd, fs = np.asarray(flux, dtype=np.float32)
             assert abs(fd - fs) <= 1e-4 * abs(fs), (kw, fd, fs)
 
-    def test_no_source_sized_all_to_all_in_hlo(self, monkeypatch):
+    def test_no_source_sized_all_to_all_in_hlo(self):
         """The VERDICT r3 done-criterion: the compiled folded HLO moves
-        at most dst-sized payloads through all-to-all; forcing the old
-        rot90 route moves a source-sized payload through a collective."""
+        at most dst-sized payloads through all-to-all (the source-sized
+        rot90 collective is gone)."""
         import re
 
         from aainterp.ops import weights as weights_ops
@@ -763,19 +763,13 @@ class TestEllQuadrantFolding:
                     sizes.append(els)
             return sizes
 
+        # teeth built into the geometry: the UNFOLDED route cannot even
+        # run here (true dst 74 rows don't divide 4 shards — the fold
+        # ADDED the capability), so a successful compile proves the
+        # folded path ran; the all-to-all bound then pins its contract
+        assert Hd % 4 != 0
         hlo = jax.jit(lambda f: sharded_apply_ell(
             f, op, mesh, impl="xla")).lower(fdev).compile().as_text()
-        per_chip_src = (B // 2) * (H // 4) * W
         per_chip_dst = -(-B // 2) * -(-Hd // 4) * Wd
         a2a = coll_sizes(hlo, "all-to-all")
         assert all(s <= per_chip_dst for s in a2a), (a2a, per_chip_dst)
-
-        # teeth: at this geometry the unfolded route cannot even run
-        # (dst 74 rows don't divide 4 shards) — the fold ADDED the
-        # capability; at a both-divisible geometry the unfolded route
-        # moves a source-sized payload through its collectives
-        monkeypatch.setattr(weights_ops, "fold_quadrant_ell",
-                            lambda op: None)
-        with pytest.raises(ValueError, match="divisible"):
-            jax.jit(lambda f: sharded_apply_ell(
-                f, op, mesh, impl="xla")).lower(fdev)

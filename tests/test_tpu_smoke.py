@@ -228,7 +228,21 @@ out = jax.jit(lambda f: sharded_apply_separable_2d(
     f, op, mesh, impl="pallas"))(x)
 ref = aa.apply_operator(op, x, impl="xla")
 np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-print('sharded 2-D pallas TPU smoke OK', out.shape)
+
+# u8 serving contract on the 2-D mesh: the 32-aligned u8 band plan +
+# backend-probed bitcast pack order must hold under real Mosaic too
+# (interpret-vs-Mosaic divergence is this repo's round-1 failure mode)
+spec8 = aa.make_grid_spec((256, 512), 2.0, 1.0, (0.0, 0.0), 0.0)
+op8 = separable_operator(spec8)
+u8 = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 256, 512),
+                 dtype=np.uint8))
+gu = jax.jit(lambda f: sharded_apply_separable_2d(
+    f, op8, mesh, impl="pallas"))(u8)
+assert gu.dtype == jnp.uint8
+ru = aa.apply_operator(op8, u8.astype(jnp.float32), impl="xla")
+wu = np.clip(np.round(np.asarray(ru)), 0, 255).astype(np.int32)
+assert np.abs(np.asarray(gu).astype(np.int32) - wu).max() <= 2
+print('sharded 2-D pallas TPU smoke OK', out.shape, gu.dtype)
 """)
 
 
