@@ -43,6 +43,21 @@ from ..ops import weights as weights_ops
 
 
 
+
+def _ell_axis_halo(base_axis, K: int, db: int, sb: int, n_dev: int) -> int:
+    """Max overhang of any dst block's K-window bases past its own source
+    block along one sharded axis (pass ``op.base[..., 0]`` for rows or
+    ``op.base[..., 1].T`` for columns — slicing rows of the transpose
+    slices dst columns).  Shared by the 1-D/2-D ELL applies and
+    adjoints so halo semantics can never drift between routes."""
+    halo = 0
+    for i in range(n_dev):
+        blk = base_axis[i * db: (i + 1) * db]
+        halo = max(halo, i * sb - int(blk.min()),
+                   int(blk.max()) + K - (i + 1) * sb)
+    return max(halo, 0)
+
+
 def _hint_sharding(out, mesh, spec):
     """with_sharding_constraint as a layout HINT that is safe everywhere.
 
@@ -1386,13 +1401,7 @@ def sharded_apply_ell(
             "row-sharded ELL apply requires divisible row counts "
             f"(dst {Hd}, src {qH}, devices {n_dev})")
     db, sb = Hd // n_dev, qH // n_dev
-    base_y = op.base[..., 0]
-    halo = 0
-    for i in range(n_dev):
-        blk = base_y[i * db: (i + 1) * db]
-        halo = max(halo, i * sb - int(blk.min()),
-                   int(blk.max()) + K - (i + 1) * sb)
-    halo = max(halo, 0)
+    halo = _ell_axis_halo(op.base[..., 0], K, db, sb, n_dev)
 
     base = jnp.asarray(op.base) if base is None else base
     w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
@@ -1588,19 +1597,9 @@ def _ell_halo_2d(op: weights_ops.EllOperator, n_r: int, n_c: int):
     db_r, sb_r = Hd // n_r, qH // n_r
     db_c, sb_c = Wd // n_c, qW // n_c
     K = op.window
-    base_y = op.base[..., 0]
-    base_x = op.base[..., 1]
-    halo_y = 0
-    for i in range(n_r):
-        blk = base_y[i * db_r: (i + 1) * db_r]
-        halo_y = max(halo_y, i * sb_r - int(blk.min()),
-                     int(blk.max()) + K - (i + 1) * sb_r)
-    halo_x = 0
-    for j in range(n_c):
-        blk = base_x[:, j * db_c: (j + 1) * db_c]
-        halo_x = max(halo_x, j * sb_c - int(blk.min()),
-                     int(blk.max()) + K - (j + 1) * sb_c)
-    return (max(halo_y, 0), max(halo_x, 0), db_r, sb_r, db_c, sb_c)
+    halo_y = _ell_axis_halo(op.base[..., 0], K, db_r, sb_r, n_r)
+    halo_x = _ell_axis_halo(op.base[..., 1].T, K, db_c, sb_c, n_c)
+    return (halo_y, halo_x, db_r, sb_r, db_c, sb_c)
 
 
 def sharded_apply_ell_2d(
@@ -1935,13 +1934,7 @@ def sharded_apply_ell_transpose(
             "row-sharded ELL apply requires divisible row counts "
             f"(dst {Hd}, src {qH}, devices {n_dev})")
     db, sb = Hd // n_dev, qH // n_dev
-    base_y = op.base[..., 0]
-    halo = 0
-    for i in range(n_dev):
-        blk = base_y[i * db: (i + 1) * db]
-        halo = max(halo, i * sb - int(blk.min()),
-                   int(blk.max()) + K - (i + 1) * sb)
-    halo = max(halo, 0)
+    halo = _ell_axis_halo(op.base[..., 0], K, db, sb, n_dev)
 
     base = jnp.asarray(op.base) if base is None else base
     w = (jnp.asarray(op.weights, dtype=jnp.float32) if weights is None
