@@ -150,3 +150,41 @@ def test_fold_tables_identity_quadrant0():
     op = build_operator(spec)
     yb, xb, out_t = weights_ops.fold_quadrant_separable(op)
     assert yb is op.wy and xb is op.wx and out_t is False
+
+
+def test_ell_fold_fuzz_random_geometries():
+    """fold_quadrant_ell exactness fuzz: random shapes / angles in every
+    quadrant / isocenters near corners (edge windows clip) — the folded
+    apply on the ORIGINAL image must match the unfolded apply on the
+    rotated image bitwise up to f32 accumulation order."""
+    import jax.numpy as jnp
+
+    import aainterp as aa
+    from aainterp.ops import apply as apply_ops
+    from aainterp.ops.weights import ell_operator, fold_quadrant_ell
+
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        H = int(rng.integers(20, 52))
+        W = int(rng.integers(20, 52))
+        ang = float(rng.uniform(91.0, 359.0))
+        if abs(ang % 90.0) < 1e-6:
+            ang += 0.7
+        iso = (float(rng.uniform(-2.0, W + 2.0)),
+               float(rng.uniform(-2.0, H + 2.0)))
+        dr = float(rng.uniform(0.4, 1.3))
+        spec = aa.make_grid_spec((H, W), 1.0, dr, iso, ang)
+        if spec.quadrant == 0:
+            continue
+        op = ell_operator(spec, mode="exact")
+        src = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+        ref = apply_ops.apply_ell(
+            apply_ops.quadrant_rotate(src, spec.quadrant),
+            jnp.asarray(op.base), jnp.asarray(op.weights, jnp.float32))
+        folded, post = fold_quadrant_ell(op)
+        out = post(apply_ops.apply_ell(
+            src, jnp.asarray(folded.base),
+            jnp.asarray(folded.weights, jnp.float32)))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5,
+            err_msg=f"trial {trial}: {H}x{W} ang={ang} iso={iso} dr={dr}")
