@@ -16,8 +16,7 @@ rows; the banded operator's global ``y_start`` is rebased with
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

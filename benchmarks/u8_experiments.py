@@ -231,8 +231,6 @@ def _build_stage_probe(F, SY, nty, stage, SX=0, ntx=0, col_base=(),
 
 
 def _stage_tables(stage, interpret=False):
-    from aainterp.ops.apply import aligned_axis_plan
-    from aainterp.ops.pallas_apply import _densify_row_band
 
     op, row_base, wy_perm, SY, col_base, wx_blocks, SX = _geometry(
         interpret)
