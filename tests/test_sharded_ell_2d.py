@@ -269,3 +269,27 @@ class TestEll2dAdjoint:
             jnp.asarray(frames))
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=1e-4)
+
+
+def test_2d_ell_transpose_steep_multihop_cols():
+    """Adjoint multi-hop over the COLUMN ring: steep angle on a 4-way
+    col mesh makes halo_x span multiple col shards, exercising
+    _halo_reduce(axis=-1) beyond one hop (the axis generalisation)."""
+    from aainterp import autodiff
+    from aainterp.parallel.sharding import (
+        _ell_halo_2d, sharded_apply_ell_2d_transpose,
+    )
+
+    spec = aa.make_grid_spec((128, 128), 1.0, 0.5, (64.0, 64.0), 31.0)
+    op = ell_operator(spec, mode="exact")
+    halo_y, halo_x, _, _, _, sb_c = _ell_halo_2d(op, 2, 4)
+    assert halo_x > sb_c  # the col halo really is multi-hop here
+    mesh = _mesh3(1, 2, 4)
+    cot = RNG.uniform(-1, 1, (1,) + op.spec.dst_shape).astype(np.float32)
+    cdev = jax.device_put(
+        jnp.asarray(cot), NamedSharding(mesh, P("data", "rows", "cols")))
+    out = jax.jit(lambda g: sharded_apply_ell_2d_transpose(
+        g, op, mesh))(cdev)
+    ref = autodiff.apply_operator_transpose(op, jnp.asarray(cot))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
