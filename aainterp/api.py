@@ -230,17 +230,20 @@ def apply_operator(
             raise ValueError(
                 f"unknown impl {impl!r} for an EllOperator; expected one "
                 "of 'auto', 'pallas', 'sheared', 'xla'")
-        post = None
-        if op.spec.quadrant != 0 and not differentiable:
+        post = post_inv = None
+        orig_quadrant = op.spec.quadrant
+        if op.spec.quadrant != 0:
             # fold the rot90 pre-rotation into the ELL table
             # (weights.fold_quadrant_ell): the apply consumes the
             # ORIGINAL image — no source-sized rot90 HBM round trip
             # (~43 us/frame at 4K) — and only the small dst output pays
-            # a flip/transpose.  The differentiable route keeps the
-            # rotate (its custom VJP is built around the unfolded
-            # quadrant); the fold result is LRU-cached by table content
-            # (the fold itself copies the (Hd, Wd, K, K) table).
+            # a flip/transpose.  The differentiable route folds too
+            # (round 4): its custom VJP carries cotangents through the
+            # inverse dst permutation and scatters straight into source
+            # orientation.  The fold result is LRU-cached by table
+            # content (the fold itself copies the (Hd, Wd, K, K) table).
             op, post = _folded_ell_for(op)
+            post_inv = weights_ops.ell_fold_post_inv(orig_quadrant)
         forced = impl != "auto"
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
@@ -268,7 +271,8 @@ def apply_operator(
             if fn is not None:
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "pallas", fn,
-                                            src, arrs)
+                                            src, arrs, post, post_inv,
+                                            orig_quadrant)
                 return _finish(fn(src, arrs))
         if impl == "sheared":
             # XLA's general gather is ~100 ms/frame on TPU; the shear-aligned
@@ -285,13 +289,15 @@ def apply_operator(
             if fn is not None:
                 if differentiable:
                     return _ell_linear_call(op, weight_dtype, "sheared", fn,
-                                            src, arrs)
+                                            src, arrs, post, post_inv,
+                                            orig_quadrant)
                 return _finish(fn(src, arrs))
         if differentiable:
             from . import autodiff
 
             return _ell_linear_call(op, weight_dtype, "xla",
-                                    autodiff._ell_fwd_xla, src, None)
+                                    autodiff._ell_fwd_xla, src, None,
+                                    post, post_inv, orig_quadrant)
         return _finish(_apply_ell_jit(
             src,
             op.spec.quadrant,
@@ -398,27 +404,31 @@ def _pallas_shear_plan(op, weight_dtype=jnp.float32):
 _ELL_LINEAR_CACHE = LruDict(8)
 
 
-def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs):
+def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs,
+                     post=None, post_inv=None, orig_quadrant=0):
     """Route a rotated apply through its custom-VJP wrapper (cached).
 
     The wrapper's backward is the exact scatter-add adjoint
     (ops.apply.apply_ell_transpose); base/weights ride as ARGUMENTS so
     they are never embedded as jit constants (aainterp.autodiff docs).
     ``arrs=None`` means the flat-gather XLA forward, whose tables are the
-    backward tables themselves.
+    backward tables themselves.  When ``op`` arrives FOLDED (quadrant 0
+    tables consuming the original image), ``post``/``post_inv`` thread
+    the dst permutation pair into the wrapper.
     """
     from . import autodiff
 
-    # quadrant is baked into the cached linear fn (make_ell_linear), and
-    # at exact 90-deg multiples different quadrants share identical
-    # tables — include it in the identity (same hazard as _ELL_FOLD_CACHE)
+    # the ORIGINAL quadrant is baked into the cached linear fn (it picks
+    # post/post_inv), and at exact 90-deg multiples different quadrants
+    # can share identical folded tables — include it in the identity
     key = (kind, hash(op.weights.tobytes()), hash(op.base.tobytes()),
-           op.spec.quadrant, op.spec.qrot_shape,
+           op.spec.quadrant, orig_quadrant, op.spec.qrot_shape,
            jnp.dtype(weight_dtype).name)
     hit = _ELL_LINEAR_CACHE.get(key)
     if hit is None:
         lin = autodiff.make_ell_linear(fwd_fn, op.spec.quadrant,
-                                       op.spec.qrot_shape)
+                                       op.spec.qrot_shape, post=post,
+                                       post_inv=post_inv)
         # concrete even inside a jit trace: these are cached, and a
         # trace-time jnp.asarray(numpy) is a tracer under JAX 0.9
         with jax.ensure_compile_time_eval():

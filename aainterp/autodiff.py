@@ -192,7 +192,8 @@ def separable_linear_for(op, weight_dtype, kind: str,
 # ----------------------------------------------------------------------
 
 
-def make_ell_linear(fwd_fn, quadrant: int, q_shape):
+def make_ell_linear(fwd_fn, quadrant: int, q_shape, post=None,
+                    post_inv=None):
     """custom-vjp'd f(src, fwd_arrs, base, weights) for a rotated apply.
 
     ``fwd_fn(q, fwd_arrs)`` is any exact rotated apply of the same
@@ -201,10 +202,20 @@ def make_ell_linear(fwd_fn, quadrant: int, q_shape):
     ops/pallas_shear.py).  ``base``/``weights`` are the raw ELL tables
     used only by the backward scatter; they ride as arguments so they are
     never embedded as jit constants.
+
+    With ``post``/``post_inv`` the wrapper runs in FOLDED-quadrant form
+    (weights.fold_quadrant_ell): fwd_fn and the scatter tables consume
+    the ORIGINAL image (``quadrant`` is then 0 and ``q_shape`` the
+    original source shape), the forward output pays only the small dst
+    permutation ``post``, and the backward carries cotangents through
+    ``post_inv`` and scatters straight into source orientation — neither
+    direction materialises a source-sized rot90.
     """
 
     @jax.custom_vjp
     def f(src, fwd_arrs, base, w):
+        if post is not None:
+            return post(fwd_fn(src, fwd_arrs))
         return fwd_fn(apply_ops.quadrant_rotate(src, quadrant), fwd_arrs)
 
     def fwd(src, fwd_arrs, base, w):
@@ -213,8 +224,13 @@ def make_ell_linear(fwd_fn, quadrant: int, q_shape):
 
     def bwd(res, g):
         dt, fwd_arrs, base, w = res
-        qbar = apply_ops.apply_ell_transpose(g, base, w, q_shape)
-        sbar = apply_ops.quadrant_rotate(qbar, -quadrant).astype(dt.dtype)
+        if post_inv is not None:
+            sbar = apply_ops.apply_ell_transpose(
+                post_inv(g), base, w, q_shape).astype(dt.dtype)
+        else:
+            qbar = apply_ops.apply_ell_transpose(g, base, w, q_shape)
+            sbar = apply_ops.quadrant_rotate(
+                qbar, -quadrant).astype(dt.dtype)
         return (sbar, jax.tree.map(_zero_cot, fwd_arrs), _zero_cot(base),
                 _zero_cot(w))
 
