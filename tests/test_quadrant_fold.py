@@ -188,3 +188,26 @@ def test_ell_fold_fuzz_random_geometries():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5,
             err_msg=f"trial {trial}: {H}x{W} ang={ang} iso={iso} dr={dr}")
+
+
+def test_fold_tables_device_matches_host_fold():
+    """weights.fold_tables_device (the jnp fold of explicit argument
+    tables used by the sharded VJPs) must match fold_quadrant_ell's host
+    fold bit-for-bit at every quadrant."""
+    import jax.numpy as jnp
+
+    import aainterp as aa
+    from aainterp.ops.weights import (ell_operator, fold_quadrant_ell,
+                                      fold_tables_device)
+
+    for ang in (95.0, 200.0, 301.5):
+        spec = aa.make_grid_spec((48, 40), 1.0, 0.5, (20.0, 24.0), ang)
+        op = ell_operator(spec, mode="exact")
+        fop = fold_quadrant_ell(op)[0]
+        qH, qW = op.spec.qrot_shape
+        nb, nw = fold_tables_device(
+            jnp.asarray(op.base), jnp.asarray(op.weights, jnp.float32),
+            op.spec.quadrant, qH, qW)
+        np.testing.assert_array_equal(np.asarray(nb), fop.base)
+        np.testing.assert_array_equal(
+            np.asarray(nw), fop.weights.astype(np.float32))
