@@ -773,3 +773,24 @@ class TestEllQuadrantFolding:
         per_chip_dst = -(-B // 2) * -(-Hd // 4) * Wd
         a2a = coll_sizes(hlo, "all-to-all")
         assert all(s <= per_chip_dst for s in a2a), (a2a, per_chip_dst)
+
+
+def test_sharded_ell_explicit_tables_quadrant_conserve():
+    """Explicit argument tables + quadrant fold + conserve compose: the
+    tables fold on device (fold_tables_device), the output matches the
+    unsharded apply, and the psum flux identity holds."""
+    spec = aa.make_grid_spec((128, 96), 1.0, 0.5, (48.0, 64.0), 121.5)
+    op = ell_operator(spec, mode="exact")
+    mesh = _mesh(2, 4)
+    base = jnp.asarray(op.base)
+    w = jnp.asarray(op.weights, jnp.float32)
+    frames = jnp.asarray(
+        RNG.uniform(0, 1, (2, 128, 96)).astype(np.float32))
+    out, flux = jax.jit(lambda f, b, ww: sharded_apply_ell(
+        f, op, mesh, impl="xla", base=b, weights=ww,
+        conserve=True))(frames, base, w)
+    ref = aa.apply_operator(op, frames, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    fd, fs = np.asarray(flux, dtype=np.float32)
+    assert abs(fd - fs) <= 1e-4 * abs(fs), (fd, fs)
