@@ -211,6 +211,13 @@ def make_ell_linear(fwd_fn, quadrant: int, q_shape, post=None,
     ``post_inv`` and scatters straight into source orientation — neither
     direction materialises a source-sized rot90.
     """
+    if post is not None and quadrant != 0:
+        # folded wrappers MUST receive the folded op's quadrant (0): a
+        # nonzero quadrant here would silently skip the rotate against
+        # unfolded tables — wrong outputs with no error (ADVICE r4)
+        raise ValueError(
+            "make_ell_linear: post/post_inv imply folded tables "
+            f"(quadrant 0), got quadrant={quadrant}")
 
     @jax.custom_vjp
     def f(src, fwd_arrs, base, w):

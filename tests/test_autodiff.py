@@ -311,12 +311,19 @@ def test_differentiable_ell_quadrant_folded():
         assert spec.quadrant in (1, 2, 3)
         op = ell_operator(spec, mode="exact")
         src = jnp.asarray(rng.uniform(0, 1, (40, 32)).astype(np.float32))
-        out_d = apply_operator(op, src, impl="xla", differentiable=True)
         out = apply_operator(op, src, impl="xla")
-        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out),
-                                   atol=1e-6, err_msg=str(ang))
-        g = jax.grad(lambda s: jnp.sum(apply_operator(
-            op, s, impl="xla", differentiable=True) ** 2))(src)
         g_ref = apply_operator_transpose(op, 2.0 * out)
-        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                                   atol=1e-5, err_msg=str(ang))
+        # every differentiable kind rides the same folded wrapper
+        # (xla flat-gather, sheared re-indexing; pallas falls back to
+        # sheared off its envelope on CPU, still exercising the fold)
+        for impl in ("xla", "sheared"):
+            out_d = apply_operator(op, src, impl=impl,
+                                   differentiable=True)
+            np.testing.assert_allclose(
+                np.asarray(out_d), np.asarray(out), atol=1e-5,
+                err_msg=f"{ang} {impl}")
+            g = jax.grad(lambda s: jnp.sum(apply_operator(
+                op, s, impl=impl, differentiable=True) ** 2))(src)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g_ref), atol=1e-5,
+                err_msg=f"{ang} {impl}")
