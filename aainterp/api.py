@@ -371,6 +371,47 @@ def _stencil_plan_fn(op, weight_dtype):
 # small LRU rather than one bigger shared pool.
 _PALLAS_SHEAR_CACHE = LruDict(4)
 _XLA_SHEAR_CACHE = LruDict(4)
+# 3-pass approximate rotated plans: keyed by the (hashable) GridSpec —
+# tiny tables + an (Hd, Wd) coverage image, built in milliseconds (no
+# ELL operator involved), so a small LRU is plenty
+_SHEAR3_CACHE = LruDict(8)
+
+
+def _shear3_plan(spec, weight_dtype=jnp.float32):
+    """(plan, device arrays) for the 3-pass sheared rotated mode."""
+    from .ops import shear3 as shear3_ops
+
+    key = (spec, jnp.dtype(weight_dtype).name)
+    hit = _SHEAR3_CACHE.get(key)
+    if hit is None:
+        plan = shear3_ops.build_shear3_plan(spec)
+        hit = (plan, shear3_ops.plan_arrays(plan, weight_dtype))
+        _SHEAR3_CACHE.put(key, hit)
+    return hit
+
+
+def _apply_shear3(spec, src, method: str, weight_dtype) -> jax.Array:
+    """Route the 3-pass sheared apply (mode='shear').
+
+    method: 'auto' (Pallas on TPU, XLA elsewhere), 'xla', or 'pallas'
+    (raises off the Pallas envelope instead of silently degrading, like
+    the other forced impls).
+    """
+    from .ops import shear3 as shear3_ops
+
+    plan, arrs = _shear3_plan(spec, weight_dtype)
+    q = apply_ops.quadrant_rotate(src, spec.quadrant)
+    if method == "auto":
+        method = ("pallas" if jax.devices()[0].platform == "tpu"
+                  else "xla")
+    if method == "pallas":
+        from .ops import pallas_shear3
+
+        return pallas_shear3.apply_shear3_pallas(plan, q, arrs)
+    if method == "xla":
+        return shear3_ops.apply_shear3_xla(plan, q, arrs)
+    raise ValueError(f"unknown shear method {method!r} "
+                     "(expected auto/xla/pallas)")
 
 
 def _pallas_shear_plan(op, weight_dtype=jnp.float32):
@@ -478,10 +519,25 @@ def area_average_interpolate(
     ``rotation_angle`` is degrees, clockwise positive.
 
     mode: 'exact' (true overlap areas, Source.cpp mode 1 semantics), 'fast'
-    (replica-center counting, Source.cpp mode 2), or 'compat'
+    (replica-center counting, Source.cpp mode 2), 'compat'
     (bug-for-bug reproduction of the reference's exact mode, including its
     rotated type-2 area defect — for users requiring bit-compatible
-    migration; see PARITY.md).
+    migration; see PARITY.md), or 'shear' (3-pass conservative shear
+    decomposition, ops/shear3.py — the high-throughput approximate
+    rotated mode: exact flux conservation, ~1e-3-relative smearing vs
+    the exact operator, runs on the separable-class kernels instead of
+    the one-hot ELL contraction; axis-aligned geometries fall through to
+    'exact', which the zero-shear decomposition equals).  'shear' plays
+    the role the reference's default fast mode plays for ITS exact mode
+    (Source.cpp:584-911, default interpolationMode=2 at :1534): a
+    cheaper approximation for throughput-bound users; the approximation
+    CONTRACT differs (area-smearing vs replica-count quantisation) and
+    is quantified in BENCHMARKS.md.
+
+    With mode='shear', ``method`` selects the apply route ('auto'
+    routes to the Pallas pipeline on TPU, XLA elsewhere) and no
+    Operator is built (the plan is O(H + W) tables; InterpResult.spec
+    still carries the geometry).
     """
     if mode == "compat" and method == "auto":
         spec_probe = make_grid_spec(
@@ -501,6 +557,19 @@ def area_average_interpolate(
         src_isocenter,
         rotation_angle,
     )
+    if mode == "shear":
+        if spec.is_axis_aligned:
+            # a zero-angle shear decomposition IS the exact separable
+            # operator — route there (faster and battle-tested)
+            mode = "exact"
+        else:
+            if operator is not None or fused:
+                raise ValueError(
+                    "mode='shear' builds no Operator (pass mode='exact' "
+                    "to use an explicit operator, and fused=False)")
+            dst = _apply_shear3(spec, src, method, weight_dtype)
+            return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter,
+                                spec=spec)
     if fused:
         if mode not in ("exact", "fast"):
             raise ValueError(

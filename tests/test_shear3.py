@@ -1,0 +1,227 @@
+"""3-pass conservative shear decomposition (mode='shear', ops/shear3.py).
+
+The approximate high-throughput rotated mode: checks the exact
+invariants (flux conservation, constant-image identity, coverage mask),
+the approximation quality vs the exact operator, and the API contract.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aainterp as aa
+from aainterp.ops.shear3 import (apply_shear3_np, apply_shear3_xla,
+                                 build_shear3_plan, plan_arrays)
+
+RNG = np.random.default_rng(7)
+
+GEOMS = [
+    # (H, W, sres, dres, angle): band branch and fold branch, quadrants,
+    # steep angles, anisotropic shapes
+    (96, 96, 1.0, 0.5, 30.0),     # rot30-config class (scale 1, L 2)
+    (64, 80, 1.0, 1.0, 30.0),     # equal res -> fold branch (s == L)
+    (72, 72, 1.0, 1.0, 75.0),     # steep, fold branch
+    (64, 64, 2.0, 1.5, 14.0),     # band branch, non-integer ratio
+    (64, 64, 1.0, 0.8, 100.0),    # quadrant 1
+    (48, 64, 1.0, 0.7, 213.0),    # quadrant 2
+    (64, 48, 1.0, 1.0, 322.0),    # quadrant 3, fold branch
+]
+
+
+def _quad_input(src, spec):
+    return np.rot90(src, -spec.quadrant).copy() if spec.quadrant else src
+
+
+def _smooth(H, W):
+    y, x = np.mgrid[0:H, 0:W]
+    return (0.5 + 0.3 * np.sin(2 * math.pi * x / W * 3)
+            * np.cos(2 * math.pi * y / H * 2)
+            + 0.2 * np.cos(2 * math.pi * (x + y) / (H + W)))
+
+
+@pytest.mark.parametrize("H,W,sr,dr,ang", GEOMS)
+def test_invariants(H, W, sr, dr, ang):
+    spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
+    plan = build_shear3_plan(spec)
+    qH, qW = spec.qrot_shape
+
+    # constant image -> exactly 1 on the covered region, 0 outside
+    out = apply_shear3_np(plan, np.ones((qH, qW)))
+    covered = plan.inv_cov > 0
+    assert covered.mean() > 0.3
+    assert np.abs(out[covered] - 1.0).max() < 1e-6
+    if (~covered).any():
+        assert np.abs(out[~covered]).max() == 0.0
+
+    # exact flux conservation for an interior-supported image: every
+    # stage is mass-preserving by construction (not approximation)
+    q = np.zeros((qH, qW))
+    m = max(4, qH // 4, qW // 4)
+    q[m:-m, m:-m] = RNG.uniform(0.5, 1.5, (qH - 2 * m, qW - 2 * m))
+    un = apply_shear3_np(plan, q, normalize=False)
+    flux_in = q.sum() * spec.scale ** 2
+    flux_out = un.sum() * spec.dst_side ** 2
+    assert abs(flux_out - flux_in) / flux_in < 1e-12
+
+
+@pytest.mark.parametrize("H,W,sr,dr,ang", GEOMS)
+def test_accuracy_vs_exact(H, W, sr, dr, ang):
+    """The approximation contract: ~1e-3-relative rms smearing vs the
+    exact polygon-clip operator on smooth content."""
+    spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
+    plan = build_shear3_plan(spec)
+    src = _smooth(H, W)
+    exact = np.asarray(aa.area_average_interpolate(
+        src, sr, dr, (W / 2, H / 2), ang, mode="exact").dst, np.float64)
+    approx = apply_shear3_np(plan, _quad_input(src, spec))
+    covered = (plan.inv_cov > 0) & (exact != 0)
+    # boundary slivers (coverage << 1) renormalise a sub-cell region and
+    # the two methods disagree about WHICH sliver — the tight contract
+    # holds on well-covered pixels, a loose one everywhere covered
+    well = covered & (plan.inv_cov <= 1.5)
+    rng_v = exact[covered].max() - exact[covered].min()
+    rms = float(np.sqrt(((approx - exact)[well] ** 2).mean()))
+    assert rms / rng_v < 5e-3, (rms, rng_v)
+    assert np.abs((approx - exact)[well]).max() / rng_v < 0.08
+    assert np.abs((approx - exact)[covered]).max() / rng_v < 0.25
+
+
+def test_xla_matches_numpy_and_batches():
+    spec = aa.make_grid_spec((64, 80), 1.0, 0.6, (40.0, 32.0), 23.0)
+    plan = build_shear3_plan(spec)
+    arrs = plan_arrays(plan)
+    q = RNG.uniform(0, 1, (3, 64, 80)).astype(np.float32)
+    ref = apply_shear3_np(plan, q)
+    out = np.asarray(apply_shear3_xla(plan, jnp.asarray(q), arrs))
+    assert out.shape == (3,) + spec.dst_shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # jit with tables as arguments (the serving pattern)
+    jf = jax.jit(lambda x, a: apply_shear3_xla(plan, x, a))
+    out_j = np.asarray(jf(jnp.asarray(q), arrs))
+    np.testing.assert_allclose(out_j, ref, atol=2e-5)
+
+
+def test_u8_contract():
+    spec = aa.make_grid_spec((64, 64), 1.0, 1.0, (32.0, 32.0), 30.0)
+    plan = build_shear3_plan(spec)
+    arrs = plan_arrays(plan)
+    q = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    out8 = np.asarray(apply_shear3_xla(plan, jnp.asarray(q), arrs))
+    assert out8.dtype == np.uint8
+    ref = apply_shear3_np(plan, q.astype(np.float64))
+    assert np.abs(out8.astype(np.float64)
+                  - np.clip(np.round(ref), 0, 255)).max() <= 1.0
+
+
+def test_api_mode_shear():
+    src = _smooth(64, 64)
+    res = aa.area_average_interpolate(
+        src, 1.0, 0.5, (32.0, 32.0), 30.0, mode="shear", method="xla")
+    spec = res.spec
+    assert np.asarray(res.dst).shape == spec.dst_shape
+    assert res.dst_isocenter == spec.dst_isocenter
+    # matches the direct pipeline
+    plan = build_shear3_plan(spec)
+    ref = apply_shear3_np(plan, _quad_input(src, spec))
+    np.testing.assert_allclose(np.asarray(res.dst), ref, atol=2e-5)
+
+    # axis-aligned 'shear' falls through to the exact separable path
+    r_sh = aa.area_average_interpolate(
+        src, 1.0, 0.5, (32.0, 32.0), 0.0, mode="shear")
+    r_ex = aa.area_average_interpolate(
+        src, 1.0, 0.5, (32.0, 32.0), 0.0, mode="exact")
+    np.testing.assert_allclose(np.asarray(r_sh.dst), np.asarray(r_ex.dst),
+                               rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="shear"):
+        op = aa.build_operator(aa.make_grid_spec(
+            (64, 64), 1.0, 0.5, (32.0, 32.0), 30.0))
+        aa.area_average_interpolate(src, 1.0, 0.5, (32.0, 32.0), 30.0,
+                                    mode="shear", operator=op)
+    with pytest.raises(ValueError, match="auto/xla/pallas"):
+        aa.area_average_interpolate(src, 1.0, 0.5, (32.0, 32.0), 30.0,
+                                    mode="shear", method="bogus")
+
+
+def test_shear_quality_contract():
+    """The shear mode's accuracy contract (measured 2026-08-20, pinned):
+
+    1. MORE accurate than the reference's own default approximate mode
+       ('fast', replica-center counting) against the exact operator —
+       at a rot30-class config the margin is ~2x in rms, ~2.7x in max.
+    2. Roundtrip smoothing is bilinear-CLASS (each pass adds ~half a
+       cell of conservative smear; the single 2-D overlap of exact mode
+       smears less) — the mode's edge over bilinear is exact flux
+       conservation + accuracy-vs-exact, not roundtrip sharpness.
+    """
+    from scipy import ndimage
+
+    # near-Nyquist scene (same class as test_quality_claims): smooth
+    # content hides interpolator differences; this one separates them
+    y, x = np.mgrid[0:96, 0:96].astype(np.float64)
+    src = (np.sin(x * 0.9) * np.cos(y * 0.55) + 1.0) / 2.0
+    H = W = 96
+    iso = (W / 2.0, H / 2.0)
+
+    # (1) single-rotation accuracy vs exact: shear beats fast
+    spec = aa.make_grid_spec((H, W), 1.0, 0.5, iso, 30.0)
+    exact = np.asarray(aa.area_average_interpolate(
+        src, 1.0, 0.5, iso, 30.0, mode="exact").dst, np.float64)
+    fast = np.asarray(aa.area_average_interpolate(
+        src, 1.0, 0.5, iso, 30.0, mode="fast").dst, np.float64)
+    plan = build_shear3_plan(spec)
+    shear = apply_shear3_np(plan, _quad_input(src, spec))
+    m = (plan.inv_cov > 0) & (plan.inv_cov <= 1.5) & (exact != 0)
+    rms_f = float(np.sqrt(((fast - exact)[m] ** 2).mean()))
+    rms_s = float(np.sqrt(((shear - exact)[m] ** 2).mean()))
+    assert rms_s < 0.75 * rms_f, (rms_s, rms_f)
+
+    # (2) roundtrip PSNR stays within 1.5 dB of bilinear (same class)
+    def roundtrip(mode):
+        r1 = aa.area_average_interpolate(src, 1.0, 1.0, iso, 30.0,
+                                         mode=mode)
+        fwd = np.asarray(r1.dst, np.float64)
+        h2, w2 = fwd.shape
+        r2 = aa.area_average_interpolate(
+            fwd, 1.0, 1.0, (w2 / 2, h2 / 2), -30.0, mode=mode)
+        return np.asarray(r2.dst, np.float64)
+
+    def crop_psnr(rt):
+        hh, ww = rt.shape
+        k = 24
+        a = rt[hh // 2 - k: hh // 2 + k, ww // 2 - k: ww // 2 + k]
+        b = src[H // 2 - k: H // 2 + k, W // 2 - k: W // 2 + k]
+        mse = float(np.mean((a - b) ** 2))
+        rng = float(b.max() - b.min())
+        return 10 * math.log10(rng * rng / max(mse, 1e-30))
+
+    p_exact = crop_psnr(roundtrip("exact"))
+    p_shear = crop_psnr(roundtrip("shear"))
+    f1 = ndimage.rotate(src, -30.0, reshape=True, order=1)
+    p_bil = crop_psnr(
+        np.asarray(ndimage.rotate(f1, 30.0, reshape=True, order=1)))
+    assert p_exact >= p_shear - 0.5  # exact stays the best
+    assert p_shear > p_bil - 1.5, (p_shear, p_bil)
+
+
+def test_gradients_flow():
+    """The pipeline is linear; XLA autodiff gives the exact transpose."""
+    spec = aa.make_grid_spec((32, 32), 1.0, 1.0, (16.0, 16.0), 20.0)
+    plan = build_shear3_plan(spec)
+    arrs = plan_arrays(plan)
+
+    def f(x):
+        return jnp.sum(apply_shear3_xla(plan, x, arrs) ** 2)
+
+    x = jnp.asarray(RNG.uniform(0, 1, (32, 32)).astype(np.float32))
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # directional derivative check
+    v = jnp.asarray(RNG.uniform(-1, 1, (32, 32)).astype(np.float32))
+    eps = 1e-3
+    fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
+    an = jnp.vdot(g, v)
+    assert abs(float(fd - an)) < 5e-2 * max(1.0, abs(float(an)))
