@@ -161,9 +161,9 @@ def test_shear_quality_contract():
 
     # near-Nyquist scene (same class as test_quality_claims): smooth
     # content hides interpolator differences; this one separates them
-    y, x = np.mgrid[0:96, 0:96].astype(np.float64)
+    y, x = np.mgrid[0:128, 0:128].astype(np.float64)
     src = (np.sin(x * 0.9) * np.cos(y * 0.55) + 1.0) / 2.0
-    H = W = 96
+    H = W = 128
     iso = (W / 2.0, H / 2.0)
 
     # (1) single-rotation accuracy vs exact: shear beats fast
@@ -177,7 +177,7 @@ def test_shear_quality_contract():
     m = (plan.inv_cov > 0) & (plan.inv_cov <= 1.5) & (exact != 0)
     rms_f = float(np.sqrt(((fast - exact)[m] ** 2).mean()))
     rms_s = float(np.sqrt(((shear - exact)[m] ** 2).mean()))
-    assert rms_s < 0.75 * rms_f, (rms_s, rms_f)
+    assert rms_s < 0.7 * rms_f, (rms_s, rms_f)
 
     # (2) roundtrip PSNR stays within 1.5 dB of bilinear (same class)
     def roundtrip(mode):
