@@ -370,6 +370,31 @@ def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
 
     H = W = 2048
     spec = make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 30.0)
+    if impl == "shear":
+        # 3-pass conservative shear decomposition (mode='shear'): the
+        # approximate high-throughput rotated mode riding separable-class
+        # kernels (ops/pallas_shear3.py) — no ELL operator at all
+        from aainterp.ops.pallas_shear3 import (
+            apply_shear3_pallas, build_shear3_kernel_plan_cached)
+        from aainterp.ops.shear3 import build_shear3_plan
+
+        plan = build_shear3_plan(spec)
+        kp = build_shear3_kernel_plan_cached(plan)
+        rng = np.random.default_rng(0)
+        K = 8
+        frames = jnp.asarray(
+            rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32),
+            dtype=dtype)
+        warm = jnp.asarray(
+            rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32),
+            dtype=dtype)
+        dt = timed_scan(
+            lambda f: apply_shear3_pallas(plan, f, kernel_plan=kp
+                                          ).astype(dtype),
+            frames, warm)
+        gpix = batch * H * W / dt / 1e9
+        print(f"# rot30 shear3 dst={spec.dst_shape}: {gpix:.2f} Gpixel/s")
+        return gpix
     op = ell_operator(spec, mode="exact")
     if impl in ("auto", "pallas"):
         try:
@@ -593,7 +618,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per scan step (the scan runs ~24 steps per dispatch)")
     ap.add_argument("--impl", default="auto",
-                    choices=("auto", "banded", "dense", "pallas", "stencil"))
+                    choices=("auto", "banded", "dense", "pallas", "stencil",
+                             "shear"))
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--all", action="store_true",
@@ -654,8 +680,9 @@ def main():
         img[128:384, 128:384] += 1.0  # structure so PSNR is meaningful
         psnr = {k: round(v, 2)
                 for k, v in compare_rotation_roundtrip(img, 30.0).items()}
+        isfx = "_shear" if args.impl == "shear" else ""
         print(json.dumps({
-            "metric": f"gpixel_per_s_2048_rot30_x{args.batch}",
+            "metric": f"gpixel_per_s_2048_rot30{isfx}_x{args.batch}",
             "value": round(g, 3), "unit": "Gpixel/s",
             "vs_baseline": round(g / 5.0, 3),
             "psnr_roundtrip_db": psnr}))

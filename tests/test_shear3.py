@@ -207,6 +207,39 @@ def test_shear_quality_contract():
     assert p_shear > p_bil - 1.5, (p_shear, p_bil)
 
 
+@pytest.mark.parametrize("H,W,sr,dr,ang", GEOMS[:5])
+def test_pallas_interpret_matches_numpy(H, W, sr, dr, ang):
+    from aainterp.ops.pallas_shear3 import apply_shear3_pallas
+
+    spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
+    plan = build_shear3_plan(spec)
+    qH, qW = spec.qrot_shape
+    q = RNG.uniform(0, 1, (2, qH, qW)).astype(np.float32)
+    ref = apply_shear3_np(plan, q)
+    out = np.asarray(apply_shear3_pallas(
+        plan, jnp.asarray(q), mid_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=3e-6)
+    # bf16 staging stays within the mode's approximation contract
+    outb = np.asarray(apply_shear3_pallas(
+        plan, jnp.asarray(q, jnp.bfloat16), interpret=True))
+    assert np.abs(outb.astype(np.float64) - ref).max() < 2e-2
+
+
+def test_pallas_interpret_u8():
+    from aainterp.ops.pallas_shear3 import apply_shear3_pallas
+
+    spec = aa.make_grid_spec((64, 64), 1.0, 1.0, (32.0, 32.0), 30.0)
+    plan = build_shear3_plan(spec)
+    q = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    out = np.asarray(apply_shear3_pallas(plan, jnp.asarray(q),
+                                         interpret=True))
+    assert out.dtype == np.uint8
+    ref = apply_shear3_np(plan, q.astype(np.float64))
+    cov = plan.inv_cov > 0
+    # bf16 staging of integer content + one final quantisation
+    assert np.abs(out.astype(np.float64) - ref)[cov].max() <= 2.0
+
+
 def test_gradients_flow():
     """The pipeline is linear; XLA autodiff gives the exact transpose."""
     spec = aa.make_grid_spec((32, 32), 1.0, 1.0, (16.0, 16.0), 20.0)
