@@ -29,6 +29,7 @@ import numpy as np
 from .grids import GridSpec, make_grid_spec
 from .ops import apply as apply_ops
 from .ops import weights as weights_ops
+from .utils.digest import array_digest
 from .utils.lru import LruDict
 
 Operator = Union[weights_ops.SeparableOperator, weights_ops.EllOperator]
@@ -329,9 +330,8 @@ def _stencil_plan_fn(op, weight_dtype):
     Raises ValueError when either axis band is not an interior-constant
     constant-stride stencil (ops.apply.axis_stencil_plan returns None).
     """
-    key = (hash(op.wy.weights.tobytes()), hash(op.wx.weights.tobytes()),
-           hash(np.asarray(op.wy.start).tobytes()),
-           hash(np.asarray(op.wx.start).tobytes()),
+    key = (array_digest(op.wy.weights), array_digest(op.wx.weights),
+           array_digest(op.wy.start), array_digest(op.wx.start),
            op.spec.quadrant, jnp.dtype(weight_dtype).name)
     hit = _STENCIL_CACHE.get(key)
     if hit is not None:
@@ -417,7 +417,7 @@ def _apply_shear3(spec, src, method: str, weight_dtype) -> jax.Array:
 def _pallas_shear_plan(op, weight_dtype=jnp.float32):
     from .ops.pallas_shear import make_pallas_shear_apply
 
-    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+    key = (array_digest(op.weights), array_digest(op.base),
            jnp.dtype(weight_dtype).name)
     hit = _PALLAS_SHEAR_CACHE.get(key)
     if hit is None:
@@ -462,7 +462,7 @@ def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs,
     # the ORIGINAL quadrant is baked into the cached linear fn (it picks
     # post/post_inv), and at exact 90-deg multiples different quadrants
     # can share identical folded tables — include it in the identity
-    key = (kind, hash(op.weights.tobytes()), hash(op.base.tobytes()),
+    key = (kind, array_digest(op.weights), array_digest(op.base),
            op.spec.quadrant, orig_quadrant, op.spec.qrot_shape,
            jnp.dtype(weight_dtype).name)
     hit = _ELL_LINEAR_CACHE.get(key)
@@ -486,7 +486,7 @@ def _ell_linear_call(op, weight_dtype, kind, fwd_fn, src, arrs,
 def _sheared_plan(op, weight_dtype=jnp.float32):
     from .ops.shear_apply import make_sheared_apply
 
-    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+    key = (array_digest(op.weights), array_digest(op.base),
            jnp.dtype(weight_dtype).name)
     hit = _XLA_SHEAR_CACHE.get(key)
     if hit is None:

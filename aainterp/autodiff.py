@@ -40,6 +40,7 @@ import numpy as np
 from .ops import apply as apply_ops
 from .ops import overlap1d
 from .ops import weights as weights_ops
+from .utils.digest import array_digest
 from .utils.lru import LruDict
 
 
@@ -62,8 +63,8 @@ def transposed_separable(
     op: "weights_ops.SeparableOperator",
 ) -> Tuple[overlap1d.Band1D, overlap1d.Band1D]:
     """(Wy^T, Wx^T) as banded operators, content-cached."""
-    key = (hash(op.wy.weights.tobytes()), hash(op.wx.weights.tobytes()),
-           hash(op.wy.start.tobytes()), hash(op.wx.start.tobytes()))
+    key = (array_digest(op.wy.weights), array_digest(op.wx.weights),
+           array_digest(op.wy.start), array_digest(op.wx.start))
     hit = _TBAND_CACHE.get(key)
     if hit is None:
         hit = (overlap1d.transpose_band(op.wy), overlap1d.transpose_band(op.wx))
@@ -165,8 +166,8 @@ def separable_linear_for(op, weight_dtype, kind: str,
     """Cached custom-vjp'd apply for a SeparableOperator."""
     wname = jnp.dtype(weight_dtype).name
     key = (kind, wname, interpret, op.spec.quadrant,
-           hash(op.wy.weights.tobytes()), hash(op.wx.weights.tobytes()),
-           hash(op.wy.start.tobytes()), hash(op.wx.start.tobytes()))
+           array_digest(op.wy.weights), array_digest(op.wx.weights),
+           array_digest(op.wy.start), array_digest(op.wx.start))
     hit = _SEP_LINEAR_CACHE.get(key)
     if hit is None:
         yb, xb, tyb, txb, out_t = folded_separable_tables(op)

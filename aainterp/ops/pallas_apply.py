@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.digest import array_digest
 from ..utils.lru import LruDict
 
 
@@ -522,7 +523,8 @@ def apply_separable_pallas(
     isize = 1 if u8 else (2 if frames.dtype == jnp.bfloat16 else 4)
     n_slots = max(2, int(n_slots))
     prep_key = (
-        hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
+        (array_digest(ys), array_digest(yw),
+         array_digest(xs), array_digest(xw)),
         F, H, W, TY, TX, y_pass, x_static, bf16_x, double_buffer, n_slots,
         str(frames.dtype), str(out_dtype), bool(interpret),
     )
@@ -1041,7 +1043,8 @@ def apply_separable_pallas_2d(
     Hp, Wp = _round_up(H, row_align), _round_up(W, 128)
 
     prep_key = (
-        hash((ys.tobytes(), yw.tobytes(), xs.tobytes(), xw.tobytes())),
+        (array_digest(ys), array_digest(yw),
+         array_digest(xs), array_digest(xw)),
         F, H, W, str(in_dtype), vmem_budget, precision, "2d",
     )
     cached = _PREP_CACHE.get(prep_key)

@@ -34,6 +34,7 @@ import numpy as np
 from ..grids import DBL_EPSILON, GridSpec
 from . import overlap1d
 from .clipper import quad_rect_overlap_area, quad_vertices
+from ..utils.digest import array_digest
 from ..utils.lru import LruDict
 
 # folded quadrant ELL operators (fold copies the big weight table; see
@@ -592,7 +593,11 @@ def fold_quadrant_ell_cached(op: EllOperator):
     content-keyed reuse makes repeat traces free.  quadrant/qrot_shape
     are part of the key: at exact 90-deg multiples different quadrants
     share identical tables (zero residual rotation)."""
-    key = (hash(op.weights.tobytes()), hash(op.base.tobytes()),
+    # raw_row_sums and mode join the key (ADVICE r4): two operators
+    # with identical normalised weights but differently scaled cell
+    # areas must not alias (the folded raw_row_sums feed conserve)
+    key = (array_digest(op.weights), array_digest(op.base),
+           array_digest(op.raw_row_sums), op.mode,
            op.spec.quadrant, op.spec.qrot_shape)
     hit = _FOLD_CACHE.get(key)
     if hit is None:

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.overlap1d import Band1D
+from .utils.digest import array_digest
 from .utils.lru import LruDict
 
 # aligned-path detection memo, keyed by band-table content (plans hold
@@ -165,10 +166,10 @@ def apply_band_operators(field, by: Band1D, bx: Band1D, *,
         # memoize the detection by table content (VERDICT r3 weak #4):
         # the host scan is benign at 4K but measurable in small-frame
         # high-rate serving loops that re-route on every call
-        memo_key = (hash(host_args[0].tobytes()),
-                    hash(host_args[1].tobytes()),
-                    hash(host_args[2].tobytes()),
-                    hash(host_args[3].tobytes()), by.n_src, bx.n_src)
+        memo_key = (array_digest(host_args[0]),
+                    array_digest(host_args[1]),
+                    array_digest(host_args[2]),
+                    array_digest(host_args[3]), by.n_src, bx.n_src)
         hit = _ALIGNED_PLAN_CACHE.get(memo_key)
         if hit is None:
             yp = aligned_axis_plan(host_args[0], host_args[1], by.n_src)
