@@ -1310,9 +1310,11 @@ def sharded_apply_ell(
     routes: the source stays sharded in its original orientation — no
     source-sized all-to-all — and only the SMALL dst output pays a
     flip/transpose reshard; the conserve flux pair rides folded coverage
-    factors against the un-rotated frames.  The global-rot90 route is
-    the fallback when the folded row counts don't divide the mesh (or
-    when explicit base/weights overrides pin the unfolded tables).
+    factors against the un-rotated frames.  Explicit base/weights
+    overrides are folded ON DEVICE (weights.fold_tables_device — jnp
+    flips/transposes, bit-identical to the host fold), so they ride the
+    folded route too; the global-rot90 reshard remains only as the
+    fallback when the folded row counts don't divide the mesh.
     """
     n_dev = mesh.shape[row_axis]
     qH, qW = op.spec.qrot_shape
@@ -1646,8 +1648,9 @@ def sharded_apply_ell_2d(
     pair reduced over all three mesh axes.
 
     base/weights: optional device-array overrides of op's tables (pass
-    them as traced jit arguments; see sharded_apply_ell) — folding is
-    skipped when they're given (pass a pre-folded operator instead).
+    them as traced jit arguments; see sharded_apply_ell) — when the
+    quadrant fold applies, argument tables are folded ON DEVICE
+    (weights.fold_tables_device), matching the 1-D path.
     """
     n_r, n_c = mesh.shape[row_axis], mesh.shape[col_axis]
     if impl not in ("auto", "pallas", "xla"):

@@ -613,6 +613,135 @@ def bench_sharded(batch: int, dtype):
     return g_sep, out
 
 
+def bench_sharded_2d(batch: int, dtype):
+    """2-D-mesh (data, rows, cols) sharded benches (VERDICT r4 missing
+    2): real-chip numbers for the 2-D separable, 2-D rotated, and 2-D
+    u8 paths — the (rows x cols) distribution of the reference's hot
+    loop (/root/reference/Source.cpp:432-576).  On this box the real
+    chip gives the 1x1x1 mesh (machinery + per-chip kernel overhead);
+    the virtual CPU mesh exercises the collectives.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aainterp.grids import make_grid_spec
+    from aainterp.ops.weights import ell_operator, separable_operator
+    from aainterp.parallel.sharding import (
+        make_sharded_ell_pallas_2d, sharded_apply_ell_2d,
+        sharded_apply_separable_2d,
+    )
+
+    n_dev = jax.device_count()
+    if n_dev >= 8:
+        data, rows, cols = n_dev // 4, 2, 2
+    elif n_dev >= 4:
+        data, rows, cols = 1, 2, 2
+    else:
+        data, rows, cols = 1, 1, 1
+    mesh = Mesh(np.asarray(jax.devices())[: data * rows * cols].reshape(
+        data, rows, cols), ("data", "rows", "cols"))
+    sharding = NamedSharding(mesh, P(None, "data", "rows", "cols"))
+    rng = np.random.default_rng(0)
+    B = max(batch, 1) * data
+    out = {"mesh": {"data": data, "rows": rows, "cols": cols},
+           "platform": jax.devices()[0].platform}
+    K = 4
+
+    # --- 2-D separable: flagship-like 2048x3840 2x downscale, at the
+    # requested dtype AND the u8 serving contract ---
+    H, W = 2048, 3840
+    spec = make_grid_spec((H, W), 2.0, 1.0, (0.0, 0.0), 0.0)
+    op = separable_operator(spec, mode="exact")
+
+    def _mk(dt):
+        if jnp.dtype(dt) == jnp.uint8:
+            return jnp.asarray(rng.integers(0, 256, (K, B, H, W),
+                                            dtype=np.uint8))
+        return jnp.asarray(rng.uniform(0, 1, (K, B, H, W)).astype(
+            np.float32), dtype=dt)
+
+    for name, dt in (("separable", dtype), ("separable_u8", jnp.uint8)):
+        if name == "separable_u8" and jnp.dtype(dtype) == jnp.uint8:
+            continue  # already measured
+        frames = jax.device_put(_mk(dt), sharding)
+        warm = jax.device_put(_mk(dt), sharding)
+        dts = timed_scan(
+            lambda f: sharded_apply_separable_2d(f, op, mesh).astype(dt),
+            frames, warm)
+        g = B * H * W / dts / 1e9
+        out[name] = {"gpixel_per_s": round(g, 3),
+                     "gpixel_per_s_per_chip": round(g / n_dev, 3),
+                     "dtype": jnp.dtype(dt).name}
+        print(f"# sharded2d {name} {data}x{rows}x{cols}: {g:.2f} "
+              f"Gpixel/s total, {g / n_dev:.2f}/chip")
+
+    # --- 2-D rotated ELL near 30 deg (angle scanned so every count
+    # divides the mesh: dst rows/cols, src rows/cols) ---
+    Hr = Wr = 1024
+    spec_r = None
+    for d_ang in [x / 10.0 for x in range(0, 40)]:
+        cand = make_grid_spec((Hr, Wr), 1.0, 0.5, (Wr / 2, Hr / 2),
+                              30.0 + d_ang)
+        Hd, Wd = cand.dst_shape
+        if (Hd % rows == 0 and Hr % rows == 0 and Wd % cols == 0
+                and Wr % cols == 0 and (Hr // rows) % 8 == 0):
+            spec_r = cand
+            break
+    assert spec_r is not None
+    op_r = ell_operator(spec_r, mode="exact")
+    dtype_r = (jnp.float32 if jnp.dtype(dtype) == jnp.uint8
+               else jnp.dtype(dtype))
+    frames_r = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32),
+        dtype=dtype_r), sharding)
+    warm_r = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, B, Hr, Wr)).astype(np.float32),
+        dtype=dtype_r), sharding)
+    impl_r = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    row_keys = {"hx_loc", "base_h", "r0_loc", "rsel"}
+    col_keys = {"gy_loc", "base_v", "c0_loc", "csel"}
+    try:
+        if impl_r != "pallas":
+            raise ValueError("non-TPU backend: XLA local apply")
+        fn_r, arrs = make_sharded_ell_pallas_2d(op_r, mesh)
+
+        def _shard_for(k, v):
+            if k in row_keys:
+                return NamedSharding(mesh, P(*(("rows",)
+                                               + (None,) * (v.ndim - 1))))
+            if k in col_keys:
+                return NamedSharding(mesh, P(*(("cols",)
+                                               + (None,) * (v.ndim - 1))))
+            # masks / w2t carry leading (n_r, n_c)
+            return NamedSharding(mesh, P(*(("rows", "cols")
+                                           + (None,) * (v.ndim - 2))))
+
+        consts = tuple(jax.device_put(v, _shard_for(k, v))
+                       for k, v in arrs.items())
+        dt_r = timed_scan(
+            lambda f, *cs: fn_r(f, *cs).astype(dtype_r),
+            frames_r, warm_r, consts=consts)
+    except ValueError as e:
+        print(f"# sharded2d pallas rotated off-envelope ({e}); XLA local")
+        impl_r = "xla"
+        tab_shard = NamedSharding(mesh, P("rows", "cols"))
+        base_arr = jax.device_put(jnp.asarray(op_r.base), tab_shard)
+        w_arr = jax.device_put(
+            jnp.asarray(op_r.weights, dtype=jnp.float32), tab_shard)
+        dt_r = timed_scan(
+            lambda f, b, w: sharded_apply_ell_2d(
+                f, op_r, mesh, base=b, weights=w,
+                impl="xla").astype(dtype_r),
+            frames_r, warm_r, consts=(base_arr, w_arr))
+    g_rot = B * Hr * Wr / dt_r / 1e9
+    out["rot30"] = {"angle": spec_r.rotation_angle, "impl": impl_r,
+                    "gpixel_per_s": round(g_rot, 3),
+                    "gpixel_per_s_per_chip": round(g_rot / n_dev, 3)}
+    print(f"# sharded2d rot{spec_r.rotation_angle:g} {data}x{rows}x"
+          f"{cols}: {g_rot:.2f} Gpixel/s total ({impl_r})")
+    g_total = out["separable"]["gpixel_per_s"]
+    return g_total, out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8,
@@ -626,7 +755,7 @@ def main():
                     help="benchmark every impl and report the best")
     ap.add_argument("--case", default="resize4k",
                     choices=("resize4k", "rot30", "regrid", "rgb1024",
-                             "sharded", "compose", "stream"))
+                             "sharded", "sharded2d", "compose", "stream"))
     args = ap.parse_args()
 
     if args.case == "stream":
@@ -650,6 +779,16 @@ def main():
             "chained": round(g_chain, 3),
             "fused_over_chained": round(g_fused / g_chain, 3),
             "max_abs_err_fused_vs_chained": err}))
+        return
+
+    if args.case == "sharded2d":
+        g, detail = bench_sharded_2d(args.batch, jnp.dtype(args.dtype))
+        m = detail["mesh"]
+        print(json.dumps({
+            "metric": "gpixel_per_s_sharded2d_separable_"
+                      f"{m['data']}x{m['rows']}x{m['cols']}",
+            "value": round(g, 3), "unit": "Gpixel/s",
+            "vs_baseline": round(g / 5.0, 3), "detail": detail}))
         return
 
     if args.case == "sharded":
