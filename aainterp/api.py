@@ -379,29 +379,33 @@ _XLA_SHEAR_CACHE = LruDict(4, max_bytes=4 << 30)
 _SHEAR3_CACHE = LruDict(8)
 
 
-def _shear3_plan(spec, weight_dtype=jnp.float32):
+def _shear3_plan(spec, weight_dtype=jnp.float32,
+                 decomposition: str = "quality"):
     """(plan, device arrays) for the 3-pass sheared rotated mode."""
     from .ops import shear3 as shear3_ops
 
-    key = (spec, jnp.dtype(weight_dtype).name)
+    key = (spec, jnp.dtype(weight_dtype).name, decomposition)
     hit = _SHEAR3_CACHE.get(key)
     if hit is None:
-        plan = shear3_ops.build_shear3_plan(spec)
+        plan = shear3_ops.build_shear3_plan(spec,
+                                            decomposition=decomposition)
         hit = (plan, shear3_ops.plan_arrays(plan, weight_dtype))
         _SHEAR3_CACHE.put(key, hit)
     return hit
 
 
-def _apply_shear3(spec, src, method: str, weight_dtype) -> jax.Array:
+def _apply_shear3(spec, src, method: str, weight_dtype,
+                  decomposition: str = "quality") -> jax.Array:
     """Route the 3-pass sheared apply (mode='shear').
 
     method: 'auto' (Pallas on TPU, XLA elsewhere), 'xla', or 'pallas'
     (raises off the Pallas envelope instead of silently degrading, like
-    the other forced impls).
+    the other forced impls).  decomposition: 'quality' (default) or
+    'fast' — see ops.shear3.build_shear3_plan.
     """
     from .ops import shear3 as shear3_ops
 
-    plan, arrs = _shear3_plan(spec, weight_dtype)
+    plan, arrs = _shear3_plan(spec, weight_dtype, decomposition)
     q = apply_ops.quadrant_rotate(src, spec.quadrant)
     if method == "auto":
         method = ("pallas" if jax.devices()[0].platform == "tpu"
@@ -512,6 +516,7 @@ def area_average_interpolate(
     weight_dtype=jnp.float32,
     fused: bool = False,
     differentiable: bool = False,
+    shear_decomposition: str = "quality",
 ) -> InterpResult:
     """Area-average interpolation with optional rotation about an isocenter.
 
@@ -569,7 +574,8 @@ def area_average_interpolate(
                 raise ValueError(
                     "mode='shear' builds no Operator (pass mode='exact' "
                     "to use an explicit operator, and fused=False)")
-            dst = _apply_shear3(spec, src, method, weight_dtype)
+            dst = _apply_shear3(spec, src, method, weight_dtype,
+                                shear_decomposition)
             return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter,
                                 spec=spec)
     if fused:

@@ -1,36 +1,25 @@
 """Pallas TPU pipeline for the 3-pass sheared rotated mode (ops/shear3).
 
-Three kernels, each reading its input once and writing its output once
-(the pass structure is axis-local, so no fusion across passes is
-possible without re-reading overlapped windows — same accounting that
-killed the fused exact-shear variants, BENCHMARKS.md):
+One kernel per pass, each reading its input once and writing its output
+once (the passes are axis-local; fusing across passes would re-read
+overlapped windows — the same accounting that killed the fused
+exact-shear variants, BENCHMARKS.md).  Two parameterised builders:
 
-  X1. x-translate: per-row fractional translate along lanes.  The
-      integer shifts use the residual-roll scheme proven in
-      ops/pallas_shear.py (per-row-block 128-aligned base hoisted to a
-      dynamic aligned store offset; in-register bit rolls cover only
-      the residual); the fractional part is ONE extra static roll and a
-      2-tap blend.
-  Y2. y-translate (+ shared banded resample when scale != dst_side):
-      per-column-strip translate along sublanes (16-aligned bases),
-      then the shared 1-D band as densified (TY, SY) @ (SY, 128) MXU
-      matmuls straight out of VMEM — the same banded y-pass shape as
-      the 311 Gpixel/s separable kernel.
-  X3. x-translate (+ shared band + reciprocal-coverage normalise +
-      output cast): per-row-block translate, banded x matmuls at
-      128-aligned dynamic offsets, multiply by the prefetched inv_cov
-      block, round/saturate for uint8.
+  Y-kernel — grid over (frame, 128-column strips): optional PRE-band
+      (densified (TY, SY) MXU matmuls straight off the raw strip at
+      STATIC bases — no scratch, no zero fill), per-column fractional
+      translate (residual-roll scheme: 16-aligned per-strip base as a
+      dynamic aligned store offset + in-register bit rolls + one static
+      roll + 2-tap blend), optional POST-band, static crop, optional
+      reciprocal-coverage multiply + output cast.
+  X-kernel — grid over (frame, row blocks): the lane-axis mirror
+      (128-aligned bases/crops).
 
-All I/O is BlockSpec-driven (Mosaic auto-pipelines the block DMAs);
-the planner aligns every crop offset (crop2 to the X3 row-block size,
-crop3 to the lane tile) so no kernel needs an unaligned access.
-Intermediates are bf16 by default (the approximation error of the mode
-is ~1e-3 relative; bf16 adds ~4e-3 worst-case rounding — measured in
-tests against the f32 pipeline) — halving the dominant HBM traffic.
-
-Reference context: this serves Source.cpp's rotated configs
-(Source.cpp:411-579 semantics approximated per ops/shear3.py's
-contract) at separable-class throughput.
+The pass list comes from ops/shear3.Shear3Plan — both decompositions
+(x-y-x translate-first, y-x-y reduce-first) lower onto the same two
+builders.  Intermediates are bf16 by default (the mode's approximation
+error dominates bf16 rounding — measured in tests); f32 staging is
+used automatically for f32 inputs, with HIGHEST-precision dots.
 """
 
 from __future__ import annotations
@@ -63,188 +52,6 @@ def _to_f32(x):
     return x.astype(jnp.float32)
 
 
-# ----------------------------------------------------------------------
-# host planner
-# ----------------------------------------------------------------------
-
-
-@dataclasses.dataclass
-class Shear3KernelPlan:
-    """Static geometry + host tables for the three kernels."""
-
-    # pass X1
-    qH: int
-    qW: int
-    qWp: int
-    qHp: int              # qH padded to BLKR1 (kernel grid rows)
-    BLKR1: int
-    RW1: int
-    nb1: int
-    W1p: int              # X1 output width (128-aligned)
-    base1: np.ndarray     # (qHp/BLKR1,) int32 128-aligned lane bases
-    d1: np.ndarray        # (qHp, 1) int32 residual source tables
-    f1: np.ndarray        # (qHp, 1) float32
-    # pass Y2
-    RH2: int
-    nb2: int
-    H2p: int              # Y2 output rows (translate grid or dst rows)
-    base2: np.ndarray     # (W1p/128,) int32 16-aligned sublane bases
-    d2: np.ndarray        # (1, W1p) int32
-    f2: np.ndarray        # (1, W1p) float32
-    Hsc2: int             # band-branch scratch rows (0 = fold branch)
-    TY2: int
-    rb2: Optional[np.ndarray]   # (nty2,) int32 8-aligned band row bases
-    wy2: Optional[np.ndarray]   # (nty2, TY2, SY2) float32
-    SY2: int
-    crop2: int            # X3 input row offset (multiple of BLKR3)
-    # pass X3
-    BLKR3: int
-    RW3: int
-    nb3: int
-    Wsc3: int             # translate scratch width (128-aligned)
-    base3: np.ndarray     # (Hd3p/BLKR3,) int32 128-aligned lane bases
-    d3: np.ndarray        # (Hd3p, 1) int32
-    f3: np.ndarray        # (Hd3p, 1) float32
-    TX3: int
-    cb3: Optional[np.ndarray]   # (ntx3,) int32 128-aligned band col bases
-    wx3: Optional[np.ndarray]   # (ntx3, SX3, TX3) float32
-    SX3: int
-    crop3: int            # fold-branch output col offset (mult of 128)
-    Hd3p: int
-    Wd3p: int
-    inv_cov: np.ndarray   # (Hd3p, Wd3p) float32
-    Hd: int
-    Wd: int
-
-
-def build_shear3_kernel_plan(plan: Shear3Plan, blkr1: int = 256,
-                             blkr3: int = 128) -> Shear3KernelPlan:
-    """Kernel tables from a Shear3Plan (host, exact integers)."""
-    spec = plan.spec
-    qH, qW = spec.qrot_shape
-    Hd, Wd = spec.dst_shape
-
-    # ---- X1 ----
-    BLKR1 = blkr1
-    qHp = _rup(qH, BLKR1)
-    qWp = _rup(qW, 128)
-    d1 = np.zeros(qHp, np.int64)
-    f1 = np.zeros(qHp, np.float32)
-    d1[:qH] = plan.d1
-    d1[qH:] = plan.d1[-1] if qH else 0
-    f1[:qH] = plan.f1
-    nrb1 = qHp // BLKR1
-    base1 = np.array([_rdn(int(d1[r * BLKR1:(r + 1) * BLKR1].min()), 128)
-                      for r in range(nrb1)], np.int64)
-    resid1 = d1 - np.repeat(base1, BLKR1)
-    assert (resid1 >= 0).all()
-    nb1 = max(1, int(resid1.max() + 1).bit_length())  # +1: the frac tap
-    RW1 = _rup(max(qWp, qW + int(resid1.max()) + 2), 128)
-    W1p = _rup(max(int(base1.max()) + RW1, plan.W1), 128)
-
-    # ---- Y2 ----
-    ncs = W1p // 128
-    d2 = np.zeros(W1p, np.int64)
-    f2 = np.zeros(W1p, np.float32)
-    n2 = min(plan.W1, W1p)
-    d2[:n2] = plan.d2[:n2]
-    d2[n2:] = plan.d2[-1]
-    f2[:n2] = plan.f2[:n2]
-    fold2 = plan.band2 is None
-    BLKR3 = blkr3
-    crop2 = plan.crop2
-    if fold2 and crop2 % BLKR3:
-        # lift the whole translate grid so the X3 row blocks start on a
-        # block boundary (pure relabeling: content and crop move together)
-        lift = BLKR3 - crop2 % BLKR3
-        d2 += lift
-        crop2 += lift
-    base2 = np.array([_rdn(int(d2[c * 128:(c + 1) * 128].min()), 16)
-                      for c in range(ncs)], np.int64)
-    resid2 = d2 - np.repeat(base2, 128)
-    assert (resid2 >= 0).all()
-    nb2 = max(1, int(resid2.max() + 1).bit_length())
-    RH2 = _rup(qHp + int(resid2.max()) + 2, 16)
-    Hfull = int(base2.max()) + RH2        # translate-grid rows touched
-
-    rb2 = wy2 = None
-    SY2 = 0
-    TY2 = 128
-    Hsc2 = 0
-    if fold2:
-        Hd3p = _rup(Hd, BLKR3)
-        # X3 consumes this array in BLKR3-row BlockSpec blocks: keep the
-        # row count block-divisible
-        H2p = _rup(max(Hfull, crop2 + Hd3p), BLKR3)
-        crop2_eff = crop2
-    else:
-        crop2_eff = 0
-        Hsc2 = _rup(Hfull, 8)
-        b2 = plan.band2
-        rb2, wy2, SY2 = _densify_row_band(
-            b2.start, b2.weights.astype(np.float32), Hsc2, TY2, align=8)
-        Hd3p = _rup(Hd, BLKR3)
-        H2p = _rup(Hd, TY2)
-        assert H2p >= Hd3p  # TY2 == BLKR3-compatible grids
-    assert crop2_eff % BLKR3 == 0
-
-    # ---- X3 ----
-    Hd3p = _rup(Hd, BLKR3)
-    d3 = np.zeros(Hd3p, np.int64)
-    f3 = np.zeros(Hd3p, np.float32)
-    d3[:Hd] = plan.d3
-    d3[Hd:] = plan.d3[-1] if Hd else 0
-    f3[:Hd] = plan.f3
-    fold3 = plan.band3 is None
-    crop3 = plan.crop3
-    if fold3 and crop3 % 128:
-        lift = 128 - crop3 % 128
-        d3 += lift
-        crop3 += lift
-    nrb3 = Hd3p // BLKR3
-    base3 = np.array([_rdn(int(d3[r * BLKR3:(r + 1) * BLKR3].min()), 128)
-                      for r in range(nrb3)], np.int64)
-    resid3 = d3 - np.repeat(base3, BLKR3)
-    assert (resid3 >= 0).all()
-    nb3 = max(1, int(resid3.max() + 1).bit_length())
-    RW3 = _rup(max(W1p, plan.W1 + int(resid3.max()) + 2), 128)
-    Wfull = int(base3.max()) + RW3
-    Wd3p = _rup(Wd, 128)
-    cb3 = wx3 = None
-    SX3 = 0
-    TX3 = 128
-    if fold3:
-        Wsc3 = _rup(max(Wfull, crop3 + Wd3p), 128)
-    else:
-        Wsc3 = _rup(Wfull, 128)
-        b3 = plan.band3
-        cb3, wx3_t, SX3 = _densify_row_band(
-            b3.start, b3.weights.astype(np.float32), Wsc3, TX3, align=128)
-        wx3 = np.ascontiguousarray(np.swapaxes(wx3_t, 1, 2))
-
-    inv_cov = np.zeros((Hd3p, Wd3p), np.float32)
-    inv_cov[:Hd, :Wd] = plan.inv_cov
-
-    return Shear3KernelPlan(
-        qH=qH, qW=qW, qWp=qWp, qHp=qHp, BLKR1=BLKR1, RW1=RW1, nb1=nb1,
-        W1p=W1p, base1=base1.astype(np.int32),
-        d1=d1.astype(np.int32)[:, None], f1=f1[:, None],
-        RH2=RH2, nb2=nb2, H2p=H2p, base2=base2.astype(np.int32),
-        d2=d2.astype(np.int32)[None, :], f2=f2[None, :],
-        Hsc2=Hsc2, TY2=TY2, rb2=rb2, wy2=wy2, SY2=SY2, crop2=crop2_eff,
-        BLKR3=BLKR3, RW3=RW3, nb3=nb3, Wsc3=Wsc3,
-        base3=base3.astype(np.int32),
-        d3=d3.astype(np.int32)[:, None], f3=f3[:, None],
-        TX3=TX3, cb3=cb3, wx3=wx3, SX3=SX3, crop3=crop3,
-        Hd3p=Hd3p, Wd3p=Wd3p, inv_cov=inv_cov, Hd=Hd, Wd=Wd,
-    )
-
-
-# ----------------------------------------------------------------------
-# kernels
-# ----------------------------------------------------------------------
-
-
 def _frac_roll(x, resid, frac, nb, axis):
     """Fractional roll: bit-rolls by the integer residual, then a 2-tap
     blend with the +1 static roll.  x is f32; resid/frac broadcast along
@@ -256,119 +63,178 @@ def _frac_roll(x, resid, frac, nb, axis):
     return x * (1.0 - frac) + x1 * frac
 
 
-@functools.lru_cache(maxsize=32)
-def _build_x1(F, qHp, qWp, BLKR1, RW1, nb1, W1p, in_dtype_name,
-              mid_dtype_name, interpret):
-    in_dtype = jnp.dtype(in_dtype_name)
-    mid_dtype = jnp.dtype(mid_dtype_name)
+@dataclasses.dataclass
+class StagePlan:
+    """Kernel tables for one pass (host)."""
 
-    def kernel(base_ref, d_ref, f_ref, x_ref, out_ref):
-        r = pl.program_id(1)
-        base = pl.multiple_of(base_ref[r], 128)
-        x = jnp.pad(_to_f32(x_ref[0]), ((0, 0), (0, RW1 - qWp)))
-        resid = d_ref[0] - base                      # (BLKR1, 1)
-        y = _frac_roll(x, resid, f_ref[0], nb1, axis=1)
-        out_ref[0] = jnp.zeros((BLKR1, W1p), mid_dtype)
-        out_ref[0, :, pl.ds(base, RW1)] = y.astype(mid_dtype)
-
-    nrb = qHp // BLKR1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(F, nrb),
-        in_specs=[
-            pl.BlockSpec((1, BLKR1, 1), lambda f, r, *_: (0, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLKR1, 1), lambda f, r, *_: (0, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLKR1, qWp), lambda f, r, *_: (f, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLKR1, W1p), lambda f, r, *_: (f, r, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, qHp, W1p), mid_dtype),
-        interpret=interpret,
-    )
+    axis: str
+    n_in: int             # input size along the pass axis (padded)
+    n_lines_p: int        # padded size of the other axis (grid blocks)
+    blk: int              # BLKR (x) or 128 (y): lines per program
+    # pre-band (band_first): static per-tile densified blocks
+    pre_base: Optional[Tuple[int, ...]]
+    pre_w: Optional[np.ndarray]    # (nt, TY, SY) f32
+    pre_SY: int
+    n_mid: int            # rows fed to the translate (pre out or n_in)
+    # translate
+    base: np.ndarray      # per-block aligned shift bases, int32
+    d: np.ndarray         # (n_lines_p, 1) int32
+    f: np.ndarray         # (n_lines_p, 1) float32
+    R: int                # roll-array size along the pass axis
+    nb: int
+    # post-band (translate-then-band)
+    post_base: Optional[Tuple[int, ...]]
+    post_w: Optional[np.ndarray]
+    post_SY: int
+    n_sc: int             # translate-grid scratch size (post/crop modes)
+    crop: int             # aligned crop into the translate grid
+    n_out_p: int          # padded output size along the pass axis
 
 
-@functools.lru_cache(maxsize=32)
-def _build_y2(F, qHp, W1p, RH2, nb2, H2p, Hsc2, TY2, SY2, nty2,
-              mid_dtype_name, interpret):
-    mid_dtype = jnp.dtype(mid_dtype_name)
-    band = Hsc2 > 0
-    # f32 staging keeps true f32 dots (DEFAULT silently truncates
-    # operands to bf16); the bf16 pipeline accepts the one-pass rounding
-    # (within the mode's approximation contract) for half the MXU passes
-    prec = (jax.lax.Precision.HIGHEST if mid_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+@dataclasses.dataclass
+class Shear3KernelPlan:
+    qH: int
+    qW: int
+    qHp: int
+    qWp: int
+    stages: Tuple[StagePlan, ...]
+    inv_cov: np.ndarray   # (Hd_p, Wd_p) float32
+    Hd: int
+    Wd: int
 
-    def kernel(*refs):
-        if band:
-            (base_ref, rb_ref, d_ref, f_ref, x_ref, wy_ref, out_ref,
-             scr_ref) = refs
+
+def build_shear3_kernel_plan(plan: Shear3Plan, blkr_x: int = 128,
+                             ) -> Shear3KernelPlan:
+    """Kernel tables from a Shear3Plan (host, exact integers)."""
+    spec = plan.spec
+    qH, qW = spec.qrot_shape
+    Hd, Wd = spec.dst_shape
+    passes = plan.passes
+
+    # padded chain shapes: rows multiple of blkr_x (x-stage blocks, and
+    # sublane tiling), cols multiple of 128 (lane tiling / y strips)
+    rows = _rup(qH, blkr_x)
+    cols = _rup(qW, 128)
+    qHp, qWp = rows, cols
+    stages = []
+    for idx, p in enumerate(passes):
+        last = idx == len(passes) - 1
+        if p.axis == "x":
+            n_in, n_lines_p, blk = cols, rows, blkr_x
+            s_align, c_align = 128, 128
         else:
-            base_ref, d_ref, f_ref, x_ref, out_ref = refs
-        c = pl.program_id(1)
-        base = pl.multiple_of(base_ref[c], 16)
-        x = jnp.pad(_to_f32(x_ref[0]), ((0, RH2 - qHp), (0, 0)))
-        resid = d_ref[0] - base                      # (1, 128)
-        y = _frac_roll(x, resid, f_ref[0], nb2, axis=0)
-        if not band:
-            out_ref[0] = jnp.zeros((H2p, 128), mid_dtype)
-            out_ref[0, pl.ds(base, RH2)] = y.astype(mid_dtype)
-            return
-        scr_ref[:] = jnp.zeros((Hsc2, 128), jnp.float32)
-        scr_ref[pl.ds(base, RH2)] = y
-        for t in range(nty2):
-            rb = pl.multiple_of(rb_ref[t], 8)
-            seg = scr_ref[pl.ds(rb, SY2)]
-            out_ref[0, t * TY2:(t + 1) * TY2] = jnp.dot(
-                wy_ref[0, t], seg, precision=prec,
-                preferred_element_type=jnp.float32).astype(mid_dtype)
+            n_in, n_lines_p, blk = rows, cols, 128
+            s_align, c_align = 16, 8
+        nlines_true = p.d.shape[0]
+        d = np.zeros(n_lines_p, np.int64)
+        f = np.zeros(n_lines_p, np.float32)
+        nl = min(nlines_true, n_lines_p)
+        d[:nl] = p.d[:nl]
+        d[nl:] = p.d[nl - 1] if nl else 0
+        f[:nl] = p.f[:nl]
 
-    ncs = W1p // 128
-    n_prefetch = 2 if band else 1
-    in_specs = [
-        pl.BlockSpec((1, 1, 128), lambda f, c, *_: (0, 0, c),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 128), lambda f, c, *_: (0, 0, c),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, qHp, 128), lambda f, c, *_: (f, 0, c),
-                     memory_space=pltpu.VMEM),
-    ]
-    scratch = []
-    if band:
-        in_specs.append(
-            pl.BlockSpec((1, nty2, TY2, SY2), lambda f, c, *_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM((Hsc2, 128), jnp.float32))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(F, ncs),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H2p, 128), lambda f, c, *_: (f, 0, c),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, H2p, W1p), mid_dtype),
-        interpret=interpret,
-    )
+        pre_base = pre_w = None
+        pre_SY = 0
+        if p.band is not None and p.band_first:
+            b = p.band
+            assert b.n_src <= n_in
+            TY = 128 if p.axis == "y" else blkr_x
+            # densify against the PADDED input (pad region: zero pixels
+            # meet zero weights)
+            db, dw, dSY = _densify_row_band(
+                b.start, b.weights.astype(np.float32), n_in, TY,
+                align=8 if p.axis == "y" else 128)
+            if p.axis == "x":
+                # the x dot is (blk, SY) @ (SY, TX): transpose the
+                # densified (nt, TX, SY) blocks
+                dw = np.ascontiguousarray(np.swapaxes(dw, 1, 2))
+            pre_base, pre_w, pre_SY = tuple(int(v) for v in db), dw, dSY
+            n_mid = dw.shape[0] * TY           # tiles cover all mid rows
+        else:
+            n_mid = n_in
+
+        crop = p.crop
+        if p.band is None or p.band_first:
+            # stage ends in translate(+crop): align the crop by lifting
+            # the whole translate grid (pure relabel)
+            if crop % c_align:
+                lift = c_align - crop % c_align
+                d += lift
+                crop += lift
+        nblk = n_lines_p // blk
+        base = np.array([_rdn(int(d[i * blk:(i + 1) * blk].min()), s_align)
+                         for i in range(nblk)], np.int64)
+        resid = d - np.repeat(base, blk)
+        assert (resid >= 0).all()
+        nb = max(1, int(resid.max() + 1).bit_length())
+        pitch = _rup(n_mid, s_align)
+        R = _rup(max(pitch, n_mid + int(resid.max()) + 2), s_align)
+        full = int(base.max()) + R
+
+        post_base = post_w = None
+        post_SY = 0
+        n_sc = 0
+        if p.band is not None and not p.band_first:
+            b = p.band
+            TY = 128 if p.axis == "y" else blkr_x
+            n_sc = _rup(full, s_align)
+            db, dw, dSY = _densify_row_band(
+                b.start, b.weights.astype(np.float32), n_sc, TY,
+                align=8 if p.axis == "y" else 128)
+            if p.axis == "x":
+                dw = np.ascontiguousarray(np.swapaxes(dw, 1, 2))
+            post_base, post_w, post_SY = tuple(int(v) for v in db), dw, dSY
+            n_out_p = dw.shape[0] * TY
+        else:
+            n_out_p = _rup(p.n_out, blkr_x if p.axis == "y" else 128)
+            # the translate scratch must cover both the stored roll and
+            # the cropped output window
+            n_sc = _rup(max(full, crop + n_out_p), s_align)
+
+        stages.append(StagePlan(
+            axis=p.axis, n_in=n_in, n_lines_p=n_lines_p, blk=blk,
+            pre_base=pre_base, pre_w=pre_w, pre_SY=pre_SY, n_mid=n_mid,
+            base=base.astype(np.int32),
+            d=d.astype(np.int32)[:, None], f=f[:, None],
+            R=R, nb=nb,
+            post_base=post_base, post_w=post_w, post_SY=post_SY,
+            n_sc=n_sc, crop=crop, n_out_p=n_out_p))
+        # chain: this stage's output size becomes the next stage's input
+        if p.axis == "x":
+            cols = n_out_p
+        else:
+            rows = n_out_p
+        del last
+
+    Hd_p, Wd_p = rows, cols
+    assert Hd_p >= Hd and Wd_p >= Wd, (Hd_p, Wd_p, Hd, Wd)
+    inv_cov = np.zeros((Hd_p, Wd_p), np.float32)
+    inv_cov[:Hd, :Wd] = plan.inv_cov
+    return Shear3KernelPlan(qH=qH, qW=qW, qHp=qHp, qWp=qWp,
+                            stages=tuple(stages), inv_cov=inv_cov,
+                            Hd=Hd, Wd=Wd)
 
 
-@functools.lru_cache(maxsize=32)
-def _build_x3(F, H2p, W1p, BLKR3, RW3, nb3, Wsc3, crop2, crop3,
-              TX3, SX3, ntx3, Hd3p, Wd3p, mid_dtype_name, out_dtype_name,
-              interpret):
-    mid_dtype = jnp.dtype(mid_dtype_name)
+# ----------------------------------------------------------------------
+# the two stage builders
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _build_y_stage(F, n_in, ncs, pre_base, pre_SY, n_mid, R, nb,
+                   post_base, post_SY, n_sc, crop, n_out_p,
+                   in_dtype_name, out_dtype_name, has_cov, interpret):
+    """Column-strip kernel: [pre-band] -> translate -> [post-band |
+    crop] -> [cov] -> cast.  Tables: scalar-prefetch base (ncs,),
+    BlockSpec d/f (1,1,strip) and weight stacks; cov as (1, n_out_p,
+    128) strip blocks."""
+    in_dtype = jnp.dtype(in_dtype_name)
     out_dtype = jnp.dtype(out_dtype_name)
-    band = SX3 > 0
-    roff = crop2 // BLKR3
-    prec = (jax.lax.Precision.HIGHEST if mid_dtype == jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    TY = 128
+    npre = 0 if pre_base is None else len(pre_base)
+    npost = 0 if post_base is None else len(post_base)
 
     def to_out(blk):
         if out_dtype == jnp.uint8:
@@ -377,59 +243,200 @@ def _build_x3(F, H2p, W1p, BLKR3, RW3, nb3, Wsc3, crop2, crop3,
         return blk.astype(out_dtype)
 
     def kernel(*refs):
-        if band:
-            (base_ref, cb_ref, d_ref, f_ref, x_ref, wx_ref, cov_ref,
-             out_ref, scr_ref) = refs
-        else:
-            (base_ref, d_ref, f_ref, x_ref, cov_ref, out_ref,
-             scr_ref) = refs
-        r = pl.program_id(1)
-        base = pl.multiple_of(base_ref[r], 128)
-        x = jnp.pad(_to_f32(x_ref[0]), ((0, 0), (0, RW3 - W1p)))
-        resid = d_ref[0] - base                      # (BLKR3, 1)
-        y = _frac_roll(x, resid, f_ref[0], nb3, axis=1)
-        scr_ref[:] = jnp.zeros((BLKR3, Wsc3), jnp.float32)
-        scr_ref[:, pl.ds(base, RW3)] = y
-        if band:
-            for t in range(ntx3):
-                cb = pl.multiple_of(cb_ref[t], 128)
-                seg = scr_ref[:, pl.ds(cb, SX3)]
-                blk = jnp.dot(seg, wx_ref[0, t], precision=prec,
-                              preferred_element_type=jnp.float32)
-                blk = blk * cov_ref[0, :, t * TX3:(t + 1) * TX3]
-                out_ref[0, :, t * TX3:(t + 1) * TX3] = to_out(blk)
-        else:
-            blk = scr_ref[:, crop3: crop3 + Wd3p] * cov_ref[0]
-            out_ref[0] = to_out(blk)
+        it = list(refs)
+        base_ref = it.pop(0)
+        d_ref = it.pop(0)
+        f_ref = it.pop(0)
+        x_ref = it.pop(0)
+        wpre_ref = it.pop(0) if npre else None
+        wpost_ref = it.pop(0) if npost else None
+        cov_ref = it.pop(0) if has_cov else None
+        out_ref = it.pop(0)
+        scr_ref = it.pop(0) if it else None
 
-    nrb3 = Hd3p // BLKR3
-    n_prefetch = 2 if band else 1
+        c = pl.program_id(1)
+        if npre:
+            parts = []
+            for t in range(npre):
+                seg = _to_f32(x_ref[0, pre_base[t]: pre_base[t] + pre_SY])
+                parts.append(jnp.dot(
+                    wpre_ref[0, t], seg, precision=prec,
+                    preferred_element_type=jnp.float32))
+            x = jnp.concatenate(parts, axis=0)       # (n_mid, 128)
+        else:
+            x = _to_f32(x_ref[0])
+        base = pl.multiple_of(base_ref[c], 16)
+        x = jnp.pad(x, ((0, R - n_mid), (0, 0)))
+        resid = d_ref[0] - base                      # (1, 128)
+        y = _frac_roll(x, resid, f_ref[0], nb, axis=0)
+
+        if npost:
+            scr_ref[:] = jnp.zeros((n_sc, 128), jnp.float32)
+            scr_ref[pl.ds(base, R)] = y
+            for t in range(npost):
+                seg = scr_ref[post_base[t]: post_base[t] + post_SY]
+                blk = jnp.dot(wpost_ref[0, t], seg, precision=prec,
+                              preferred_element_type=jnp.float32)
+                if has_cov:
+                    blk = blk * cov_ref[0, t * TY:(t + 1) * TY]
+                out_ref[0, t * TY:(t + 1) * TY] = to_out(blk)
+            return
+        if crop or n_sc != n_out_p or has_cov:
+            scr_ref[:] = jnp.zeros((n_sc, 128), jnp.float32)
+            scr_ref[pl.ds(base, R)] = y
+            blk = scr_ref[crop: crop + n_out_p]
+            if has_cov:
+                blk = blk * cov_ref[0]
+            out_ref[0] = to_out(blk)
+            return
+        out_ref[0] = jnp.zeros((n_out_p, 128), out_dtype)
+        out_ref[0, pl.ds(base, R)] = to_out(y)
+
     in_specs = [
-        pl.BlockSpec((1, BLKR3, 1), lambda f, r, *_: (0, r, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BLKR3, 1), lambda f, r, *_: (0, r, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BLKR3, W1p), lambda f, r, *_: (f, r + roff, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 128), lambda f, c, *_: (0, 0, c),
+                     memory_space=pltpu.VMEM),       # d
+        pl.BlockSpec((1, 1, 128), lambda f, c, *_: (0, 0, c),
+                     memory_space=pltpu.VMEM),       # f
+        pl.BlockSpec((1, n_in, 128), lambda f, c, *_: (f, 0, c),
+                     memory_space=pltpu.VMEM),       # x strip
     ]
-    if band:
-        in_specs.append(
-            pl.BlockSpec((1, ntx3, SX3, TX3), lambda f, r, *_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM))
-    in_specs.append(
-        pl.BlockSpec((1, BLKR3, Wd3p), lambda f, r, *_: (0, r, 0),
-                     memory_space=pltpu.VMEM))
+    if npre:
+        in_specs.append(pl.BlockSpec(
+            (1, npre, TY, pre_SY), lambda f, c, *_: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    if npost:
+        in_specs.append(pl.BlockSpec(
+            (1, npost, TY, post_SY), lambda f, c, *_: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    if has_cov:
+        in_specs.append(pl.BlockSpec(
+            (1, n_out_p, 128), lambda f, c, *_: (0, 0, c),
+            memory_space=pltpu.VMEM))
+    scratch = []
+    need_scratch = npost or crop or n_sc != n_out_p or has_cov
+    if need_scratch:
+        scratch.append(pltpu.VMEM((n_sc, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(F, nrb3),
+        num_scalar_prefetch=1,
+        grid=(F, ncs),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, BLKR3, Wd3p), lambda f, r, *_: (f, r, 0),
+        out_specs=pl.BlockSpec((1, n_out_p, 128),
+                               lambda f, c, *_: (f, 0, c),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLKR3, Wsc3), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, Hd3p, Wd3p), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((F, n_out_p, ncs * 128), out_dtype),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_x_stage(F, n_in, nrb, blk, pre_base, pre_SY, n_mid, R, nb,
+                   post_base, post_SY, n_sc, crop, n_out_p,
+                   in_dtype_name, out_dtype_name, has_cov, interpret):
+    """Row-block kernel: lane-axis mirror of _build_y_stage."""
+    in_dtype = jnp.dtype(in_dtype_name)
+    out_dtype = jnp.dtype(out_dtype_name)
+    prec = (jax.lax.Precision.HIGHEST if in_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    TX = 128
+    npre = 0 if pre_base is None else len(pre_base)
+    npost = 0 if post_base is None else len(post_base)
+
+    def to_out(b):
+        if out_dtype == jnp.uint8:
+            return jnp.clip(jnp.round(b), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+        return b.astype(out_dtype)
+
+    def kernel(*refs):
+        it = list(refs)
+        base_ref = it.pop(0)
+        d_ref = it.pop(0)
+        f_ref = it.pop(0)
+        x_ref = it.pop(0)
+        wpre_ref = it.pop(0) if npre else None
+        wpost_ref = it.pop(0) if npost else None
+        cov_ref = it.pop(0) if has_cov else None
+        out_ref = it.pop(0)
+        scr_ref = it.pop(0) if it else None
+
+        r = pl.program_id(1)
+        if npre:
+            parts = []
+            for t in range(npre):
+                seg = _to_f32(
+                    x_ref[0][:, pre_base[t]: pre_base[t] + pre_SY])
+                parts.append(jnp.dot(
+                    seg, wpre_ref[0, t], precision=prec,
+                    preferred_element_type=jnp.float32))
+            x = jnp.concatenate(parts, axis=1)       # (blk, n_mid)
+        else:
+            x = _to_f32(x_ref[0])
+        base = pl.multiple_of(base_ref[r], 128)
+        x = jnp.pad(x, ((0, 0), (0, R - n_mid)))
+        resid = d_ref[0] - base                      # (blk, 1)
+        y = _frac_roll(x, resid, f_ref[0], nb, axis=1)
+
+        if npost:
+            scr_ref[:] = jnp.zeros((blk, n_sc), jnp.float32)
+            scr_ref[:, pl.ds(base, R)] = y
+            for t in range(npost):
+                seg = scr_ref[:, post_base[t]: post_base[t] + post_SY]
+                b = jnp.dot(seg, wpost_ref[0, t], precision=prec,
+                            preferred_element_type=jnp.float32)
+                if has_cov:
+                    b = b * cov_ref[0][:, t * TX:(t + 1) * TX]
+                out_ref[0, :, t * TX:(t + 1) * TX] = to_out(b)
+            return
+        if crop or n_sc != n_out_p or has_cov:
+            scr_ref[:] = jnp.zeros((blk, n_sc), jnp.float32)
+            scr_ref[:, pl.ds(base, R)] = y
+            b = scr_ref[:, crop: crop + n_out_p]
+            if has_cov:
+                b = b * cov_ref[0]
+            out_ref[0] = to_out(b)
+            return
+        out_ref[0] = jnp.zeros((blk, n_out_p), out_dtype)
+        out_ref[0, :, pl.ds(base, R)] = to_out(y)
+
+    in_specs = [
+        pl.BlockSpec((1, blk, 1), lambda f, r, *_: (0, r, 0),
+                     memory_space=pltpu.VMEM),       # d
+        pl.BlockSpec((1, blk, 1), lambda f, r, *_: (0, r, 0),
+                     memory_space=pltpu.VMEM),       # f
+        pl.BlockSpec((1, blk, n_in), lambda f, r, *_: (f, r, 0),
+                     memory_space=pltpu.VMEM),       # x rows
+    ]
+    if npre:
+        in_specs.append(pl.BlockSpec(
+            (1, npre, pre_SY, TX), lambda f, r, *_: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    if npost:
+        in_specs.append(pl.BlockSpec(
+            (1, npost, post_SY, TX), lambda f, r, *_: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    if has_cov:
+        in_specs.append(pl.BlockSpec(
+            (1, blk, n_out_p), lambda f, r, *_: (0, r, 0),
+            memory_space=pltpu.VMEM))
+    scratch = []
+    if npost or crop or n_sc != n_out_p or has_cov:
+        scratch.append(pltpu.VMEM((blk, n_sc), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(F, nrb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk, n_out_p),
+                               lambda f, r, *_: (f, r, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, nrb * blk, n_out_p), out_dtype),
         interpret=interpret,
     )
 
@@ -443,13 +450,13 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
                         *, mid_dtype=jnp.bfloat16, out_dtype=None,
                         interpret: bool = False,
                         kernel_plan: Shear3KernelPlan = None) -> jax.Array:
-    """Pallas 3-pass apply: (..., qH, qW) -> (..., Hd, Wd).
+    """Pallas pass-pipeline apply: (..., qH, qW) -> (..., Hd, Wd).
 
     ``arrs`` (the XLA table dict) is accepted for signature parity with
-    apply_shear3_xla but unused — the kernel tables live in the
-    kernel plan (small: O(H + W) int32/f32 vectors + the coverage
-    image).  bf16 intermediates by default; pass mid_dtype=jnp.float32
-    for full f32 staging.
+    apply_shear3_xla but unused — the kernel tables live in the kernel
+    plan (small: O(H + W) vectors, densified band blocks, and the
+    coverage image).  bf16 intermediates by default; f32 inputs stage
+    in f32 with HIGHEST-precision dots (no silent degrade).
     """
     del arrs
     if q.ndim == 2:
@@ -478,54 +485,49 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
         mid = jnp.float32  # don't silently degrade f32 inputs
     if (kp.qHp, kp.qWp) != (H, W):
         q = jnp.pad(q, ((0, 0), (0, kp.qHp - H), (0, kp.qWp - W)))
-
-    with jax.ensure_compile_time_eval():
-        base1 = jnp.asarray(kp.base1)
-        d1 = jnp.asarray(kp.d1[None])
-        f1 = jnp.asarray(kp.f1[None])
-        base2 = jnp.asarray(kp.base2)
-        d2 = jnp.asarray(kp.d2[None])
-        f2 = jnp.asarray(kp.f2[None])
-        base3 = jnp.asarray(kp.base3)
-        d3 = jnp.asarray(kp.d3[None])
-        f3 = jnp.asarray(kp.f3[None])
-        cov = jnp.asarray(kp.inv_cov[None])
-
     mid_name = jnp.dtype(mid).name
-    x1 = _build_x1(F, kp.qHp, kp.qWp, kp.BLKR1, kp.RW1, kp.nb1, kp.W1p,
-                   jnp.dtype(in_dtype).name, mid_name, interpret)
-    o1 = x1(base1, d1, f1, q)
 
-    nty2 = 0 if kp.rb2 is None else kp.wy2.shape[0]
-    y2 = _build_y2(F, kp.qHp, kp.W1p, kp.RH2, kp.nb2, kp.H2p, kp.Hsc2,
-                   kp.TY2, kp.SY2, nty2, mid_name, interpret)
-    if kp.rb2 is None:
-        o2 = y2(base2, d2, f2, o1)
-    else:
+    x = q
+    n_st = len(kp.stages)
+    for i, st in enumerate(kp.stages):
+        last = i == n_st - 1
+        stage_in = jnp.dtype(x.dtype).name
+        stage_out = jnp.dtype(out_dtype).name if last else mid_name
         with jax.ensure_compile_time_eval():
-            rb2 = jnp.asarray(kp.rb2)
-            wy2 = jnp.asarray(kp.wy2[None])
-        o2 = y2(base2, rb2, d2, f2, o1, wy2)
-
-    ntx3 = 0 if kp.cb3 is None else kp.wx3.shape[0]
-    x3 = _build_x3(F, kp.H2p, kp.W1p, kp.BLKR3, kp.RW3, kp.nb3, kp.Wsc3,
-                   kp.crop2, kp.crop3, kp.TX3, kp.SX3, ntx3, kp.Hd3p,
-                   kp.Wd3p, mid_name, jnp.dtype(out_dtype).name, interpret)
-    if kp.cb3 is None:
-        out = x3(base3, d3, f3, o2, cov)
-    else:
-        with jax.ensure_compile_time_eval():
-            cb3 = jnp.asarray(kp.cb3)
-            wx3 = jnp.asarray(kp.wx3[None])
-        out = x3(base3, cb3, d3, f3, o2, wx3, cov)
-    return out[:, : kp.Hd, : kp.Wd]
+            base = jnp.asarray(st.base)
+            d = jnp.asarray(st.d[None])
+            f = jnp.asarray(st.f[None])
+            extra = []
+            if st.pre_base is not None:
+                extra.append(jnp.asarray(st.pre_w[None]))
+            if st.post_base is not None:
+                extra.append(jnp.asarray(st.post_w[None]))
+            if last:
+                extra.append(jnp.asarray(kp.inv_cov[None]))
+        if st.axis == "y":
+            d_blk = jnp.swapaxes(d, -1, -2)
+            f_blk = jnp.swapaxes(f, -1, -2)
+            call = _build_y_stage(
+                F, st.n_in, st.n_lines_p // 128, st.pre_base, st.pre_SY,
+                st.n_mid, st.R, st.nb, st.post_base, st.post_SY, st.n_sc,
+                st.crop, st.n_out_p, stage_in, stage_out, last, interpret)
+            x = call(base, d_blk, f_blk, x, *extra)
+        else:
+            call = _build_x_stage(
+                F, st.n_in, st.n_lines_p // st.blk, st.blk, st.pre_base,
+                st.pre_SY, st.n_mid, st.R, st.nb, st.post_base,
+                st.post_SY, st.n_sc, st.crop, st.n_out_p, stage_in,
+                stage_out, last, interpret)
+            x = call(base, d, f, x, *extra)
+    return x[:, : kp.Hd, : kp.Wd]
 
 
 _KP_CACHE: dict = {}
 
 
 def build_shear3_kernel_plan_cached(plan: Shear3Plan) -> Shear3KernelPlan:
-    key = plan.spec
+    key = (plan.spec, tuple((p.axis, p.band_first, p.band is not None)
+                            for p in plan.passes))
     kp = _KP_CACHE.get(key)
     if kp is None:
         kp = build_shear3_kernel_plan(plan)

@@ -199,8 +199,9 @@ def build_cases(small: bool = False):
     fg = jax.device_put(
         jnp.asarray(rng.uniform(0, 1, (B, Hg, Wg)).astype(np.float32)),
         NamedSharding(mesh1, P("data", "rows", None)))
+    dfac = 10 if (Hg // 10) % 4 == 0 else 5   # dst rows must divide rows=4
     hlo = _compile(lambda f: rg.conservative_regrid_sharded(
-        f, rg.LatLonGrid(Hg, Wg), rg.LatLonGrid(Hg // 10, Wg // 10),
+        f, rg.LatLonGrid(Hg, Wg), rg.LatLonGrid(Hg // dfac, Wg // dfac),
         mesh1), fg)
     cases.append(("regrid_1d_2x4", hlo, (B // 2) * (Hg // 4) * Wg,
                   GPIX_SEP, 1))

@@ -42,51 +42,66 @@ def _smooth(H, W):
             + 0.2 * np.cos(2 * math.pi * (x + y) / (H + W)))
 
 
+def _decs_for(spec):
+    """Decompositions valid for a geometry: xyx always, yxy when the
+    pass scale reduces (scale < dst_side)."""
+    return ("xyx", "yxy") if spec.scale < spec.dst_side else ("xyx",)
+
+
 @pytest.mark.parametrize("H,W,sr,dr,ang", GEOMS)
 def test_invariants(H, W, sr, dr, ang):
     spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
-    plan = build_shear3_plan(spec)
     qH, qW = spec.qrot_shape
+    for dec in _decs_for(spec):
+        plan = build_shear3_plan(spec, decomposition=dec)
 
-    # constant image -> exactly 1 on the covered region, 0 outside
-    out = apply_shear3_np(plan, np.ones((qH, qW)))
-    covered = plan.inv_cov > 0
-    assert covered.mean() > 0.3
-    assert np.abs(out[covered] - 1.0).max() < 1e-6
-    if (~covered).any():
-        assert np.abs(out[~covered]).max() == 0.0
+        # constant image -> exactly 1 on the covered region, 0 outside
+        out = apply_shear3_np(plan, np.ones((qH, qW)))
+        covered = plan.inv_cov > 0
+        assert covered.mean() > 0.3
+        assert np.abs(out[covered] - 1.0).max() < 1e-6
+        if (~covered).any():
+            assert np.abs(out[~covered]).max() == 0.0
 
-    # exact flux conservation for an interior-supported image: every
-    # stage is mass-preserving by construction (not approximation)
-    q = np.zeros((qH, qW))
-    m = max(4, qH // 4, qW // 4)
-    q[m:-m, m:-m] = RNG.uniform(0.5, 1.5, (qH - 2 * m, qW - 2 * m))
-    un = apply_shear3_np(plan, q, normalize=False)
-    flux_in = q.sum() * spec.scale ** 2
-    flux_out = un.sum() * spec.dst_side ** 2
-    assert abs(flux_out - flux_in) / flux_in < 1e-12
+        # exact flux conservation for an interior-supported image:
+        # every stage is mass-preserving by construction (both
+        # decompositions — conservation is NOT part of the
+        # approximation trade)
+        q = np.zeros((qH, qW))
+        m = max(4, qH // 4, qW // 4)
+        q[m:-m, m:-m] = RNG.uniform(0.5, 1.5, (qH - 2 * m, qW - 2 * m))
+        un = apply_shear3_np(plan, q, normalize=False)
+        flux_in = q.sum() * spec.scale ** 2
+        flux_out = un.sum() * spec.dst_side ** 2
+        assert abs(flux_out - flux_in) / flux_in < 1e-12, dec
 
 
 @pytest.mark.parametrize("H,W,sr,dr,ang", GEOMS)
 def test_accuracy_vs_exact(H, W, sr, dr, ang):
-    """The approximation contract: ~1e-3-relative rms smearing vs the
-    exact polygon-clip operator on smooth content."""
+    """The approximation contract vs the exact polygon-clip operator on
+    smooth content: x-y-x (translate at source pitch) ~0.5%-of-range
+    rms; y-x-y (reduce-first, dst-pitch translates — the fast serving
+    decomposition) trades ~2-3x that smearing for ~2x throughput."""
     spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
-    plan = build_shear3_plan(spec)
     src = _smooth(H, W)
     exact = np.asarray(aa.area_average_interpolate(
         src, sr, dr, (W / 2, H / 2), ang, mode="exact").dst, np.float64)
-    approx = apply_shear3_np(plan, _quad_input(src, spec))
-    covered = (plan.inv_cov > 0) & (exact != 0)
-    # boundary slivers (coverage << 1) renormalise a sub-cell region and
-    # the two methods disagree about WHICH sliver — the tight contract
-    # holds on well-covered pixels, a loose one everywhere covered
-    well = covered & (plan.inv_cov <= 1.5)
-    rng_v = exact[covered].max() - exact[covered].min()
-    rms = float(np.sqrt(((approx - exact)[well] ** 2).mean()))
-    assert rms / rng_v < 5e-3, (rms, rng_v)
-    assert np.abs((approx - exact)[well]).max() / rng_v < 0.08
-    assert np.abs((approx - exact)[covered]).max() / rng_v < 0.25
+    for dec, rms_bound, max_bound in (("xyx", 5e-3, 0.08),
+                                      ("yxy", 1.6e-2, 0.2)):
+        if dec not in _decs_for(spec):
+            continue
+        plan = build_shear3_plan(spec, decomposition=dec)
+        approx = apply_shear3_np(plan, _quad_input(src, spec))
+        covered = (plan.inv_cov > 0) & (exact != 0)
+        # boundary slivers (coverage << 1) renormalise a sub-cell region
+        # and the two methods disagree about WHICH sliver — the tight
+        # contract holds on well-covered pixels
+        well = covered & (plan.inv_cov <= 1.5)
+        rng_v = exact[covered].max() - exact[covered].min()
+        rms = float(np.sqrt(((approx - exact)[well] ** 2).mean()))
+        assert rms / rng_v < rms_bound, (dec, rms, rng_v)
+        assert np.abs((approx - exact)[well]).max() / rng_v < max_bound
+        assert np.abs((approx - exact)[covered]).max() / rng_v < 0.3
 
 
 def test_xla_matches_numpy_and_batches():
@@ -166,18 +181,36 @@ def test_shear_quality_contract():
     H = W = 128
     iso = (W / 2.0, H / 2.0)
 
-    # (1) single-rotation accuracy vs exact: shear beats fast
+    # (1) single-rotation accuracy vs exact, near-Nyquist content: the
+    # default (quality, x-y-x) decomposition beats the reference's fast
+    # mode; the 'fast' (y-x-y reduce-first) decomposition does NOT on
+    # this content class (its contract is smooth content, where it wins
+    # ~3x — pinned below) — which is why 'quality' is the default.
     spec = aa.make_grid_spec((H, W), 1.0, 0.5, iso, 30.0)
     exact = np.asarray(aa.area_average_interpolate(
         src, 1.0, 0.5, iso, 30.0, mode="exact").dst, np.float64)
     fast = np.asarray(aa.area_average_interpolate(
         src, 1.0, 0.5, iso, 30.0, mode="fast").dst, np.float64)
-    plan = build_shear3_plan(spec)
+    plan = build_shear3_plan(spec)             # auto == quality == xyx
     shear = apply_shear3_np(plan, _quad_input(src, spec))
     m = (plan.inv_cov > 0) & (plan.inv_cov <= 1.5) & (exact != 0)
     rms_f = float(np.sqrt(((fast - exact)[m] ** 2).mean()))
     rms_s = float(np.sqrt(((shear - exact)[m] ** 2).mean()))
     assert rms_s < 0.7 * rms_f, (rms_s, rms_f)
+
+    # (1b) smooth content (the dosimetry domain): BOTH decompositions
+    # beat the fast mode, yxy included
+    smooth = _smooth(H, W)
+    exact_s = np.asarray(aa.area_average_interpolate(
+        smooth, 1.0, 0.5, iso, 30.0, mode="exact").dst, np.float64)
+    fast_s = np.asarray(aa.area_average_interpolate(
+        smooth, 1.0, 0.5, iso, 30.0, mode="fast").dst, np.float64)
+    plan_y = build_shear3_plan(spec, decomposition="fast")
+    shear_y = apply_shear3_np(plan_y, _quad_input(smooth, spec))
+    m2 = (plan_y.inv_cov > 0) & (plan_y.inv_cov <= 1.5) & (exact_s != 0)
+    rms_fy = float(np.sqrt(((fast_s - exact_s)[m2] ** 2).mean()))
+    rms_sy = float(np.sqrt(((shear_y - exact_s)[m2] ** 2).mean()))
+    assert rms_sy < 0.75 * rms_fy, (rms_sy, rms_fy)
 
     # (2) roundtrip PSNR stays within 1.5 dB of bilinear (same class)
     def roundtrip(mode):
@@ -212,17 +245,18 @@ def test_pallas_interpret_matches_numpy(H, W, sr, dr, ang):
     from aainterp.ops.pallas_shear3 import apply_shear3_pallas
 
     spec = aa.make_grid_spec((H, W), sr, dr, (W / 2, H / 2), ang)
-    plan = build_shear3_plan(spec)
     qH, qW = spec.qrot_shape
     q = RNG.uniform(0, 1, (2, qH, qW)).astype(np.float32)
-    ref = apply_shear3_np(plan, q)
-    out = np.asarray(apply_shear3_pallas(
-        plan, jnp.asarray(q), mid_dtype=jnp.float32, interpret=True))
-    np.testing.assert_allclose(out, ref, atol=3e-6)
-    # bf16 staging stays within the mode's approximation contract
-    outb = np.asarray(apply_shear3_pallas(
-        plan, jnp.asarray(q, jnp.bfloat16), interpret=True))
-    assert np.abs(outb.astype(np.float64) - ref).max() < 2e-2
+    for dec in _decs_for(spec):
+        plan = build_shear3_plan(spec, decomposition=dec)
+        ref = apply_shear3_np(plan, q)
+        out = np.asarray(apply_shear3_pallas(
+            plan, jnp.asarray(q), mid_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-6)
+        # bf16 staging stays within the mode's approximation contract
+        outb = np.asarray(apply_shear3_pallas(
+            plan, jnp.asarray(q, jnp.bfloat16), interpret=True))
+        assert np.abs(outb.astype(np.float64) - ref).max() < 2e-2, dec
 
 
 def test_pallas_interpret_u8():
