@@ -13,6 +13,8 @@ Slower than the unit suite (the scalar C++ oracle takes seconds per run);
 still inside the CI budget (~40 s total on CPU).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,3 +81,16 @@ def test_compat_rotated_256():
 def test_fast_rotated_512_film_config():
     """Fast mode at 512x512 with the shipped film config angles."""
     _assert_parity(SRC512, 150.0, 25.4, (255.0, 257.0), 1.5, "fast")
+
+
+@pytest.mark.skipif(
+    os.environ.get("AAINTERP_SLOW_TESTS", "") != "1",
+    reason="set AAINTERP_SLOW_TESTS=1 (adds ~30 s: 1024^2 scalar oracle)",
+)
+def test_compat_rotated_1024():
+    """Compat envelope at migration size (VERDICT r4 weak 5): 1024^2 /
+    30 deg bug-for-bug parity.  Measured 2026-08-20: oracle 14.0 s,
+    compat native weight-gen + apply 16.1 s, max err 6.1e-7 — the
+    validated envelope recorded in PARITY.md."""
+    src = np.random.default_rng(1024).uniform(0.0, 1.0, (1024, 1024))
+    _assert_parity(src, 1.0, 0.5, (512.0, 512.0), 30.0, "compat")
