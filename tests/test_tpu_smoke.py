@@ -324,3 +324,45 @@ np.testing.assert_allclose(np.asarray(adj), np.asarray(pull_ref(cot)[0]),
                            atol=1e-4)
 print('custom vjp on TPU ok')
 """)
+
+
+def test_mosaic_watchlist_on_tpu():
+    """The parked-win watchlist (VERDICT r4 item 3): every probe runs to
+    a verdict on the live backend.  If a probe reports LIFTED after a
+    libtpu bump, the corresponding parked implementation should be
+    re-benchmarked (BENCHMARKS.md names each)."""
+    out = _run_on_tpu("""
+import sys
+sys.path.insert(0, '.')
+from benchmarks.mosaic_watchlist import run_watchlist
+res = run_watchlist()
+assert set(res) == {'strided_y_bf16', 'strided_load', 'value_slice',
+                    'unaligned_dma', 'high_dot', 'vpu_dyn_rows'}, res
+for name, (status, detail) in res.items():
+    assert status in ('LIFTED', 'blocked'), (name, status, detail)
+print('watchlist OK:', {k: v[0] for k, v in res.items()})
+""")
+    assert "watchlist OK" in out
+
+
+def test_shear3_on_tpu():
+    """mode='shear' Pallas pipeline at small shape, both decompositions:
+    Mosaic compile + numerics vs the numpy reference."""
+    _run_on_tpu("""
+import numpy as np, jax.numpy as jnp
+import aainterp as aa
+from aainterp.ops.shear3 import build_shear3_plan, apply_shear3_np
+from aainterp.ops.pallas_shear3 import apply_shear3_pallas
+
+spec = aa.make_grid_spec((96, 96), 1.0, 0.5, (48.0, 48.0), 30.0)
+q = np.random.default_rng(5).uniform(0, 1, (2, 96, 96)).astype(np.float32)
+for dec in ('xyx', 'yxy'):
+    plan = build_shear3_plan(spec, decomposition=dec)
+    ref = apply_shear3_np(plan, q)
+    got = np.asarray(apply_shear3_pallas(plan, jnp.asarray(q),
+                                         mid_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+    gotb = np.asarray(apply_shear3_pallas(plan, jnp.asarray(q, jnp.bfloat16)))
+    assert np.abs(gotb.astype(np.float64) - ref).max() < 2e-2, dec
+print('shear3 TPU smoke OK')
+""")
