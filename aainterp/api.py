@@ -375,8 +375,8 @@ _PALLAS_SHEAR_CACHE = LruDict(4, max_bytes=4 << 30)
 _XLA_SHEAR_CACHE = LruDict(4, max_bytes=4 << 30)
 # 3-pass approximate rotated plans: keyed by the (hashable) GridSpec —
 # tiny tables + an (Hd, Wd) coverage image, built in milliseconds (no
-# ELL operator involved), so a small LRU is plenty
-_SHEAR3_CACHE = LruDict(8)
+# ELL operator involved); byte-bounded like the other table caches
+_SHEAR3_CACHE = LruDict(8, max_bytes=1 << 30)
 
 
 def _shear3_plan(spec, weight_dtype=jnp.float32,

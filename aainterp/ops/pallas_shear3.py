@@ -522,7 +522,11 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
     return x[:, : kp.Hd, : kp.Wd]
 
 
-_KP_CACHE: dict = {}
+from ..utils.lru import LruDict  # noqa: E402
+
+# kernel plans hold densified band blocks + the padded coverage image
+# (~10-20 MB each at 2048^2): byte-bounded like the other table caches
+_KP_CACHE = LruDict(8, max_bytes=1 << 30)
 
 
 def build_shear3_kernel_plan_cached(plan: Shear3Plan) -> Shear3KernelPlan:
@@ -531,7 +535,5 @@ def build_shear3_kernel_plan_cached(plan: Shear3Plan) -> Shear3KernelPlan:
     kp = _KP_CACHE.get(key)
     if kp is None:
         kp = build_shear3_kernel_plan(plan)
-        if len(_KP_CACHE) > 8:
-            _KP_CACHE.pop(next(iter(_KP_CACHE)))
-        _KP_CACHE[key] = kp
+        _KP_CACHE.put(key, kp)
     return kp
