@@ -364,5 +364,22 @@ for dec in ('xyx', 'yxy'):
     np.testing.assert_allclose(got, ref, atol=5e-5)
     gotb = np.asarray(apply_shear3_pallas(plan, jnp.asarray(q, jnp.bfloat16)))
     assert np.abs(gotb.astype(np.float64) - ref).max() < 2e-2, dec
+
+# equal-res geometry: the FOLD branches (band=None, aligned crops) —
+# a different kernel configuration class than the banded rot30 shapes
+spec2 = aa.make_grid_spec((96, 96), 1.0, 1.0, (48.0, 48.0), 30.0)
+plan2 = build_shear3_plan(spec2)
+ref2 = apply_shear3_np(plan2, q)
+got2 = np.asarray(apply_shear3_pallas(plan2, jnp.asarray(q),
+                                      mid_dtype=jnp.float32))
+np.testing.assert_allclose(got2, ref2, atol=5e-5)
+
+# u8-in -> u8-out through the same kernels
+q8 = np.random.default_rng(6).integers(0, 256, (2, 96, 96), dtype=np.uint8)
+ref8 = apply_shear3_np(plan2, q8.astype(np.float64))
+got8 = np.asarray(apply_shear3_pallas(plan2, jnp.asarray(q8)))
+assert got8.dtype == np.uint8
+cov = plan2.inv_cov > 0
+assert np.abs(got8.astype(np.float64) - ref8)[:, cov].max() <= 2.0
 print('shear3 TPU smoke OK')
 """)
