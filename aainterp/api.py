@@ -395,20 +395,32 @@ def _shear3_plan(spec, weight_dtype=jnp.float32,
 
 
 def _apply_shear3(spec, src, method: str, weight_dtype,
-                  decomposition: str = "quality") -> jax.Array:
+                  decomposition: str = "quality",
+                  differentiable: bool = False) -> jax.Array:
     """Route the 3-pass sheared apply (mode='shear').
 
     method: 'auto' (Pallas on TPU, XLA elsewhere), 'xla', or 'pallas'
     (raises off the Pallas envelope instead of silently degrading, like
     the other forced impls).  decomposition: 'quality' (default) or
     'fast' — see ops.shear3.build_shear3_plan.
+
+    differentiable: the XLA pipeline is natively differentiable (gather
+    translates + banded sums); the Pallas pipeline carries no VJP yet,
+    so the auto route drops to XLA (an explicit method='pallas' +
+    differentiable raises instead of failing inside autodiff).
     """
     from .ops import shear3 as shear3_ops
 
     plan, arrs = _shear3_plan(spec, weight_dtype, decomposition)
     q = apply_ops.quadrant_rotate(src, spec.quadrant)
+    if differentiable and method == "pallas":
+        raise ValueError(
+            "mode='shear' with differentiable=True needs the XLA route "
+            "(the Pallas shear pipeline has no VJP); use method='auto' "
+            "or 'xla'")
     if method == "auto":
-        method = ("pallas" if jax.devices()[0].platform == "tpu"
+        method = ("pallas" if (jax.devices()[0].platform == "tpu"
+                               and not differentiable)
                   else "xla")
     if method == "pallas":
         from .ops import pallas_shear3
@@ -575,7 +587,7 @@ def area_average_interpolate(
                     "mode='shear' builds no Operator (pass mode='exact' "
                     "to use an explicit operator, and fused=False)")
             dst = _apply_shear3(spec, src, method, weight_dtype,
-                                shear_decomposition)
+                                shear_decomposition, differentiable)
             return InterpResult(dst=dst, dst_isocenter=spec.dst_isocenter,
                                 spec=spec)
     if fused:

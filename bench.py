@@ -383,12 +383,16 @@ def bench_rot30(batch: int, iters: int, dtype, impl: str = "auto"):
 
         rng = np.random.default_rng(0)
         K = 8
-        frames = jnp.asarray(
-            rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32),
-            dtype=dtype)
-        warm = jnp.asarray(
-            rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32),
-            dtype=dtype)
+
+        def _mk():
+            if jnp.dtype(dtype) == jnp.uint8:   # u8-in -> u8-out serving
+                return jnp.asarray(rng.integers(
+                    0, 256, (K, batch, H, W), dtype=np.uint8))
+            return jnp.asarray(
+                rng.uniform(0, 1, (K, batch, H, W)).astype(np.float32),
+                dtype=dtype)
+
+        frames, warm = _mk(), _mk()
         out = {}
         for dec in ("quality", "fast"):
             plan = build_shear3_plan(spec, decomposition=dec)

@@ -292,3 +292,22 @@ def test_gradients_flow():
     fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
     an = jnp.vdot(g, v)
     assert abs(float(fd - an)) < 5e-2 * max(1.0, abs(float(an)))
+
+
+def test_api_differentiable_routes_to_xla():
+    """mode='shear' + differentiable=True must grad (the auto route
+    drops to the XLA pipeline; forced pallas raises instead of dying
+    inside autodiff)."""
+    src = jnp.asarray(_smooth(48, 48).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(aa.area_average_interpolate(
+            x, 1.0, 1.0, (24.0, 24.0), 30.0, mode="shear",
+            differentiable=True).dst ** 2)
+
+    g = jax.grad(loss)(src)
+    assert np.isfinite(np.asarray(g)).all()
+    with pytest.raises(ValueError, match="no VJP"):
+        aa.area_average_interpolate(
+            src, 1.0, 1.0, (24.0, 24.0), 30.0, mode="shear",
+            method="pallas", differentiable=True)
