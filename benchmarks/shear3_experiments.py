@@ -1,14 +1,15 @@
 """Stage decomposition of the shear3 Pallas pipeline (rot30 config).
 
-Times each of the three kernels in isolation (random inputs of the
-inter-stage shapes) plus the full pipeline, to locate where the
-195 us/frame (21.4 Gpixel/s, 2026-08-20 first measurement) actually
-goes — the HBM traffic model predicts ~65 us, so ~130 us is compute
-(bit-roll VPU passes are the suspect: ~8 passes per lane-axis
-translate at the 128-lane store-alignment floor).
+Times each pass kernel in isolation (random inputs of the inter-stage
+shapes) plus the full pipeline, for either decomposition.  Results
+(2026-08-20, bf16, batch 8):
 
-Usage (real chip): python benchmarks/shear3_experiments.py [stage ...]
-stages: full x1 y2 x3 (default: all)
+  x-y-x (quality): full 196.4 us/frame = 56.0 + 82.0 + 56.8 — each
+  kernel VPU-bound on its bit-roll chain (traffic model ~65 us),
+  which motivated the reduce-first y-x-y variant (52.3 Gpixel/s).
+
+Usage (real chip):
+  python benchmarks/shear3_experiments.py [quality|fast] [full s0 s1 s2]
 """
 
 from __future__ import annotations
@@ -33,44 +34,33 @@ DTYPE = jnp.bfloat16
 
 
 def main():
-    stages = sys.argv[1:] or ["full", "x1", "y2", "x3"]
+    args = sys.argv[1:]
+    dec = "quality"
+    if args and args[0] in ("quality", "fast"):
+        dec = args.pop(0)
+    stages = args or ["full", "s0", "s1", "s2"]
     spec = make_grid_spec((H, W), 1.0, 0.5, (W / 2, H / 2), 30.0)
-    plan = build_shear3_plan(spec)
+    plan = build_shear3_plan(spec, decomposition=dec)
     kp = p3.build_shear3_kernel_plan(plan)
-    print(f"# geometry: qHp={kp.qHp} qWp={kp.qWp} W1p={kp.W1p} "
-          f"RW1={kp.RW1} nb1={kp.nb1} | RH2={kp.RH2} nb2={kp.nb2} "
-          f"Hsc2={kp.Hsc2} H2p={kp.H2p} SY2={kp.SY2} | RW3={kp.RW3} "
-          f"nb3={kp.nb3} Wsc3={kp.Wsc3} SX3={kp.SX3} dst={kp.Hd}x{kp.Wd}")
+    mid_name = jnp.dtype(DTYPE).name
     rng = np.random.default_rng(0)
     px = BATCH * H * W
+
+    print(f"# {dec}: " + " | ".join(
+        f"s{i}:{st.axis} pre={st.pre_base is not None} "
+        f"post={st.post_base is not None} nb={st.nb} R={st.R} "
+        f"n_sc={st.n_sc} out={st.n_out_p}"
+        for i, st in enumerate(kp.stages)))
 
     def report(name, dt):
         print(f"{name:8s} {dt*1e6/BATCH:8.1f} us/frame "
               f"{px/dt/1e9:7.2f} Gpixel/s-equiv")
 
-    def mk(shape, dtype=DTYPE):
-        a = rng.uniform(0, 1, (K,) + shape).astype(np.float32)
-        return (jnp.asarray(a, dtype=dtype),
+    def mk(shape):
+        return (jnp.asarray(rng.uniform(0, 1, (K,) + shape)
+                            .astype(np.float32), dtype=DTYPE),
                 jnp.asarray(rng.uniform(0, 1, (K,) + shape)
-                            .astype(np.float32), dtype=dtype))
-
-    mid_name = jnp.dtype(DTYPE).name
-    with jax.ensure_compile_time_eval():
-        t = {k: jnp.asarray(getattr(kp, k)) for k in
-             ("base1", "base2", "base3")}
-        t["d1"] = jnp.asarray(kp.d1[None])
-        t["f1"] = jnp.asarray(kp.f1[None])
-        t["d2"] = jnp.asarray(kp.d2[None])
-        t["f2"] = jnp.asarray(kp.f2[None])
-        t["d3"] = jnp.asarray(kp.d3[None])
-        t["f3"] = jnp.asarray(kp.f3[None])
-        t["cov"] = jnp.asarray(kp.inv_cov[None])
-        if kp.rb2 is not None:
-            t["rb2"] = jnp.asarray(kp.rb2)
-            t["wy2"] = jnp.asarray(kp.wy2[None])
-        if kp.cb3 is not None:
-            t["cb3"] = jnp.asarray(kp.cb3)
-            t["wx3"] = jnp.asarray(kp.wx3[None])
+                            .astype(np.float32), dtype=DTYPE))
 
     if "full" in stages:
         frames, warm = mk((BATCH, H, W))
@@ -79,41 +69,47 @@ def main():
             frames, warm)
         report("full", dt)
 
-    if "x1" in stages:
-        x1 = p3._build_x1(BATCH, kp.qHp, kp.qWp, kp.BLKR1, kp.RW1, kp.nb1,
-                          kp.W1p, mid_name, mid_name, False)
-        frames, warm = mk((BATCH, kp.qHp, kp.qWp))
-        dt = bench.timed_scan(
-            lambda f: x1(t["base1"], t["d1"], t["f1"], f), frames, warm)
-        report("x1", dt)
-
-    if "y2" in stages:
-        nty2 = 0 if kp.rb2 is None else kp.wy2.shape[0]
-        y2 = p3._build_y2(BATCH, kp.qHp, kp.W1p, kp.RH2, kp.nb2, kp.H2p,
-                          kp.Hsc2, kp.TY2, kp.SY2, nty2, mid_name, False)
-        frames, warm = mk((BATCH, kp.qHp, kp.W1p))
-        if kp.rb2 is None:
-            fn = lambda f: y2(t["base2"], t["d2"], t["f2"], f)  # noqa: E731
+    # chain shapes entering each stage
+    rows, cols = kp.qHp, kp.qWp
+    for i, st in enumerate(kp.stages):
+        name = f"s{i}"
+        in_shape = (BATCH, rows, cols)
+        if name in stages:
+            with jax.ensure_compile_time_eval():
+                base = jnp.asarray(st.base)
+                d = jnp.asarray(st.d[None])
+                f = jnp.asarray(st.f[None])
+                extra = []
+                if st.pre_base is not None:
+                    extra.append(jnp.asarray(st.pre_w[None]))
+                if st.post_base is not None:
+                    extra.append(jnp.asarray(st.post_w[None]))
+                last = i == len(kp.stages) - 1
+                if last:
+                    extra.append(jnp.asarray(kp.inv_cov[None]))
+            if st.axis == "y":
+                dd = jnp.swapaxes(d, -1, -2)
+                ff = jnp.swapaxes(f, -1, -2)
+                call = p3._build_y_stage(
+                    BATCH, st.n_in, st.n_lines_p // 128, st.pre_base,
+                    st.pre_SY, st.n_mid, st.R, st.nb, st.post_base,
+                    st.post_SY, st.n_sc, st.crop, st.n_out_p, mid_name,
+                    mid_name, last, False)
+            else:
+                dd, ff = d, f
+                call = p3._build_x_stage(
+                    BATCH, st.n_in, st.n_lines_p // st.blk, st.blk,
+                    st.pre_base, st.pre_SY, st.n_mid, st.R, st.nb,
+                    st.post_base, st.post_SY, st.n_sc, st.crop,
+                    st.n_out_p, mid_name, mid_name, last, False)
+            frames, warm = mk(in_shape)
+            dt = bench.timed_scan(
+                lambda fr: call(base, dd, ff, fr, *extra), frames, warm)
+            report(name, dt)
+        if st.axis == "x":
+            cols = st.n_out_p
         else:
-            fn = lambda f: y2(t["base2"], t["rb2"], t["d2"], t["f2"], f,  # noqa: E731
-                              t["wy2"])
-        dt = bench.timed_scan(fn, frames, warm)
-        report("y2", dt)
-
-    if "x3" in stages:
-        ntx3 = 0 if kp.cb3 is None else kp.wx3.shape[0]
-        x3 = p3._build_x3(BATCH, kp.H2p, kp.W1p, kp.BLKR3, kp.RW3, kp.nb3,
-                          kp.Wsc3, kp.crop2, kp.crop3, kp.TX3, kp.SX3,
-                          ntx3, kp.Hd3p, kp.Wd3p, mid_name, mid_name,
-                          False)
-        frames, warm = mk((BATCH, kp.H2p, kp.W1p))
-        if kp.cb3 is None:
-            fn = lambda f: x3(t["base3"], t["d3"], t["f3"], f, t["cov"])  # noqa: E731
-        else:
-            fn = lambda f: x3(t["base3"], t["cb3"], t["d3"], t["f3"], f,  # noqa: E731
-                              t["wx3"], t["cov"])
-        dt = bench.timed_scan(fn, frames, warm)
-        report("x3", dt)
+            rows = st.n_out_p
 
 
 if __name__ == "__main__":
