@@ -311,3 +311,85 @@ def test_api_differentiable_routes_to_xla():
         aa.area_average_interpolate(
             src, 1.0, 1.0, (24.0, 24.0), 30.0, mode="shear",
             method="pallas", differentiable=True)
+
+
+def test_fuzz_pallas_vs_numpy():
+    """Randomized geometry fuzz over both decompositions: the Pallas
+    pipeline (interpret) must match the numpy reference bit-closely and
+    conserve flux, across scales, ratios, angles, quadrants, aspect
+    ratios, and edge isocenters."""
+    from aainterp.ops.pallas_shear3 import apply_shear3_pallas
+
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        H = int(rng.integers(24, 90))
+        W = int(rng.integers(24, 90))
+        sr = float(rng.uniform(0.5, 3.0))
+        dr = float(rng.uniform(0.4, 3.0) * sr)
+        ang = float(rng.uniform(1.0, 359.0))
+        spec = aa.make_grid_spec(
+            (H, W), sr, dr,
+            (float(rng.uniform(0, W)), float(rng.uniform(0, H))), ang)
+        if spec.is_axis_aligned:
+            continue
+        qH, qW = spec.qrot_shape
+        q = rng.uniform(0, 1, (qH, qW)).astype(np.float32)
+        for dec in _decs_for(spec):
+            plan = build_shear3_plan(spec, decomposition=dec)
+            ref = apply_shear3_np(plan, q)
+            got = np.asarray(apply_shear3_pallas(
+                plan, jnp.asarray(q), mid_dtype=jnp.float32,
+                interpret=True))
+            np.testing.assert_allclose(
+                got, ref, atol=5e-6,
+                err_msg=f"trial {trial} {dec} {H}x{W} {sr}->{dr} {ang}")
+            # flux accounting: never duplicated, and exactly conserved
+            # when the dst bbox covers the footprint (quadrant 0 — at
+            # quadrant >= 1 the reference's unmapped-isocenter quirk,
+            # grids.py docstring / Source.cpp:173-174, can CROP the
+            # rotated image for off-center isocenters; shear3 matches
+            # the exact operator's capture there — see
+            # test_quirk_cropping_matches_exact_mode)
+            m = max(3, qH // 4, qW // 4)
+            qq = np.zeros((qH, qW))
+            if qH > 2 * m and qW > 2 * m:
+                qq[m:-m, m:-m] = 1.0
+                un = apply_shear3_np(plan, qq, normalize=False)
+                fin = qq.sum() * spec.scale ** 2
+                fout = un.sum() * spec.dst_side ** 2
+                assert fout <= fin * (1 + 1e-9), (trial, dec)
+                if spec.quadrant == 0:
+                    assert abs(fout - fin) / fin < 1e-12, (trial, dec)
+
+
+def test_quirk_cropping_matches_exact_mode():
+    """At quadrant >= 1 with an off-center isocenter, the reference's
+    unmapped-isocenter quirk (Source.cpp:173-174, replicated in
+    make_grid_spec) places the dst bbox so that part of the rotated
+    image falls OUTSIDE it and is cropped.  The shear mode inherits the
+    same geometry, so its captured flux equals the exact operator's to
+    machine precision — pinned on a geometry where 82% of the flux is
+    quirk-cropped (found by the fuzz test, 2026-08-20); the residual
+    ~1e-4 relative difference is boundary-sliver smearing at the crop
+    edge (the approximate footprint differs sub-cell from the exact
+    polygon there)."""
+    spec = aa.make_grid_spec(
+        (83, 83), 1.4550439019858459, 0.6955118658077443,
+        (4.351261909932634, 72.17704716193894), 264.1240074133924)
+    assert spec.quadrant == 2
+    qH, qW = spec.qrot_shape
+    qq = np.zeros((qH, qW))
+    qq[21:-21, 21:-21] = 1.0
+    src = np.rot90(qq, spec.quadrant)
+    op = aa.build_operator(spec, mode="exact")
+    dst = np.asarray(aa.area_average_interpolate(
+        src, spec.src_resolution, spec.dst_resolution, spec.src_isocenter,
+        spec.rotation_angle, mode="exact").dst, np.float64)
+    flux_exact = float((dst * op.raw_row_sums).sum())
+    flux_in = qq.sum() * spec.scale ** 2
+    assert flux_exact < 0.2 * flux_in          # the quirk really crops
+    for dec in ("xyx", "yxy"):
+        plan = build_shear3_plan(spec, decomposition=dec)
+        un = apply_shear3_np(plan, qq, normalize=False)
+        flux_shear = float(un.sum() * spec.dst_side ** 2)
+        assert abs(flux_shear - flux_exact) / flux_exact < 1e-3, dec
