@@ -377,6 +377,7 @@ _XLA_SHEAR_CACHE = LruDict(4, max_bytes=4 << 30)
 # tiny tables + an (Hd, Wd) coverage image, built in milliseconds (no
 # ELL operator involved); byte-bounded like the other table caches
 _SHEAR3_CACHE = LruDict(8, max_bytes=1 << 30)
+_SHEAR3_FN_CACHE = LruDict(16)  # jitted route fns (closures only)
 
 
 def _shear3_plan(spec, weight_dtype=jnp.float32,
@@ -422,14 +423,27 @@ def _apply_shear3(spec, src, method: str, weight_dtype,
         method = ("pallas" if (jax.devices()[0].platform == "tpu"
                                and not differentiable)
                   else "xla")
-    if method == "pallas":
-        from .ops import pallas_shear3
+    if method not in ("pallas", "xla"):
+        raise ValueError(f"unknown shear method {method!r} "
+                         "(expected auto/xla/pallas)")
+    # cached jitted step per (geometry, decomposition, route): eager
+    # pallas_call/gather dispatch is correct but slow in a serving loop
+    key = (spec, decomposition, jnp.dtype(weight_dtype).name, method)
+    fn = _SHEAR3_FN_CACHE.get(key)
+    if fn is None:
+        if method == "pallas":
+            from .ops import pallas_shear3
 
-        return pallas_shear3.apply_shear3_pallas(plan, q, arrs)
-    if method == "xla":
-        return shear3_ops.apply_shear3_xla(plan, q, arrs)
-    raise ValueError(f"unknown shear method {method!r} "
-                     "(expected auto/xla/pallas)")
+            kp = pallas_shear3.build_shear3_kernel_plan_cached(plan)
+            fn = jax.jit(functools.partial(
+                pallas_shear3.apply_shear3_pallas, plan, kernel_plan=kp))
+        else:
+            fn = jax.jit(functools.partial(shear3_ops.apply_shear3_xla,
+                                           plan))
+        _SHEAR3_FN_CACHE.put(key, fn)
+    if method == "pallas":
+        return fn(q)
+    return fn(q, arrs)
 
 
 def _pallas_shear_plan(op, weight_dtype=jnp.float32):
