@@ -277,3 +277,26 @@ def test_traced_band_tables_raise_clearly():
 
     with pytest.raises(TypeError, match="concrete"):
         step(x, jnp.asarray(by.start), jnp.asarray(by.weights))
+
+
+def test_stream_apply_shear3_callable():
+    """mode='shear' composes with the streaming executor: the cached
+    jitted shear step serves as a batch->batch callable (the rotated
+    serving-loop pattern the mode exists for)."""
+    import jax
+
+    from aainterp.ops.shear3 import (apply_shear3_np, build_shear3_plan,
+                                     plan_arrays)
+    from aainterp.ops.shear3 import apply_shear3_xla
+
+    spec = aa.make_grid_spec((48, 48), 1.0, 0.6, (24.0, 24.0), 30.0)
+    plan = build_shear3_plan(spec)
+    arrs = plan_arrays(plan)
+    step = jax.jit(lambda b: apply_shear3_xla(plan, b, arrs))
+    rng = np.random.default_rng(21)
+    frames = [rng.uniform(0, 1, (48, 48)).astype(np.float32)
+              for _ in range(5)]
+    outs = list(stream_apply(step, frames, batch=2, depth=2))
+    assert len(outs) == 5
+    for f, o in zip(frames, outs):
+        np.testing.assert_allclose(o, apply_shear3_np(plan, f), atol=2e-5)
