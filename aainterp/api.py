@@ -58,6 +58,16 @@ def build_operator(
     operator so weight-gen regressions raise here, not as silent garbage
     in the apply.  Host-side numpy scans, cheap next to weight-gen itself.
     """
+    if mode not in ("exact", "fast", "compat"):
+        # mode='shear' builds NO operator (the 3-pass plan lives in
+        # ops/shear3; route through area_average_interpolate) — and an
+        # unknown mode must not fall through weight-gen's branches into
+        # silently wrong tables
+        raise ValueError(
+            f"build_operator mode must be exact/fast/compat, got {mode!r}"
+            + (" (mode='shear' is operator-free: call "
+               "area_average_interpolate(mode='shear'))"
+               if mode == "shear" else ""))
     if method == "auto":
         method = "separable" if spec.is_axis_aligned else "ell"
     if method == "separable":

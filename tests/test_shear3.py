@@ -393,3 +393,11 @@ def test_quirk_cropping_matches_exact_mode():
         un = apply_shear3_np(plan, qq, normalize=False)
         flux_shear = float(un.sum() * spec.dst_side ** 2)
         assert abs(flux_shear - flux_exact) / flux_exact < 1e-3, dec
+
+
+def test_build_operator_rejects_shear_mode():
+    spec = aa.make_grid_spec((32, 32), 1.0, 0.5, (16.0, 16.0), 30.0)
+    with pytest.raises(ValueError, match="operator-free"):
+        aa.build_operator(spec, mode="shear")
+    with pytest.raises(ValueError, match="exact/fast/compat"):
+        aa.build_operator(spec, mode="bogus")
