@@ -415,38 +415,41 @@ def _apply_shear3(spec, src, method: str, weight_dtype,
     the other forced impls).  decomposition: 'quality' (default) or
     'fast' — see ops.shear3.build_shear3_plan.
 
-    differentiable: the XLA pipeline is natively differentiable (gather
-    translates + banded sums); the Pallas pipeline carries no VJP yet,
-    so the auto route drops to XLA (an explicit method='pallas' +
-    differentiable raises instead of failing inside autodiff).
+    differentiable: both routes differentiate — the XLA pipeline
+    natively, the Pallas pipeline through a custom VJP whose backward
+    runs the exact transposed pass pipeline on the same kernels
+    (pallas_shear3.make_shear3_linear; shear3.transpose_shear3_plan).
     """
     from .ops import shear3 as shear3_ops
 
     plan, arrs = _shear3_plan(spec, weight_dtype, decomposition)
     q = apply_ops.quadrant_rotate(src, spec.quadrant)
-    if differentiable and method == "pallas":
-        raise ValueError(
-            "mode='shear' with differentiable=True needs the XLA route "
-            "(the Pallas shear pipeline has no VJP); use method='auto' "
-            "or 'xla'")
     if method == "auto":
-        method = ("pallas" if (jax.devices()[0].platform == "tpu"
-                               and not differentiable)
+        method = ("pallas" if jax.devices()[0].platform == "tpu"
                   else "xla")
     if method not in ("pallas", "xla"):
         raise ValueError(f"unknown shear method {method!r} "
                          "(expected auto/xla/pallas)")
     # cached jitted step per (geometry, decomposition, route): eager
-    # pallas_call/gather dispatch is correct but slow in a serving loop
-    key = (spec, decomposition, jnp.dtype(weight_dtype).name, method)
+    # pallas_call/gather dispatch is correct but slow in a serving loop.
+    # differentiable=True on the Pallas route uses the custom-VJP'd
+    # linear fn (backward = the transposed pass pipeline on the same
+    # kernels, pallas_shear3.make_shear3_linear); the XLA route is
+    # natively differentiable.
+    key = (spec, decomposition, jnp.dtype(weight_dtype).name, method,
+           bool(differentiable))
     fn = _SHEAR3_FN_CACHE.get(key)
     if fn is None:
         if method == "pallas":
             from .ops import pallas_shear3
 
-            kp = pallas_shear3.build_shear3_kernel_plan_cached(plan)
-            fn = jax.jit(functools.partial(
-                pallas_shear3.apply_shear3_pallas, plan, kernel_plan=kp))
+            if differentiable:
+                fn = jax.jit(pallas_shear3.make_shear3_linear(plan))
+            else:
+                kp = pallas_shear3.build_shear3_kernel_plan_cached(plan)
+                fn = jax.jit(functools.partial(
+                    pallas_shear3.apply_shear3_pallas, plan,
+                    kernel_plan=kp))
         else:
             fn = jax.jit(functools.partial(shear3_ops.apply_shear3_xla,
                                            plan))

@@ -98,17 +98,20 @@ class Shear3KernelPlan:
     qHp: int
     qWp: int
     stages: Tuple[StagePlan, ...]
-    inv_cov: np.ndarray   # (Hd_p, Wd_p) float32
+    inv_cov: Optional[np.ndarray]   # (Hd_p, Wd_p) float32, or None
     Hd: int
     Wd: int
 
 
 def build_shear3_kernel_plan(plan: Shear3Plan, blkr_x: int = 128,
                              ) -> Shear3KernelPlan:
-    """Kernel tables from a Shear3Plan (host, exact integers)."""
-    spec = plan.spec
-    qH, qW = spec.qrot_shape
-    Hd, Wd = spec.dst_shape
+    """Kernel tables from a Shear3Plan (host, exact integers).
+
+    Works for forward AND adjoint plans (transpose_shear3_plan): shapes
+    come from the plan, and a cov-less plan (inv_cov=None) skips the
+    coverage multiply in the final stage."""
+    qH, qW = plan.src_shape
+    Hd, Wd = plan.dst_shape
     passes = plan.passes
 
     # padded chain shapes: rows multiple of blkr_x (x-stage blocks, and
@@ -208,8 +211,11 @@ def build_shear3_kernel_plan(plan: Shear3Plan, blkr_x: int = 128,
 
     Hd_p, Wd_p = rows, cols
     assert Hd_p >= Hd and Wd_p >= Wd, (Hd_p, Wd_p, Hd, Wd)
-    inv_cov = np.zeros((Hd_p, Wd_p), np.float32)
-    inv_cov[:Hd, :Wd] = plan.inv_cov
+    if plan.inv_cov is None:
+        inv_cov = None
+    else:
+        inv_cov = np.zeros((Hd_p, Wd_p), np.float32)
+        inv_cov[:Hd, :Wd] = plan.inv_cov
     return Shear3KernelPlan(qH=qH, qW=qW, qHp=qHp, qWp=qWp,
                             stages=tuple(stages), inv_cov=inv_cov,
                             Hd=Hd, Wd=Wd)
@@ -491,6 +497,7 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
     n_st = len(kp.stages)
     for i, st in enumerate(kp.stages):
         last = i == n_st - 1
+        has_cov = last and kp.inv_cov is not None
         stage_in = jnp.dtype(x.dtype).name
         stage_out = jnp.dtype(out_dtype).name if last else mid_name
         with jax.ensure_compile_time_eval():
@@ -502,7 +509,7 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
                 extra.append(jnp.asarray(st.pre_w[None]))
             if st.post_base is not None:
                 extra.append(jnp.asarray(st.post_w[None]))
-            if last:
+            if has_cov:
                 extra.append(jnp.asarray(kp.inv_cov[None]))
         if st.axis == "y":
             d_blk = jnp.swapaxes(d, -1, -2)
@@ -510,14 +517,15 @@ def apply_shear3_pallas(plan: Shear3Plan, q: jax.Array, arrs: dict = None,
             call = _build_y_stage(
                 F, st.n_in, st.n_lines_p // 128, st.pre_base, st.pre_SY,
                 st.n_mid, st.R, st.nb, st.post_base, st.post_SY, st.n_sc,
-                st.crop, st.n_out_p, stage_in, stage_out, last, interpret)
+                st.crop, st.n_out_p, stage_in, stage_out, has_cov,
+                interpret)
             x = call(base, d_blk, f_blk, x, *extra)
         else:
             call = _build_x_stage(
                 F, st.n_in, st.n_lines_p // st.blk, st.blk, st.pre_base,
                 st.pre_SY, st.n_mid, st.R, st.nb, st.post_base,
                 st.post_SY, st.n_sc, st.crop, st.n_out_p, stage_in,
-                stage_out, last, interpret)
+                stage_out, has_cov, interpret)
             x = call(base, d, f, x, *extra)
     return x[:, : kp.Hd, : kp.Wd]
 
@@ -530,10 +538,61 @@ _KP_CACHE = LruDict(8, max_bytes=1 << 30)
 
 
 def build_shear3_kernel_plan_cached(plan: Shear3Plan) -> Shear3KernelPlan:
-    key = (plan.spec, tuple((p.axis, p.band_first, p.band is not None)
-                            for p in plan.passes))
+    key = (plan.spec, plan.in_shape, plan.out_shape,
+           plan.inv_cov is None,
+           tuple((p.axis, p.band_first, p.band is not None, p.n_t, p.crop)
+                 for p in plan.passes))
     kp = _KP_CACHE.get(key)
     if kp is None:
         kp = build_shear3_kernel_plan(plan)
         _KP_CACHE.put(key, kp)
     return kp
+
+
+# ----------------------------------------------------------------------
+# custom VJP: backward = the transposed pass pipeline on the same kernels
+# ----------------------------------------------------------------------
+
+
+def make_shear3_linear(plan: Shear3Plan, *, interpret: bool = False):
+    """Differentiable Pallas shear apply: fn(q) -> dst with a custom VJP
+    whose backward runs the EXACT adjoint pipeline
+    (shear3.transpose_shear3_plan) through the same two kernel builders
+    — q_bar = P^T(inv_cov * cot), the same transposed-operator pattern
+    every other apply family uses (aainterp.autodiff).
+
+    Float paths only (u8 quantisation is not differentiable); the
+    backward stages in f32.
+    """
+    from .shear3 import transpose_shear3_plan
+
+    kp = build_shear3_kernel_plan_cached(plan)
+    plan_T = transpose_shear3_plan(plan)
+    kp_T = build_shear3_kernel_plan_cached(plan_T)
+    with jax.ensure_compile_time_eval():
+        inv_cov_dev = (None if plan.inv_cov is None
+                       else jnp.asarray(plan.inv_cov))
+
+    @jax.custom_vjp
+    def fn(q):
+        return apply_shear3_pallas(plan, q, kernel_plan=kp,
+                                   interpret=interpret)
+
+    def fwd(q):
+        # a zero-size residual carries the primal dtype (dtypes
+        # themselves are not JAX types)
+        return fn(q), jnp.zeros((), q.dtype)
+
+    def bwd(res, cot):
+        in_dtype = res.dtype
+        g = cot.astype(jnp.float32)
+        if inv_cov_dev is not None:
+            g = g * inv_cov_dev
+        qbar = apply_shear3_pallas(plan_T, g, kernel_plan=kp_T,
+                                   mid_dtype=jnp.float32,
+                                   out_dtype=jnp.float32,
+                                   interpret=interpret)
+        return (qbar.astype(in_dtype),)
+
+    fn.defvjp(fwd, bwd)
+    return fn

@@ -123,17 +123,28 @@ class Pass1D:
 
 @dataclasses.dataclass(frozen=True)
 class Shear3Plan:
-    """Host tables for the 3-pass sheared rotated apply (one geometry)."""
+    """Host tables for the 3-pass sheared rotated apply (one geometry).
+
+    ``in_shape``/``out_shape`` default to the spec's qrot/dst shapes;
+    ADJOINT plans (transpose_shear3_plan) run the reversed transposed
+    passes, so their shapes swap and ``inv_cov`` is None (the caller
+    chain-rules the coverage onto the cotangent instead)."""
 
     spec: GridSpec
     passes: Tuple[Pass1D, ...]
     # reciprocal coverage (0 where the footprint never lands,
     # Source.cpp:577's zero-background convention)
-    inv_cov: np.ndarray       # (Hd, Wd) float32
+    inv_cov: Optional[np.ndarray]    # (out_shape) float32, or None
+    in_shape: Optional[Tuple[int, int]] = None
+    out_shape: Optional[Tuple[int, int]] = None
+
+    @property
+    def src_shape(self) -> Tuple[int, int]:
+        return self.in_shape or self.spec.qrot_shape
 
     @property
     def dst_shape(self) -> Tuple[int, int]:
-        return self.spec.dst_shape
+        return self.out_shape or self.spec.dst_shape
 
 
 def _split_shift(delta: np.ndarray):
@@ -395,14 +406,14 @@ def apply_shear3_np(plan: Shear3Plan, q: np.ndarray,
     x = np.asarray(q, np.float64)
     for p in plan.passes:
         x = _apply_pass_np(x, p)
-    if normalize:
+    if normalize and plan.inv_cov is not None:
         x = x * plan.inv_cov.astype(np.float64)
     return x
 
 
 def _coverage_np(plan: Shear3Plan) -> np.ndarray:
     """Coverage = pipeline applied to a ones image (interior == 1)."""
-    qH, qW = plan.spec.qrot_shape
+    qH, qW = plan.src_shape
     return apply_shear3_np(plan, np.ones((qH, qW)), normalize=False)
 
 
@@ -448,8 +459,9 @@ def plan_arrays(plan: Shear3Plan, weight_dtype=jnp.float32) -> dict:
     """Device arrays of a plan's tables (kernel/jit arguments, never
     closures — closed-over arrays become HLO constants)."""
     with jax.ensure_compile_time_eval():
-        arrs = dict(
-            inv_cov=jnp.asarray(plan.inv_cov, dtype=weight_dtype))
+        arrs = {}
+        if plan.inv_cov is not None:
+            arrs["inv_cov"] = jnp.asarray(plan.inv_cov, dtype=weight_dtype)
         for i, p in enumerate(plan.passes):
             arrs[f"p{i}_d"] = jnp.asarray(p.d)
             arrs[f"p{i}_f"] = jnp.asarray(p.f)
@@ -491,7 +503,97 @@ def apply_shear3_xla(plan: Shear3Plan, q: jax.Array, arrs: dict,
             x = x[..., p.crop: p.crop + p.n_out]
         if p.axis == "y":
             x = jnp.swapaxes(x, -1, -2)
-    x = x * arrs["inv_cov"].astype(x.dtype)
+    if plan.inv_cov is not None:
+        x = x * arrs["inv_cov"].astype(x.dtype)
     if jnp.dtype(out_dtype) == jnp.uint8:
         return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
     return x.astype(out_dtype)
+
+
+# ----------------------------------------------------------------------
+# adjoint plan: the pass vocabulary is closed under transposition
+# ----------------------------------------------------------------------
+
+
+def _transpose_translate(d: np.ndarray, f: np.ndarray, n_in: int,
+                         crop: int, n_out: int):
+    """Tables of (crop o translate)^T as another (translate, crop) pair.
+
+    Forward (n_in -> n_out): out[u] = (1-f) v[u+crop-d] + f v[u+crop-d-1]
+    for u in [0, n_out).  The adjoint scatters cot back:
+    v_bar[j] = (1-f) cot[j+d-crop] + f cot[j+d+1-crop] — itself a
+    fractional translate with per-line shift crop - d - f, lifted by an
+    integer K so every shift is >= 0 and realised as translate-then-crop.
+    Returns (d_T, f_T, n_t_T, crop_T=K, n_out_T=n_in).
+    """
+    d = d.astype(np.int64)
+    fpos = f > 0.0
+    d_T = np.where(fpos, crop - d - 1, crop - d)
+    f_T = np.where(fpos, 1.0 - f, 0.0)
+    K = max(0, int(-d_T.min()))
+    d_T = d_T + K
+    n_t_T = max(K + n_in, n_out + int(d_T.max()) + 2)
+    return (d_T.astype(np.int32), f_T.astype(np.float32), int(n_t_T),
+            int(K), int(n_in))
+
+
+def transpose_shear3_plan(plan: Shear3Plan) -> Shear3Plan:
+    """The exact adjoint pipeline as another Shear3Plan.
+
+    Reverse the passes and transpose each component: translate^T is a
+    translate with lifted negated shifts (+ crop by the lift), band^T
+    is overlap1d.transpose_band, and pre-band <-> post-band swap.  The
+    adjoint plan carries inv_cov=None — the coverage chain rule
+    (q_bar = P^T (inv_cov * cot)) belongs to the caller.  Validated
+    against jax.vjp of the XLA forward in tests/test_shear3.py.
+    """
+    from .overlap1d import transpose_band
+
+    # walk the FORWARD chain to recover each stage's input size along
+    # its own axis (Pass1D doesn't store it)
+    rows, cols = plan.src_shape
+    stage_in = []
+    for p in plan.passes:
+        stage_in.append(rows if p.axis == "y" else cols)
+        if p.axis == "y":
+            rows = p.n_out
+        else:
+            cols = p.n_out
+
+    passes_T = []
+    for p, n_stage_in in zip(reversed(plan.passes),
+                             reversed(stage_in)):
+        if p.band is not None and p.band_first:
+            # forward: crop o T o B   (B: n_stage_in -> band.n_dst;
+            #                          T: band.n_dst -> crop window)
+            # adjoint: B^T o T^T — band AFTER translate
+            d_T, f_T, n_t_T, K, _ = _transpose_translate(
+                p.d, p.f, p.band.n_dst, p.crop, p.n_out)
+            bT = transpose_band(p.band)      # band.n_dst -> n_stage_in
+            # the post-band consumes the translate GRID in our pass
+            # semantics: fold the crop K into the band's start offsets
+            bT2 = Band1D(start=(bT.start.astype(np.int64) + K
+                                ).astype(np.int32),
+                         weights=bT.weights, n_src=n_t_T,
+                         n_dst=bT.n_dst)
+            passes_T.append(Pass1D(axis=p.axis, band=bT2,
+                                   band_first=False, d=d_T, f=f_T,
+                                   n_t=n_t_T, crop=0, n_out=bT.n_dst))
+        elif p.band is not None:
+            # forward: B o T   (T: n_stage_in -> n_t; B: n_t -> n_out)
+            # adjoint: T^T o B^T — band FIRST, then translate + crop
+            bT = transpose_band(p.band)      # n_out -> n_t
+            d_T, f_T, n_t_T, K, n_out_T = _transpose_translate(
+                p.d, p.f, n_stage_in, 0, p.n_t)
+            passes_T.append(Pass1D(axis=p.axis, band=bT,
+                                   band_first=True, d=d_T, f=f_T,
+                                   n_t=n_t_T, crop=K, n_out=n_out_T))
+        else:
+            d_T, f_T, n_t_T, K, n_out_T = _transpose_translate(
+                p.d, p.f, n_stage_in, p.crop, p.n_out)
+            passes_T.append(Pass1D(axis=p.axis, band=None,
+                                   band_first=False, d=d_T, f=f_T,
+                                   n_t=n_t_T, crop=K, n_out=n_out_T))
+    return Shear3Plan(spec=plan.spec, passes=tuple(passes_T),
+                      inv_cov=None, in_shape=plan.dst_shape,
+                      out_shape=plan.src_shape)

@@ -295,9 +295,9 @@ def test_gradients_flow():
 
 
 def test_api_differentiable_routes_to_xla():
-    """mode='shear' + differentiable=True must grad (the auto route
-    drops to the XLA pipeline; forced pallas raises instead of dying
-    inside autodiff)."""
+    """mode='shear' + differentiable=True must grad (XLA natively on
+    CPU; on TPU the Pallas route carries the custom VJP — see
+    test_pallas_custom_vjp below)."""
     src = jnp.asarray(_smooth(48, 48).astype(np.float32))
 
     def loss(x):
@@ -307,10 +307,6 @@ def test_api_differentiable_routes_to_xla():
 
     g = jax.grad(loss)(src)
     assert np.isfinite(np.asarray(g)).all()
-    with pytest.raises(ValueError, match="no VJP"):
-        aa.area_average_interpolate(
-            src, 1.0, 1.0, (24.0, 24.0), 30.0, mode="shear",
-            method="pallas", differentiable=True)
 
 
 def test_fuzz_pallas_vs_numpy():
@@ -401,3 +397,39 @@ def test_build_operator_rejects_shear_mode():
         aa.build_operator(spec, mode="shear")
     with pytest.raises(ValueError, match="exact/fast/compat"):
         aa.build_operator(spec, mode="bogus")
+
+
+def test_pallas_custom_vjp_matches_xla_autodiff():
+    """The Pallas route's custom VJP (backward = transposed pass
+    pipeline on the same kernels) equals XLA autodiff's gradient, for
+    both decompositions (interpret mode)."""
+    from aainterp.ops.pallas_shear3 import make_shear3_linear
+    from aainterp.ops.shear3 import transpose_shear3_plan
+
+    spec = aa.make_grid_spec((48, 64), 1.0, 0.6, (32.0, 24.0), 23.0)
+    qH, qW = spec.qrot_shape
+    q = jnp.asarray(RNG.uniform(0, 1, (qH, qW)).astype(np.float32))
+    cot = jnp.asarray(
+        RNG.uniform(-1, 1, spec.dst_shape).astype(np.float32))
+    for dec in ("xyx", "yxy"):
+        plan = build_shear3_plan(spec, decomposition=dec)
+        arrs = plan_arrays(plan)
+        out_ref, vjp_ref = jax.vjp(
+            lambda x: apply_shear3_xla(plan, x, arrs), q)
+        gt = np.asarray(vjp_ref(cot)[0])
+        fn = make_shear3_linear(plan, interpret=True)
+        out, vjp = jax.vjp(fn, q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   atol=3e-6)
+        np.testing.assert_allclose(np.asarray(vjp(cot)[0]), gt,
+                                   atol=3e-6, err_msg=dec)
+
+    # the adjoint identity <P q, g> == <q, P^T g> holds exactly at the
+    # plan level (unnormalised)
+    plan = build_shear3_plan(spec)
+    planT = transpose_shear3_plan(plan)
+    g = RNG.uniform(0, 1, spec.dst_shape)
+    qn = RNG.uniform(0, 1, (qH, qW))
+    lhs = float((apply_shear3_np(plan, qn, normalize=False) * g).sum())
+    rhs = float((qn * apply_shear3_np(planT, g, normalize=False)).sum())
+    assert abs(lhs - rhs) / abs(lhs) < 1e-9
