@@ -383,3 +383,31 @@ cov = plan2.inv_cov > 0
 assert np.abs(got8.astype(np.float64) - ref8)[:, cov].max() <= 2.0
 print('shear3 TPU smoke OK')
 """)
+
+
+def test_shear3_vjp_on_tpu():
+    """The shear custom VJP's backward (transposed pass pipeline) must
+    Mosaic-compile and match the numpy adjoint on the live chip."""
+    _run_on_tpu("""
+import numpy as np, jax, jax.numpy as jnp
+import aainterp as aa
+from aainterp.ops.shear3 import (apply_shear3_np, build_shear3_plan,
+                                 transpose_shear3_plan)
+from aainterp.ops.pallas_shear3 import make_shear3_linear
+
+spec = aa.make_grid_spec((96, 96), 1.0, 0.5, (48.0, 48.0), 30.0)
+qH, qW = spec.qrot_shape
+rng = np.random.default_rng(9)
+q = jnp.asarray(rng.uniform(0, 1, (qH, qW)).astype(np.float32))
+cot = jnp.asarray(rng.uniform(-1, 1, spec.dst_shape).astype(np.float32))
+for dec in ('xyx', 'yxy'):
+    plan = build_shear3_plan(spec, decomposition=dec)
+    fn = make_shear3_linear(plan)
+    out, vjp = jax.vjp(fn, q)
+    got = np.asarray(vjp(cot)[0])
+    planT = transpose_shear3_plan(plan)
+    g = np.asarray(cot, np.float64) * plan.inv_cov
+    want = apply_shear3_np(planT, g, normalize=False)
+    assert np.abs(got - want).max() < 5e-5, (dec, np.abs(got - want).max())
+print('shear3 vjp TPU smoke OK')
+""")
