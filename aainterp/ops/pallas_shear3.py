@@ -575,6 +575,10 @@ def make_shear3_linear(plan: Shear3Plan, *, interpret: bool = False):
 
     @jax.custom_vjp
     def fn(q):
+        if q.dtype == jnp.uint8:
+            raise TypeError(
+                "make_shear3_linear is float-only (u8 round/saturate "
+                "is not differentiable); cast to bfloat16/float32")
         return apply_shear3_pallas(plan, q, kernel_plan=kp,
                                    interpret=interpret)
 

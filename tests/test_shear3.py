@@ -433,3 +433,13 @@ def test_pallas_custom_vjp_matches_xla_autodiff():
     lhs = float((apply_shear3_np(plan, qn, normalize=False) * g).sum())
     rhs = float((qn * apply_shear3_np(planT, g, normalize=False)).sum())
     assert abs(lhs - rhs) / abs(lhs) < 1e-9
+
+
+def test_pallas_vjp_rejects_u8():
+    from aainterp.ops.pallas_shear3 import make_shear3_linear
+
+    spec = aa.make_grid_spec((32, 32), 1.0, 1.0, (16.0, 16.0), 30.0)
+    plan = build_shear3_plan(spec)
+    fn = make_shear3_linear(plan, interpret=True)
+    with pytest.raises(TypeError, match="float-only"):
+        fn(jnp.zeros((32, 32), jnp.uint8))
